@@ -1,0 +1,75 @@
+"""Benchmark: composed 1280x720 P-frames/sec/chip (compose+pack on device).
+
+Measures the flagship pipeline — batched scroll compose, MV-prediction
+stencil, parallel-prefix bit pack, emulation prevention, NAL framing — via
+an on-device lax.scan over a frame schedule, so no host round-trips land in
+the timed region.  Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Baseline: the driver north star of 5,000 spliced 720p frames/sec/chip
+(BASELINE.json) — the C reference publishes no throughput numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from h264_scroll_encoder_tpu.config import ComposerConfig
+    from h264_scroll_encoder_tpu.parallel import batch
+
+    cfg = ComposerConfig(1280, 720)
+    batch_size = 64          # "multi-stream batch: 64 concurrent UI sessions"
+    frames_per_scan = 32
+
+    # Triangle scroll schedule (composer src/main.c:109-120), speed 4.
+    t = np.arange(frames_per_scan)[:, None] + np.zeros((1, batch_size))
+    cycle = (t * 4 + np.arange(batch_size)[None, :] * 17) % (2 * cfg.height)
+    offsets = np.where(cycle < cfg.height, cycle, 2 * cfg.height - cycle)
+    offsets = jnp.asarray(offsets, jnp.int32)
+
+    state = batch.SessionState.create(batch_size)
+
+    run = jax.jit(lambda s, o: batch.run_frames(cfg, s, o))
+
+    # Warm up / compile.
+    s1, out = run(state, offsets)
+    jax.block_until_ready(out)
+
+    # Timed: several scan invocations.
+    n_reps = 8
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(n_reps):
+        s, out = run(s, offsets)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+
+    total_frames = n_reps * frames_per_scan * batch_size
+    fps = total_frames / (t1 - t0)
+    p50_latency_ms = (t1 - t0) / (n_reps * frames_per_scan) * 1000.0
+
+    baseline = 5000.0  # north-star target, frames/sec/chip
+    print(json.dumps({
+        "metric": "composed 720p frames/sec/chip",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 3),
+        "extra": {
+            "batch_sessions": batch_size,
+            "p50_batchstep_ms": round(p50_latency_ms, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

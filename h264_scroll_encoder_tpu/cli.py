@@ -1,0 +1,138 @@
+"""Command-line drivers with the reference's surface.
+
+`composer` mirrors src/main.c:14-141 (donor mode, triangle-wave scroll
+0 -> height -> 0) and `scroll-encoder` mirrors the experiment's
+main.c:121-448 (test mode with I_PCM atlases, scroll starting at 496 px so
+waypoints engage, max offset height-16).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import ComposerConfig
+from .session import (ComposerSession, open_donor_session,
+                      open_two_idr_session)
+
+# BT.601 color table (experiments/scroll-encoder/src/main.c:19-30).
+COLOR_TABLE = {
+    "red": (81, 90, 240),
+    "blue": (41, 240, 110),
+    "green": (145, 54, 34),
+    "yellow": (210, 16, 146),
+    "cyan": (170, 166, 16),
+    "magenta": (106, 202, 222),
+    "white": (235, 128, 128),
+    "black": (16, 128, 128),
+    "gray": (128, 128, 128),
+}
+
+
+def triangle_offsets(num_frames: int, speed: int, max_offset: int,
+                     start_offset: int = 0):
+    """Scroll pattern 0 -> max -> 0 -> ... (src/main.c:109-120)."""
+    cycle_len = max_offset * 2
+    for i in range(num_frames):
+        cycle_pos = (i * speed + start_offset) % cycle_len
+        yield cycle_pos if cycle_pos < max_offset else cycle_len - cycle_pos
+
+
+def composer_main(argv=None) -> int:
+    """Donor-mode composer CLI (src/main.c)."""
+    ap = argparse.ArgumentParser(
+        prog="composer",
+        description="Compose scroll P-frames from two donor I-frames")
+    ap.add_argument("--ref-a", required=True, help="First reference I-frame")
+    ap.add_argument("--ref-b", required=True, help="Second reference I-frame")
+    ap.add_argument("-n", "--frames", type=int, default=250)
+    ap.add_argument("-s", "--speed", type=int, default=4,
+                    help="Scroll speed in pixels/frame")
+    ap.add_argument("-o", "--output", default="output.h264")
+    ap.add_argument("--pskip", action="store_true",
+                    help="Enable spec-correct P_Skip runs (smaller frames; "
+                         "not byte-compatible with the C reference)")
+    args = ap.parse_args(argv)
+
+    if args.frames <= 0 or args.speed <= 0:
+        print("Error: --frames and --speed must be positive", file=sys.stderr)
+        return 1
+
+    try:
+        session = open_donor_session(args.ref_a, args.ref_b,
+                                     enable_pskip=args.pskip)
+    except (OSError, ValueError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    cfg = session.cfg
+    print(f"Composer initialized: {cfg.width}x{cfg.height}")
+    print(f"Generating {args.frames} frames, scroll speed "
+          f"{args.speed} px/frame")
+
+    session.write_parameter_sets()
+    session.write_donor_atlases(session._donor_a_rbsp, session._donor_b_rbsp)
+
+    for offset in triangle_offsets(args.frames, args.speed, cfg.height):
+        session.write_scroll_frame(offset)
+
+    size = session.write_to_file(args.output)
+    print(f"Written {size} bytes to {args.output}")
+    print(f"\nDone! To play:\n  ffmpeg -i {args.output} -c:v copy "
+          f"output.mp4 && ffplay output.mp4")
+    return 0
+
+
+def scroll_encoder_main(argv=None) -> int:
+    """Test-mode scroll encoder CLI (experiments/scroll-encoder main.c)."""
+    ap = argparse.ArgumentParser(
+        prog="scroll-encoder",
+        description="Generate a scrolling H.264 stream (I_PCM test atlases)")
+    ap.add_argument("-i", "--input", help="Donor H.264 with 2 IDR frames")
+    ap.add_argument("-o", "--output", default="output.h264")
+    ap.add_argument("-n", "--frames", type=int, default=900)
+    ap.add_argument("-S", "--speed", type=int, default=1)
+    ap.add_argument("-w", "--width", type=int, default=640)
+    ap.add_argument("-H", "--height", type=int, default=480)
+    ap.add_argument("-s", "--striped", action="store_true", default=True)
+    ap.add_argument("--color-a", default="gray", choices=COLOR_TABLE)
+    ap.add_argument("--color-b", default="gray", choices=COLOR_TABLE)
+    ap.add_argument("--solid", action="store_true",
+                    help="Solid colors instead of striped test frames")
+    ap.add_argument("--pskip", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.input:
+        try:
+            session = open_two_idr_session(args.input,
+                                           enable_pskip=args.pskip)
+        except (OSError, ValueError) as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
+        # Experiment donor mode frames SPS/PPS with nal_ref_idc=2
+        # (main.c:341-347).
+        session.write_parameter_sets(nal_ref_idc=2)
+        session.write_donor_atlases(session._donor_a_rbsp,
+                                    session._donor_b_rbsp)
+        cfg = session.cfg
+    else:
+        cfg = ComposerConfig(args.width, args.height)
+        session = ComposerSession(cfg, enable_pskip=args.pskip)
+        session.write_parameter_sets()
+        session.write_test_atlases(
+            striped=not args.solid,
+            color_a=COLOR_TABLE[args.color_a],
+            color_b=COLOR_TABLE[args.color_b])
+
+    max_offset = cfg.height - 16  # leave 1 MB row (experiment main.c:387)
+    start = 496                   # engage waypoints (experiment main.c:400)
+    for offset in triangle_offsets(args.frames, args.speed, max_offset,
+                                   start_offset=start):
+        session.write_scroll_or_waypoint_frame(offset)
+
+    size = session.write_to_file(args.output)
+    print(f"Output size: {size} bytes\nWritten to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(composer_main())

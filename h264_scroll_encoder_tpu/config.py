@@ -1,0 +1,103 @@
+"""Composer configuration.
+
+Mirrors the reference's ComposerConfig / H264EncoderConfig
+(include/h264_writer.h:37-59, include/h264_encoder.h:46-74) including the
+dual-config pattern: a *parse* config carrying the donor encoder's SPS/PPS
+geometry and a *write* config carrying our own parameters
+(src/composer.c:192-203).
+
+Static geometry (width/height/flags) is Python-level so XLA sees static
+shapes; per-session dynamic state (frame_num, waypoint registry) lives in
+`session.SessionState` as a jit-able pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Hardware vertical-MV limit: 496 px, safely under the 512 px (2048 qpel)
+# limit NVDEC/VAAPI enforce regardless of signaled level
+# (include/h264_writer.h:23-24, experiments/scroll-encoder/README.md:92-108).
+MV_LIMIT_PX = 496
+
+# Maximum number of waypoint long-term references (include/h264_writer.h:27).
+MAX_WAYPOINTS = 8
+
+# Slice types (H.264 Table 7-6; include/h264_writer.h:19-21).
+SLICE_TYPE_P = 0
+SLICE_TYPE_I = 2
+SLICE_TYPE_I_ALL = 7
+
+# NAL unit types / ref idc (include/nal.h:10-23).
+NAL_TYPE_SLICE = 1
+NAL_TYPE_IDR = 5
+NAL_TYPE_SEI = 6
+NAL_TYPE_SPS = 7
+NAL_TYPE_PPS = 8
+NAL_TYPE_AUD = 9
+
+NAL_REF_IDC_NONE = 0
+NAL_REF_IDC_LOW = 1
+NAL_REF_IDC_HIGH = 2
+NAL_REF_IDC_HIGHEST = 3
+
+
+@dataclasses.dataclass
+class ComposerConfig:
+    """Static encoder configuration (hashable; safe as a jit static arg).
+
+    Defaults follow composer_config_init (src/h264_writer.c:13-28).
+    """
+
+    width: int
+    height: int
+
+    # Parsed/derived SPS values.
+    log2_max_frame_num: int = 4
+    pic_order_cnt_type: int = 2
+    log2_max_pic_order_cnt_lsb: int = 4
+
+    # Parsed/derived PPS values.
+    num_ref_idx_l0_default_minus1: int = 1
+    deblocking_filter_control_present_flag: int = 1
+
+    idr_pic_id: int = 0
+
+    def __post_init__(self):
+        if self.width % 16 or self.height % 16:
+            raise ValueError("width/height must be multiples of 16")
+
+    @property
+    def mb_width(self) -> int:
+        return self.width // 16
+
+    @property
+    def mb_height(self) -> int:
+        return self.height // 16
+
+    @property
+    def total_mbs(self) -> int:
+        return self.mb_width * self.mb_height
+
+    def with_sps_params(self, log2_max_frame_num: int, pic_order_cnt_type: int,
+                        log2_max_pic_order_cnt_lsb: int) -> "ComposerConfig":
+        """composer_config_set_sps_params (src/h264_writer.c:30-37)."""
+        return dataclasses.replace(
+            self,
+            log2_max_frame_num=log2_max_frame_num,
+            pic_order_cnt_type=pic_order_cnt_type,
+            log2_max_pic_order_cnt_lsb=log2_max_pic_order_cnt_lsb,
+        )
+
+    def with_pps_params(self, num_ref_idx_l0_default_minus1: int,
+                        deblocking_filter_control_present_flag: int) -> "ComposerConfig":
+        """composer_config_set_pps_params (src/h264_writer.c:39-44)."""
+        return dataclasses.replace(
+            self,
+            num_ref_idx_l0_default_minus1=num_ref_idx_l0_default_minus1,
+            deblocking_filter_control_present_flag=deblocking_filter_control_present_flag,
+        )
+
+    # Hashability for use as a static jit argument.
+    def __hash__(self):
+        return hash(dataclasses.astuple(self))

@@ -1,0 +1,402 @@
+"""The flagship compose kernel: scroll / waypoint P-frames, fully vectorized.
+
+Replaces the reference's sequential per-MB double loop
+(h264_write_scroll_p_frame src/h264_writer.c:541-664 and
+h264_write_waypoint_p_frame :678-782) with a one-shot device pipeline:
+
+  MB-grid field assignment  ->  MV-prediction stencil  ->  per-MB syntax
+  symbols  ->  parallel-prefix bit pack  ->  emulation prevention  ->
+  Annex-B NAL bytes
+
+The load-bearing observation: every macroblock is coded P_L0_16x16 with its
+*assigned* motion vector (or P_Skip whose derived MV equals the assigned
+one), so each MB's actual MV never depends on prediction.  H.264 8.4.1.3.1
+median prediction therefore collapses from the reference's row-carried loop
+(MVInfo above_row/left, src/h264_writer.c:590-646) into a pure neighbor
+stencil over the grid — no scan, no sequential dependency, ideal for the
+VPU.
+
+P_Skip: the reference ships with P_Skip disabled because its encoder-side
+prediction disagreed with the decoder's skip-MV derivation
+(experiments/scroll-encoder/src/h264_encoder.c:564-566).  We implement the
+*decoder's* rule (H.264 8.4.1.1: zero MV if A/B unavailable or zero-MV
+ref-0, else median) as a second stencil, so `enable_pskip=True` produces
+spec-correct skip runs (~1.7 KB/frame class); `enable_pskip=False` is the
+bit-exact parity mode against the shipped C binary (~3.0 KB/frame class).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ComposerConfig, MAX_WAYPOINTS, MV_LIMIT_PX
+from ..ops import bitpack, ebsp, expgolomb
+from ..syntax.slice_headers import P_HEADER_SLOTS, p_slice_header_symbols
+
+# Worst-case bits per macroblock: skip-run ue(<=3600) 23 + mb_type 1 +
+# ref te/ue 7 + two mvd se(<=3968 qpel) 25+25 + cbp 1 < 88.
+_MAX_MB_BITS = 88
+
+
+def max_rbsp_bytes(cfg: ComposerConfig) -> int:
+    n = (cfg.total_mbs * _MAX_MB_BITS // 8) + 96
+    return (n + 3) // 4 * 4
+
+
+def max_nal_bytes(cfg: ComposerConfig) -> int:
+    # Start code (4) + NAL header (1) + EBSP worst case 1.5x RBSP.
+    n = 5 + max_rbsp_bytes(cfg) * 3 // 2 + 8
+    return (n + 3) // 4 * 4
+
+
+# ---------------------------------------------------------------------------
+# Field assignment (which reference / which MV per MB).
+# ---------------------------------------------------------------------------
+
+def _best_waypoint_a(offset_px, wp_offsets, wp_valid, num_waypoints):
+    """Highest waypoint offset <= offset with delta <= MV_LIMIT_PX, only
+    engaged when offset > MV_LIMIT_PX (src/h264_writer.c:558-571)."""
+    idx = jnp.arange(MAX_WAYPOINTS, dtype=jnp.int32)
+    cand = (wp_valid & (idx < num_waypoints)
+            & (wp_offsets <= offset_px)
+            & (offset_px - wp_offsets <= MV_LIMIT_PX)
+            & (wp_offsets > 0))
+    engaged = (offset_px > MV_LIMIT_PX) & (num_waypoints > 0)
+    cand = cand & engaged
+    # argmax over offset among candidates; C keeps the *highest offset*.
+    keyed = jnp.where(cand, wp_offsets, -1)
+    best = jnp.argmax(keyed).astype(jnp.int32)
+    found = jnp.max(keyed) >= 0
+    return jnp.where(found, best, -1), jnp.where(found, wp_offsets[best], 0)
+
+
+def _best_waypoint_b(offset_px, height, wp_offsets, wp_valid, num_waypoints):
+    """First (lowest-index) waypoint with offset > current and delta within
+    -MV_LIMIT_PX, engaged when B's direct MV would break the limit
+    (src/h264_writer.c:573-588)."""
+    idx = jnp.arange(MAX_WAYPOINTS, dtype=jnp.int32)
+    b_direct_mv = offset_px - height
+    cand = (wp_valid & (idx < num_waypoints)
+            & (wp_offsets > offset_px)
+            & (offset_px - wp_offsets >= -MV_LIMIT_PX))
+    engaged = (b_direct_mv < -MV_LIMIT_PX) & (num_waypoints > 0)
+    cand = cand & engaged
+    keyed = jnp.where(cand, idx, MAX_WAYPOINTS)  # take lowest index
+    best = jnp.min(keyed).astype(jnp.int32)
+    found = best < MAX_WAYPOINTS
+    safe = jnp.where(found, best, 0)
+    return (jnp.where(found, safe, -1),
+            jnp.where(found, wp_offsets[safe], 0))
+
+
+def mb_fields(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
+              num_waypoints, *, is_waypoint_frame):
+    """Per-MB (ref_idx, mv_y_qpel) grids for a scroll or waypoint frame.
+
+    Scroll frames may redirect both the A and B regions through waypoints;
+    waypoint frames only redirect A (src/h264_writer.c:689-729).
+    """
+    offset_px = jnp.asarray(offset_px, jnp.int32)
+    h, w = cfg.mb_height, cfg.mb_width
+    a_region_end = (cfg.height - offset_px) // 16
+
+    wp_a, wp_a_off = _best_waypoint_a(offset_px, wp_offsets, wp_valid,
+                                      num_waypoints)
+    if is_waypoint_frame:
+        wp_b, wp_b_off = jnp.int32(-1), jnp.int32(0)
+    else:
+        wp_b, wp_b_off = _best_waypoint_b(offset_px, cfg.height, wp_offsets,
+                                          wp_valid, num_waypoints)
+
+    a_ref = jnp.where(wp_a >= 0, 2 + wp_a, 0)
+    a_mv = jnp.where(wp_a >= 0, offset_px - wp_a_off, offset_px)
+    b_ref = jnp.where(wp_b >= 0, 2 + wp_b, 1)
+    b_mv = jnp.where(wp_b >= 0, offset_px - wp_b_off, offset_px - cfg.height)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    in_a = row < a_region_end
+    ref = jnp.where(in_a, a_ref, b_ref)
+    mv_y = jnp.where(in_a, a_mv, b_mv) * 4  # quarter-pel
+    return ref, mv_y
+
+
+# ---------------------------------------------------------------------------
+# MV prediction stencils.
+# ---------------------------------------------------------------------------
+
+def _median3(a, b, c):
+    return jnp.maximum(jnp.minimum(a, b),
+                       jnp.minimum(jnp.maximum(a, b), c))
+
+
+def _neighbors(field):
+    """(A=left, B=above, C=above-right, D=above-left) shifted grids."""
+    a = jnp.pad(field, ((0, 0), (1, 0)))[:, :-1]
+    b = jnp.pad(field, ((1, 0), (0, 0)))[:-1, :]
+    c = jnp.pad(field, ((1, 0), (0, 1)))[:-1, 1:]
+    d = jnp.pad(field, ((1, 0), (1, 0)))[:-1, :-1]
+    return a, b, c, d
+
+
+def mv_pred_grid(ref, mv_x, mv_y):
+    """H.264 8.4.1.3.1 median MV prediction, vectorized.
+
+    Exact decision tree of get_mv_prediction (src/h264_writer.c:369-432):
+    C = above-right, falling back to D = above-left; the
+    exactly-one-ref-match fast path; otherwise component-wise median with
+    unavailable neighbors contributing (0,0).
+    """
+    h, w = ref.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+
+    ref_a, ref_b, ref_cr, ref_d = _neighbors(ref)
+    mvx_a, mvx_b, mvx_cr, mvx_d = _neighbors(mv_x)
+    mvy_a, mvy_b, mvy_cr, mvy_d = _neighbors(mv_y)
+
+    avail_a = col > 0
+    avail_b = row > 0
+    use_cr = (row > 0) & (col + 1 < w)          # above-right exists
+    use_d = (row > 0) & (col > 0) & ~use_cr     # else above-left fallback
+    avail_c = use_cr | use_d
+    ref_c = jnp.where(use_cr, ref_cr, ref_d)
+    mvx_c = jnp.where(use_cr, mvx_cr, mvx_d)
+    mvy_c = jnp.where(use_cr, mvy_cr, mvy_d)
+
+    match_a = avail_a & (ref_a == ref)
+    match_b = avail_b & (ref_b == ref)
+    match_c = avail_c & (ref_c == ref)
+
+    n_avail = (avail_a.astype(jnp.int32) + avail_b.astype(jnp.int32)
+               + avail_c.astype(jnp.int32))
+    n_match = (match_a.astype(jnp.int32) + match_b.astype(jnp.int32)
+               + match_c.astype(jnp.int32))
+
+    def pick(vx_a, vx_b, vx_c):
+        # num_available == 1: the single available neighbor, zero if its
+        # ref doesn't match.
+        only = jnp.where(
+            avail_a, jnp.where(match_a, vx_a, 0),
+            jnp.where(avail_b, jnp.where(match_b, vx_b, 0),
+                      jnp.where(match_c, vx_c, 0)))
+        # exactly one ref match: that neighbor's MV.
+        one_match = jnp.where(match_a, vx_a, jnp.where(match_b, vx_b, vx_c))
+        # median with unavailable -> 0.
+        med = _median3(jnp.where(avail_a, vx_a, 0),
+                       jnp.where(avail_b, vx_b, 0),
+                       jnp.where(avail_c, vx_c, 0))
+        return jnp.where(
+            n_avail == 0, 0,
+            jnp.where(n_avail == 1, only,
+                      jnp.where(n_match == 1, one_match, med)))
+
+    return pick(mvx_a, mvx_b, mvx_c), pick(mvy_a, mvy_b, mvy_c)
+
+
+def pskip_mv_grid(ref, mv_x, mv_y):
+    """Decoder-side P_Skip MV derivation (H.264 8.4.1.1), vectorized.
+
+    mvSkip = (0,0) when the left or above MB is unavailable, or when either
+    has refIdx 0 with a zero MV; otherwise the 8.4.1.3.1 median prediction
+    evaluated for refIdx 0.  Implementing the decoder rule (not the
+    encoder's prediction) is what makes P_Skip safe — the mismatch is why
+    the reference disabled it (h264_encoder.c:564-566).
+    """
+    h, w = ref.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+
+    ref_a, ref_b, _, _ = _neighbors(ref)
+    mvx_a, mvx_b, _, _ = _neighbors(mv_x)
+    mvy_a, mvy_b, _, _ = _neighbors(mv_y)
+
+    avail_a = col > 0
+    avail_b = row > 0
+    zero_a = avail_a & (ref_a == 0) & (mvx_a == 0) & (mvy_a == 0)
+    zero_b = avail_b & (ref_b == 0) & (mvx_b == 0) & (mvy_b == 0)
+    force_zero = (~avail_a) | (~avail_b) | zero_a | zero_b
+
+    # Skip derivation evaluates 8.4.1.3.1 for refIdx 0 (neighbor refs keep
+    # their real values, the current MB's ref is forced to 0).
+    pred_x, pred_y = _mv_pred_for_ref0(ref, mv_x, mv_y)
+    return (jnp.where(force_zero, 0, pred_x),
+            jnp.where(force_zero, 0, pred_y))
+
+
+def _mv_pred_for_ref0(ref, mv_x, mv_y):
+    """8.4.1.3.1 median prediction assuming the current MB uses refIdx 0."""
+    h, w = ref.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+
+    ref_a, ref_b, ref_cr, ref_d = _neighbors(ref)
+    mvx_a, mvx_b, mvx_cr, mvx_d = _neighbors(mv_x)
+    mvy_a, mvy_b, mvy_cr, mvy_d = _neighbors(mv_y)
+
+    avail_a = col > 0
+    avail_b = row > 0
+    use_cr = (row > 0) & (col + 1 < w)
+    use_d = (row > 0) & (col > 0) & ~use_cr
+    avail_c = use_cr | use_d
+    ref_c = jnp.where(use_cr, ref_cr, ref_d)
+    mvx_c = jnp.where(use_cr, mvx_cr, mvx_d)
+    mvy_c = jnp.where(use_cr, mvy_cr, mvy_d)
+
+    match_a = avail_a & (ref_a == 0)
+    match_b = avail_b & (ref_b == 0)
+    match_c = avail_c & (ref_c == 0)
+    n_avail = (avail_a.astype(jnp.int32) + avail_b.astype(jnp.int32)
+               + avail_c.astype(jnp.int32))
+    n_match = (match_a.astype(jnp.int32) + match_b.astype(jnp.int32)
+               + match_c.astype(jnp.int32))
+
+    def pick(vx_a, vx_b, vx_c):
+        only = jnp.where(
+            avail_a, jnp.where(match_a, vx_a, 0),
+            jnp.where(avail_b, jnp.where(match_b, vx_b, 0),
+                      jnp.where(match_c, vx_c, 0)))
+        one_match = jnp.where(match_a, vx_a, jnp.where(match_b, vx_b, vx_c))
+        med = _median3(jnp.where(avail_a, vx_a, 0),
+                       jnp.where(avail_b, vx_b, 0),
+                       jnp.where(avail_c, vx_c, 0))
+        return jnp.where(
+            n_avail == 0, 0,
+            jnp.where(n_avail == 1, only,
+                      jnp.where(n_match == 1, one_match, med)))
+
+    return pick(mvx_a, mvx_b, mvx_c), pick(mvy_a, mvy_b, mvy_c)
+
+
+# ---------------------------------------------------------------------------
+# Frame emission.
+# ---------------------------------------------------------------------------
+
+def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
+                 ref, mv_x, mv_y, num_refs, nal_ref_idc,
+                 *, enable_pskip: bool):
+    """Symbols -> packed Annex-B NAL bytes for one P frame.
+
+    Returns (nal uint8[max_nal_bytes], nal_len int32, rbsp_bits int32).
+    """
+    h, w = cfg.mb_height, cfg.mb_width
+    n_mbs = h * w
+
+    pred_x, pred_y = mv_pred_grid(ref, mv_x, mv_y)
+    mvd_x = (mv_x - pred_x).reshape(-1)
+    mvd_y = (mv_y - pred_y).reshape(-1)
+    ref_f = ref.reshape(-1)
+
+    if enable_pskip:
+        skip_x, skip_y = pskip_mv_grid(ref, mv_x, mv_y)
+        can_skip = ((ref == 0) & (mv_x == skip_x)
+                    & (mv_y == skip_y)).reshape(-1)
+    else:
+        can_skip = jnp.zeros((n_mbs,), bool)
+    coded = ~can_skip
+
+    # mb_skip_run before each coded MB = distance to the previous coded MB.
+    idx = jnp.arange(n_mbs, dtype=jnp.int32)
+    coded_idx = jnp.where(coded, idx, -1)
+    last_coded_incl = jax.lax.associative_scan(jnp.maximum, coded_idx)
+    last_coded_before = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_coded_incl[:-1]])
+    skip_run = idx - last_coded_before - 1
+
+    # Per-MB symbol slots: [skip_run ue | mb_type ue(0) | ref te |
+    #                       mvd_x se | mvd_y se | cbp ue(0)]
+    sr_pat, sr_n = expgolomb.ue(skip_run.astype(jnp.uint32))
+    mbt_pat, mbt_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
+    ref_pat, ref_n = expgolomb.te(ref_f.astype(jnp.uint32), num_refs)
+    mvx_pat, mvx_n = expgolomb.se(mvd_x)
+    mvy_pat, mvy_n = expgolomb.se(mvd_y)
+    cbp_pat, cbp_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
+
+    coded_i = coded.astype(jnp.int32)
+    mb_patterns = jnp.stack(
+        [sr_pat, mbt_pat, ref_pat, mvx_pat, mvy_pat, cbp_pat], axis=1)
+    mb_nbits = jnp.stack(
+        [sr_n * coded_i, mbt_n * coded_i, ref_n * coded_i,
+         mvx_n * coded_i, mvy_n * coded_i, cbp_n * coded_i], axis=1)
+
+    # Trailing skip run after the last coded MB (only if > 0); if no MB is
+    # coded at all the whole slice is one skip run.
+    tail_skips = jnp.int32(n_mbs) - 1 - last_coded_incl[-1]
+    ts_pat, ts_n = expgolomb.ue(tail_skips.astype(jnp.uint32))
+    ts_n = jnp.where(tail_skips > 0, ts_n, 0)
+
+    patterns = jnp.concatenate(
+        [header_patterns, mb_patterns.reshape(-1), ts_pat[None]])
+    nbits = jnp.concatenate(
+        [header_nbits, mb_nbits.reshape(-1), ts_n[None]])
+
+    payload_bits = jnp.sum(nbits)
+    tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
+    patterns = jnp.concatenate([patterns, tb_pat[None]])
+    nbits = jnp.concatenate([nbits, tb_n[None]])
+
+    n_rbsp = max_rbsp_bytes(cfg)
+    rbsp_bytes, total_bits = bitpack.pack_bytes(patterns, nbits, n_rbsp)
+    rbsp_len = total_bits // 8  # trailing bits guarantee alignment
+
+    n_nal = max_nal_bytes(cfg)
+    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp(rbsp_bytes, rbsp_len, n_nal - 8)
+
+    header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01  # NAL_TYPE_SLICE
+    prefix = jnp.concatenate([
+        jnp.asarray([0, 0, 0, 1], jnp.uint8),
+        jnp.asarray(header_byte, jnp.uint8).reshape(1).astype(jnp.uint8),
+    ])
+    out = jnp.zeros((n_nal,), jnp.uint8)
+    out = jax.lax.dynamic_update_slice(out, ebsp_bytes, (5,))
+    out = jax.lax.dynamic_update_slice(out, prefix, (0,))
+    return out, 5 + ebsp_len, total_bits
+
+
+def needs_waypoint(offset_px, wp_offsets, wp_valid, num_waypoints):
+    """h264_needs_waypoint (src/h264_writer.c:666-676)."""
+    offset_px = jnp.asarray(offset_px, jnp.int32)
+    idx = jnp.arange(MAX_WAYPOINTS, dtype=jnp.int32)
+    exists = jnp.any(wp_valid & (idx < num_waypoints)
+                     & (wp_offsets == offset_px))
+    return (offset_px != 0) & (offset_px % MV_LIMIT_PX == 0) & ~exists
+
+
+def scroll_frame(cfg: ComposerConfig, frame_num, offset_px,
+                 wp_offsets, wp_ltidx, wp_valid, num_waypoints,
+                 *, enable_pskip: bool = False):
+    """One non-reference scroll P-frame (nal_ref_idc=0)."""
+    max_fn = 1 << cfg.log2_max_frame_num
+    fn = frame_num % max_fn
+    hp, hn = p_slice_header_symbols(
+        cfg, fn, fn * 2, is_reference=False, long_term_idx=-1,
+        num_waypoints=num_waypoints, wp_long_term_idx=wp_ltidx,
+        wp_valid=wp_valid)
+    ref, mv_y = mb_fields(cfg, offset_px, wp_offsets, wp_valid,
+                          num_waypoints, is_waypoint_frame=False)
+    mv_x = jnp.zeros_like(mv_y)
+    return emit_p_frame(cfg, hp, hn, ref, mv_x, mv_y,
+                        num_refs=2 + num_waypoints, nal_ref_idc=0,
+                        enable_pskip=enable_pskip)
+
+
+def waypoint_frame(cfg: ComposerConfig, frame_num, offset_px,
+                   wp_offsets, wp_ltidx, wp_valid, num_waypoints,
+                   *, enable_pskip: bool = False):
+    """One reference waypoint P-frame (nal_ref_idc=2) that MMCO-marks
+    itself long-term idx 2+num_waypoints (src/h264_writer.c:678-782)."""
+    max_fn = 1 << cfg.log2_max_frame_num
+    fn = frame_num % max_fn
+    long_term_idx = 2 + num_waypoints
+    hp, hn = p_slice_header_symbols(
+        cfg, fn, fn * 2, is_reference=True, long_term_idx=long_term_idx,
+        num_waypoints=num_waypoints, wp_long_term_idx=wp_ltidx,
+        wp_valid=wp_valid)
+    ref, mv_y = mb_fields(cfg, offset_px, wp_offsets, wp_valid,
+                          num_waypoints, is_waypoint_frame=True)
+    mv_x = jnp.zeros_like(mv_y)
+    return emit_p_frame(cfg, hp, hn, ref, mv_x, mv_y,
+                        num_refs=2 + num_waypoints, nal_ref_idc=2,
+                        enable_pskip=enable_pskip)

@@ -1,0 +1,122 @@
+"""Vectorized RBSP <-> EBSP emulation prevention.
+
+The reference runs a serial 3-state zero-count automaton over every payload
+byte (rbsp_to_ebsp src/nal.c:24-50, ebsp_to_rbsp src/nal_parser.c:67-88).
+Both directions reduce to a *closed form* over the input: the automaton state
+before byte i depends only on t_i, the length of the run of zero bytes
+immediately preceding i (state = 0 if t==0 else 1 if t odd else 2, because an
+inserted/removed 0x03 resets the count to 0 and the following copied zero
+re-arms it to 1).  Hence:
+
+  insert 0x03 before byte i  iff  b[i] <= 3 and t_i >= 2 and t_i even
+  remove byte i              iff  b[i] == 3 and b[i+1] <= 3 and t_i >= 2
+
+which is a pure stencil + prefix-sum compaction — no sequential scan.
+
+Both jit-able padded-array versions (device hot path) and plain numpy
+versions (host parse path) are provided; they are differentially tested
+against a serial automaton in tests/test_ebsp.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _zero_run_before(b, valid):
+    """t_i: number of consecutive zero bytes immediately before index i."""
+    n = b.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nz = jnp.where(valid & (b != 0), idx, jnp.int32(-1))
+    last_nz = jax_cummax(nz)
+    last_nz_before = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_nz[:-1]])
+    return idx - 1 - last_nz_before
+
+
+def jax_cummax(x):
+    import jax
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def rbsp_to_ebsp(rbsp, n, max_out: int):
+    """Insert emulation-prevention 0x03 bytes (jit-able).
+
+    Args:
+      rbsp: uint8[max_in] padded payload.
+      n: valid length (traced scalar).
+      max_out: static output capacity (worst case n + n//2).
+
+    Returns (ebsp uint8[max_out], out_len int32).
+    """
+    b = jnp.asarray(rbsp, jnp.uint8)
+    size = b.shape[0]
+    idx = jnp.arange(size, dtype=jnp.int32)
+    valid = idx < n
+
+    t = _zero_run_before(b, valid)
+    ins = valid & (b <= 3) & (t >= 2) & (t % 2 == 0)
+
+    pos = idx + jnp.cumsum(ins.astype(jnp.int32))  # landing spot of b[i]
+    out = jnp.zeros((max_out,), jnp.uint8)
+    out = out.at[jnp.where(valid, pos, max_out)].set(b, mode="drop")
+    out = out.at[jnp.where(ins, pos - 1, max_out)].set(jnp.uint8(3), mode="drop")
+    out_len = n + jnp.sum(ins.astype(jnp.int32))
+    return out, out_len
+
+
+def ebsp_to_rbsp(ebsp, n, max_out: int):
+    """Strip emulation-prevention 0x03 bytes (jit-able)."""
+    b = jnp.asarray(ebsp, jnp.uint8)
+    size = b.shape[0]
+    idx = jnp.arange(size, dtype=jnp.int32)
+    valid = idx < n
+
+    t = _zero_run_before(b, valid)
+    nxt = jnp.concatenate([b[1:], jnp.full((1,), 0xFF, jnp.uint8)])
+    has_next = (idx + 1) < n
+    remove = valid & (b == 3) & has_next & (nxt <= 3) & (t >= 2)
+
+    keep = valid & ~remove
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - keep.astype(jnp.int32)
+    out = jnp.zeros((max_out,), jnp.uint8)
+    out = out.at[jnp.where(keep, pos, max_out)].set(b, mode="drop")
+    out_len = jnp.sum(keep.astype(jnp.int32))
+    return out, out_len
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) versions for the parse / session-setup path.
+# ---------------------------------------------------------------------------
+
+def _zero_run_before_np(b):
+    n = b.shape[0]
+    idx = np.arange(n, dtype=np.int64)
+    nz = np.where(b != 0, idx, -1)
+    last_nz = np.maximum.accumulate(nz)
+    last_nz_before = np.concatenate([[-1], last_nz[:-1]])
+    return idx - 1 - last_nz_before
+
+
+def rbsp_to_ebsp_np(rbsp: np.ndarray) -> np.ndarray:
+    b = np.asarray(rbsp, np.uint8)
+    if b.size == 0:
+        return b.copy()
+    t = _zero_run_before_np(b)
+    ins = (b <= 3) & (t >= 2) & (t % 2 == 0)
+    out = np.empty(b.size + int(ins.sum()), np.uint8)
+    pos = np.arange(b.size) + np.cumsum(ins)
+    out[pos] = b
+    out[pos[ins] - 1] = 3
+    return out
+
+
+def ebsp_to_rbsp_np(ebsp: np.ndarray) -> np.ndarray:
+    b = np.asarray(ebsp, np.uint8)
+    if b.size == 0:
+        return b.copy()
+    t = _zero_run_before_np(b)
+    nxt = np.concatenate([b[1:], [0xFF]])
+    has_next = np.arange(b.size) + 1 < b.size
+    remove = (b == 3) & has_next & (nxt <= 3) & (t >= 2)
+    return b[~remove]

@@ -1,0 +1,159 @@
+"""Batched multi-session compose: vmap over sessions, shard_map over chips.
+
+The reference is a single-threaded C program; its honest first-class
+parallel axis is *data parallelism over independent UI sessions*
+(SURVEY.md §2.4, BASELINE config "multi-stream batch: 64 concurrent UI
+sessions").  Per-session dynamic state (frame_num + waypoint registry) is a
+pytree with a leading batch axis living in HBM; each step composes one
+P-frame per session fully on-device.
+
+Cross-chip: sessions shard over a 1-D mesh axis ("sessions"); the hot path
+needs no collectives (embarrassingly parallel — placement/egress is a
+scheduling concern).  `sharded_step` wires the sharding via shard_map so
+XLA compiles one SPMD program per chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ComposerConfig, MAX_WAYPOINTS
+from ..models import scroll
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SessionState:
+    """Device-resident per-session state (batch axis leading).
+
+    Mirrors the stream-internal persistent state of the reference —
+    frame_num and the waypoint registry (include/h264_writer.h:30-58) —
+    which is exactly what must be snapshot-able to evict/restore sessions
+    (SURVEY.md §5 checkpoint/resume).
+    """
+    frame_num: jax.Array        # i32[B]
+    wp_offsets: jax.Array       # i32[B, MAX_WAYPOINTS]
+    wp_ltidx: jax.Array         # i32[B, MAX_WAYPOINTS]
+    wp_valid: jax.Array         # bool[B, MAX_WAYPOINTS]
+    wp_count: jax.Array         # i32[B]
+
+    @classmethod
+    def create(cls, batch: int, frame_num: int = 2) -> "SessionState":
+        """Fresh sessions, frame_num=2 (after the two atlas frames)."""
+        return cls(
+            frame_num=jnp.full((batch,), frame_num, jnp.int32),
+            wp_offsets=jnp.zeros((batch, MAX_WAYPOINTS), jnp.int32),
+            wp_ltidx=jnp.zeros((batch, MAX_WAYPOINTS), jnp.int32),
+            wp_valid=jnp.zeros((batch, MAX_WAYPOINTS), bool),
+            wp_count=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+def _session_step(cfg: ComposerConfig, enable_pskip: bool, emit_waypoints: bool,
+                  state: SessionState, offset_px):
+    """One composed frame for one session (unbatched; vmapped below).
+
+    When `emit_waypoints` is True the step also evaluates
+    h264_needs_waypoint and, on the rare step that crosses a 496 px
+    boundary, emits the waypoint reference frame ahead of the scroll frame
+    and registers it (both NAL buffers are always produced; the waypoint's
+    length is 0 when absent).
+    """
+    needs = scroll.needs_waypoint(offset_px, state.wp_offsets,
+                                  state.wp_valid, state.wp_count)
+
+    if emit_waypoints:
+        wp_nal, wp_len, _ = scroll.waypoint_frame(
+            cfg, state.frame_num, offset_px, state.wp_offsets,
+            state.wp_ltidx, state.wp_valid, state.wp_count,
+            enable_pskip=enable_pskip)
+        wp_len = jnp.where(needs, wp_len, 0)
+
+        # Register the waypoint + frame_num consumed by the waypoint frame.
+        slot = jnp.minimum(state.wp_count, MAX_WAYPOINTS - 1)
+        can_reg = needs & (state.wp_count < MAX_WAYPOINTS)
+        new_offsets = jnp.where(
+            can_reg, state.wp_offsets.at[slot].set(offset_px),
+            state.wp_offsets)
+        new_ltidx = jnp.where(
+            can_reg, state.wp_ltidx.at[slot].set(2 + state.wp_count),
+            state.wp_ltidx)
+        new_valid = jnp.where(
+            can_reg, state.wp_valid.at[slot].set(True), state.wp_valid)
+        new_count = state.wp_count + can_reg.astype(jnp.int32)
+        frame_num = state.frame_num + needs.astype(jnp.int32)
+        state = SessionState(frame_num, new_offsets, new_ltidx, new_valid,
+                             new_count)
+    else:
+        wp_nal = jnp.zeros((scroll.max_nal_bytes(cfg),), jnp.uint8)
+        wp_len = jnp.int32(0)
+
+    nal, nal_len, rbsp_bits = scroll.scroll_frame(
+        cfg, state.frame_num, offset_px, state.wp_offsets, state.wp_ltidx,
+        state.wp_valid, state.wp_count, enable_pskip=enable_pskip)
+    state = dataclasses.replace(state, frame_num=state.frame_num + 1)
+    return state, (nal, nal_len, wp_nal, wp_len, rbsp_bits)
+
+
+@functools.lru_cache(maxsize=None)
+def make_batched_step(cfg: ComposerConfig, *, enable_pskip: bool = False,
+                      emit_waypoints: bool = True):
+    """jit(vmap(step)): (SessionState[B], offsets i32[B]) ->
+    (SessionState[B], (nal u8[B,N], nal_len i32[B], wp_nal, wp_len, bits))."""
+    step = functools.partial(_session_step, cfg, enable_pskip, emit_waypoints)
+    return jax.jit(jax.vmap(step))
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_step(cfg: ComposerConfig, mesh: Mesh, axis: str = "sessions",
+                      *, enable_pskip: bool = False,
+                      emit_waypoints: bool = True):
+    """Batched step with the session axis sharded over `mesh`.
+
+    The computation is per-session independent, so the SPMD program has no
+    collectives; sharding annotations keep every session's state, offsets,
+    and output bytes resident on its chip.
+    """
+    step = functools.partial(_session_step, cfg, enable_pskip, emit_waypoints)
+    vstep = jax.vmap(step)
+    spec = P(axis)
+    state_sharding = SessionState(
+        frame_num=NamedSharding(mesh, spec),
+        wp_offsets=NamedSharding(mesh, spec),
+        wp_ltidx=NamedSharding(mesh, spec),
+        wp_valid=NamedSharding(mesh, spec),
+        wp_count=NamedSharding(mesh, spec),
+    )
+    out_sharding = (state_sharding,
+                    tuple(NamedSharding(mesh, spec) for _ in range(5)))
+    return jax.jit(vstep,
+                   in_shardings=(state_sharding, NamedSharding(mesh, spec)),
+                   out_shardings=out_sharding)
+
+
+def run_frames(cfg: ComposerConfig, state: SessionState, offsets,
+               *, enable_pskip: bool = False, emit_waypoints: bool = True):
+    """lax.scan over a [T, B] offset schedule, fully on-device.
+
+    Returns final state and stacked per-frame outputs; used by the
+    benchmark so the host never touches per-frame data inside the timed
+    region.
+    """
+    step = functools.partial(_session_step, cfg, enable_pskip, emit_waypoints)
+    vstep = jax.vmap(step)
+
+    def body(carry, offs):
+        new_state, outs = vstep(carry, offs)
+        # Keep only sizes in the scan output; NAL bytes are consumed via
+        # the per-step API in production (egress), sizes suffice to time
+        # the compose+pack pipeline end-to-end.
+        nal, nal_len, wp_nal, wp_len, rbsp_bits = outs
+        checksum = jnp.sum(nal.astype(jnp.uint32), axis=-1, dtype=jnp.uint32)
+        return new_state, (nal_len, wp_len, rbsp_bits, checksum)
+
+    return jax.lax.scan(body, state, jnp.asarray(offsets, jnp.int32))

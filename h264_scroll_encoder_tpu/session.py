@@ -1,0 +1,257 @@
+"""Composer session — the public API mirroring include/composer.h.
+
+A session owns the write/parse configs (dual-config pattern,
+src/composer.c:192-203), the output Annex-B stream, and the per-session
+dynamic state (frame_num + waypoint registry).  The per-frame hot path is a
+jitted device pipeline (models/scroll.py); header/atlas setup runs on the
+host once per session.
+
+The waypoint decision (h264_needs_waypoint) is mirrored on the host so the
+single-session path can dispatch the cheap scroll-only jit except on the
+rare steps that also emit a waypoint reference frame; the batched/device
+driver in parallel/batch.py instead keeps the registry fully on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ComposerConfig, MAX_WAYPOINTS, MV_LIMIT_PX
+from .models import ipcm, rewrite, scroll
+from .syntax import parse
+from .syntax.nal import AnnexBWriter, write_nal_unit
+from .syntax.params import generate_pps, generate_sps
+from .config import (NAL_REF_IDC_HIGHEST, NAL_TYPE_PPS, NAL_TYPE_SPS)
+
+
+@dataclasses.dataclass
+class WaypointRegistry:
+    """Host mirror of the waypoint registry (include/h264_writer.h:30-34)."""
+    offsets: list
+    long_term_idx: list
+    count: int = 0
+
+    @classmethod
+    def empty(cls) -> "WaypointRegistry":
+        return cls(offsets=[0] * MAX_WAYPOINTS,
+                   long_term_idx=[0] * MAX_WAYPOINTS, count=0)
+
+    def needs_waypoint(self, offset_px: int) -> bool:
+        if offset_px == 0 or offset_px % MV_LIMIT_PX != 0:
+            return False
+        return offset_px not in self.offsets[: self.count]
+
+    def register(self, offset_px: int) -> int:
+        long_term_idx = 2 + self.count
+        if self.count < MAX_WAYPOINTS:
+            self.offsets[self.count] = offset_px
+            self.long_term_idx[self.count] = long_term_idx
+            self.count += 1
+        return long_term_idx
+
+    def as_arrays(self):
+        valid = np.zeros(MAX_WAYPOINTS, bool)
+        valid[: self.count] = True
+        return (jnp.asarray(self.offsets, jnp.int32),
+                jnp.asarray(self.long_term_idx, jnp.int32),
+                jnp.asarray(valid),
+                jnp.int32(self.count))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_scroll(cfg: ComposerConfig, enable_pskip: bool):
+    return jax.jit(functools.partial(
+        scroll.scroll_frame, cfg, enable_pskip=enable_pskip))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_waypoint(cfg: ComposerConfig, enable_pskip: bool):
+    return jax.jit(functools.partial(
+        scroll.waypoint_frame, cfg, enable_pskip=enable_pskip))
+
+
+class ComposerSession:
+    """One UI session composing an H.264 stream at the bitstream level."""
+
+    def __init__(self, cfg: ComposerConfig,
+                 parse_cfg: ComposerConfig | None = None,
+                 *, enable_pskip: bool = False):
+        self.cfg = cfg
+        self.parse_cfg = parse_cfg or cfg
+        self.enable_pskip = enable_pskip
+        self.writer = AnnexBWriter()
+        self.frame_num = 0
+        self.waypoints = WaypointRegistry.empty()
+        self.frames_written = 0
+        self._scroll_fn = _jitted_scroll(cfg, enable_pskip)
+        self._waypoint_fn = _jitted_waypoint(cfg, enable_pskip)
+
+    # -- setup paths --------------------------------------------------------
+
+    def write_parameter_sets(self, *, nal_ref_idc: int = NAL_REF_IDC_HIGHEST,
+                             level_idc: int = 40) -> None:
+        sps = generate_sps(self.cfg.width, self.cfg.height,
+                           level_idc=level_idc,
+                           log2_max_frame_num=self.cfg.log2_max_frame_num)
+        pps = generate_pps()
+        self.writer.write_nal_unit(sps, nal_ref_idc, NAL_TYPE_SPS)
+        self.writer.write_nal_unit(pps, nal_ref_idc, NAL_TYPE_PPS)
+
+    def write_test_atlases(self, *, striped: bool = True,
+                           color_a=(128, 128, 128), color_b=(128, 128, 128)):
+        """Test-mode I_PCM atlas pair (experiment main.c:226-252)."""
+        if striped:
+            # Frame A: Red/Green/Blue; frame B: Yellow/Cyan/Magenta (BT.601).
+            self.writer.append_raw(ipcm.idr_frame_striped(
+                self.cfg, (81, 90, 240), (145, 54, 34), (41, 240, 110)))
+            self.frame_num = 1
+            self.writer.append_raw(ipcm.non_idr_i_frame_striped(
+                self.cfg, self.frame_num,
+                (210, 16, 146), (170, 166, 16), (106, 202, 222)))
+            self.frame_num += 1
+        else:
+            self.writer.append_raw(ipcm.idr_frame_color(self.cfg, *color_a))
+            self.frame_num = 1
+            self.writer.append_raw(ipcm.non_idr_i_frame_color(
+                self.cfg, self.frame_num, *color_b))
+            self.frame_num += 1
+
+    def write_donor_atlases(self, donor_a_rbsp: bytes,
+                            donor_b_rbsp: bytes) -> None:
+        """Donor-mode atlas pair: rewrite two donor IDR RBSPs
+        (composer_write_header, src/composer.c:232-253)."""
+        self.writer.append_raw(rewrite.rewrite_idr_frame(
+            self.cfg, self.parse_cfg, donor_a_rbsp))
+        self.frame_num = 1
+        self.writer.append_raw(rewrite.rewrite_as_non_idr_i_frame(
+            self.cfg, self.parse_cfg, donor_b_rbsp, self.frame_num))
+        self.frame_num += 1
+
+    # -- per-frame hot path --------------------------------------------------
+
+    def write_scroll_frame(self, offset_px: int) -> None:
+        """composer_write_scroll_frame (src/composer.c:255-264): emit a
+        waypoint reference frame first if this offset needs one."""
+        if self.waypoints.needs_waypoint(offset_px):
+            self.write_waypoint_frame(offset_px)
+        self._emit(self._scroll_fn, offset_px)
+        self.frames_written += 1
+
+    def write_scroll_or_waypoint_frame(self, offset_px: int) -> None:
+        """Experiment scheduling (scroll-encoder main.c:417-424): a step
+        that needs a waypoint emits *only* the waypoint frame."""
+        if self.waypoints.needs_waypoint(offset_px):
+            self.write_waypoint_frame(offset_px)
+        else:
+            self._emit(self._scroll_fn, offset_px)
+        self.frames_written += 1
+
+    def write_waypoint_frame(self, offset_px: int) -> None:
+        """Emit one waypoint reference P-frame and register it."""
+        self._emit(self._waypoint_fn, offset_px)
+        self.waypoints.register(offset_px)
+
+    def _emit(self, fn, offset_px: int) -> None:
+        wp_off, wp_lt, wp_valid, count = self.waypoints.as_arrays()
+        nal, nal_len, _ = fn(jnp.int32(self.frame_num), jnp.int32(offset_px),
+                             wp_off, wp_lt, wp_valid, count)
+        data = np.asarray(nal)[: int(nal_len)].tobytes()
+        self.writer.append_raw(data)
+        self.frame_num += 1
+
+    # -- output --------------------------------------------------------------
+
+    def getvalue(self) -> bytes:
+        return self.writer.getvalue()
+
+    def write_to_file(self, path) -> int:
+        data = self.getvalue()
+        Path(path).write_bytes(data)
+        return len(data)
+
+
+def open_donor_session(ref_a_path, ref_b_path, *,
+                       enable_pskip: bool = False) -> ComposerSession:
+    """composer_init equivalent (src/composer.c:127-222): load two donor
+    .h264 files, extract SPS/PPS/IDR, build dual configs, write nothing yet."""
+    a = _parse_reference_file(Path(ref_a_path).read_bytes())
+    b = _parse_reference_file(Path(ref_b_path).read_bytes())
+    if (a["sps"].width, a["sps"].height) != (b["sps"].width, b["sps"].height):
+        raise ValueError(
+            f"Reference frame dimensions don't match: "
+            f"{a['sps'].width}x{a['sps'].height} vs "
+            f"{b['sps'].width}x{b['sps'].height}")
+
+    sps, pps = a["sps"], a["pps"]
+    parse_cfg = ComposerConfig(sps.width, sps.height).with_sps_params(
+        sps.log2_max_frame_num, sps.pic_order_cnt_type,
+        sps.log2_max_pic_order_cnt_lsb,
+    ).with_pps_params(pps.num_ref_idx_l0_default_active_minus1,
+                      pps.deblocking_filter_control_present_flag)
+    # Write config: our own log2_max_frame_num=4 / poc_type=2, donor's
+    # deblocking flag preserved (src/composer.c:199-203).
+    write_cfg = ComposerConfig(sps.width, sps.height).with_sps_params(
+        4, 2, 4).with_pps_params(1, pps.deblocking_filter_control_present_flag)
+
+    session = ComposerSession(write_cfg, parse_cfg, enable_pskip=enable_pskip)
+    session._donor_a_rbsp = a["idr_rbsp"]
+    session._donor_b_rbsp = b["idr_rbsp"]
+    return session
+
+
+def open_two_idr_session(input_path, *,
+                         enable_pskip: bool = False) -> ComposerSession:
+    """Experiment-style donor ingest (scroll-encoder main.c:256-382): one
+    donor stream containing SPS + PPS + two IDR frames."""
+    data = Path(input_path).read_bytes()
+    sps = pps = None
+    idr_rbsps = []
+    for unit in parse.iter_nal_units(data):
+        if unit.nal_unit_type == 7 and sps is None:
+            sps = parse.parse_sps(unit.rbsp)
+        elif unit.nal_unit_type == 8 and pps is None:
+            pps = parse.parse_pps(unit.rbsp)
+        elif unit.nal_unit_type == 5 and len(idr_rbsps) < 2:
+            idr_rbsps.append(unit.rbsp)
+    if sps is None or pps is None:
+        raise ValueError("Input must contain SPS and PPS")
+    if len(idr_rbsps) < 2:
+        raise ValueError(
+            f"Input must contain 2 IDR frames (found {len(idr_rbsps)})")
+
+    parse_cfg = ComposerConfig(sps.width, sps.height).with_sps_params(
+        sps.log2_max_frame_num, sps.pic_order_cnt_type,
+        sps.log2_max_pic_order_cnt_lsb,
+    ).with_pps_params(pps.num_ref_idx_l0_default_active_minus1,
+                      pps.deblocking_filter_control_present_flag)
+    # Experiment write config: our SPS (log2_mfn=4, poc 2) and our PPS with
+    # deblocking control always present (main.c:358-360).
+    write_cfg = ComposerConfig(sps.width, sps.height).with_sps_params(
+        4, 2, 4).with_pps_params(1, 1)
+
+    session = ComposerSession(write_cfg, parse_cfg, enable_pskip=enable_pskip)
+    session._donor_a_rbsp = idr_rbsps[0]
+    session._donor_b_rbsp = idr_rbsps[1]
+    return session
+
+
+def _parse_reference_file(data: bytes) -> dict:
+    """parse_reference_file (src/composer.c:45-125): first SPS, PPS, IDR."""
+    out = {"sps": None, "pps": None, "idr_rbsp": None}
+    for unit in parse.iter_nal_units(data):
+        if unit.nal_unit_type == 7 and out["sps"] is None:
+            out["sps"] = parse.parse_sps(unit.rbsp)
+        elif unit.nal_unit_type == 8 and out["pps"] is None:
+            out["pps"] = parse.parse_pps(unit.rbsp)
+        elif unit.nal_unit_type == 5 and out["idr_rbsp"] is None:
+            out["idr_rbsp"] = unit.rbsp
+    missing = [k for k, v in out.items() if v is None]
+    if missing:
+        raise ValueError(f"Reference file missing {missing}")
+    return out

@@ -1,0 +1,77 @@
+"""Test configuration: force CPU with an 8-device virtual mesh.
+
+Multi-chip sharding is validated on virtual CPU devices (no multi-chip TPU
+hardware in CI); the real-chip benchmark path is exercised by bench.py.
+Must run before jax initializes its backends.
+"""
+
+import os
+import sys
+
+# Force CPU: the session environment pre-sets JAX_PLATFORMS=axon (real TPU
+# via a remote tunnel with remote compilation) — tests must not depend on it.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REFERENCE_DIR = Path("/root/reference")
+REF_BUILD_DIR = Path("/tmp/refbuild")
+
+
+def _build_reference_binaries() -> dict:
+    """Compile the C reference out-of-tree for differential testing.
+
+    The reference tree is read-only; binaries go to /tmp/refbuild.  Returns
+    {} if the reference sources are unavailable (tests then fall back to the
+    committed golden fixtures).
+    """
+    if not REFERENCE_DIR.is_dir():
+        return {}
+    REF_BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    targets = {
+        "composer": [
+            "gcc", "-O2", "-I", str(REFERENCE_DIR / "include"),
+            *sorted(str(p) for p in (REFERENCE_DIR / "src").glob("*.c")),
+            "-o", str(REF_BUILD_DIR / "composer"),
+        ],
+        "h264_scroll_encoder": [
+            "gcc", "-O2", "-I",
+            str(REFERENCE_DIR / "experiments/scroll-encoder/include"),
+            *sorted(str(p) for p in
+                    (REFERENCE_DIR / "experiments/scroll-encoder/src").glob("*.c")),
+            "-o", str(REF_BUILD_DIR / "h264_scroll_encoder"),
+        ],
+        "trans_resizer": [
+            "gcc", "-O2", "-I",
+            str(REFERENCE_DIR / "experiments/trans-resizer"),
+            str(REFERENCE_DIR / "experiments/trans-resizer/trans_resizer.c"),
+            str(REFERENCE_DIR / "experiments/trans-resizer/bitwriter.c"),
+            "-o", str(REF_BUILD_DIR / "trans_resizer"),
+        ],
+    }
+    out = {}
+    for name, cmd in targets.items():
+        exe = REF_BUILD_DIR / name
+        if not exe.exists():
+            r = subprocess.run(cmd, capture_output=True)
+            if r.returncode != 0:
+                continue
+        out[name] = exe
+    return out
+
+
+@pytest.fixture(scope="session")
+def ref_binaries():
+    bins = _build_reference_binaries()
+    if not bins:
+        pytest.skip("C reference unavailable for differential testing")
+    return bins

@@ -1,0 +1,94 @@
+"""Parallel packer vs serial BitWriter: bit-exact equivalence."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from h264_scroll_encoder_tpu.ops import bitpack, bitio
+
+
+def serial_pack(patterns, nbits):
+    bw = bitio.BitWriter()
+    for p, n in zip(patterns, nbits):
+        if n:
+            bw.write_bits(int(p), int(n))
+    return bw.getvalue(), bw.bit_position
+
+
+_PACK_SLOTS = 512
+_PACK_BYTES = 4096
+
+
+@jax.jit
+def _packer(patterns, nbits):
+    return bitpack.pack_bytes(patterns, nbits, _PACK_BYTES)
+
+
+def run_pack(patterns, nbits):
+    """Pack via a fixed-shape jitted packer (extra slots have nbits=0)."""
+    assert len(patterns) <= _PACK_SLOTS
+    p = np.zeros(_PACK_SLOTS, np.uint32)
+    n = np.zeros(_PACK_SLOTS, np.int32)
+    p[: len(patterns)] = np.asarray(patterns, np.uint64).astype(np.uint32)
+    n[: len(nbits)] = nbits
+    got_bytes, got_total = _packer(jnp.asarray(p), jnp.asarray(n))
+    return np.asarray(got_bytes), int(got_total)
+
+
+def test_simple_sequence():
+    patterns = [0b1, 0b010, 0b1111, 0xFF, 0]
+    nbits = [1, 3, 4, 8, 0]
+    exp, exp_total = serial_pack(patterns, nbits)
+    got, total = run_pack(patterns, nbits)
+    assert total == exp_total
+    assert bytes(got[: (total + 7) // 8]) == exp
+
+
+def test_word_straddling():
+    # Symbols engineered to straddle 32-bit word boundaries.
+    patterns = [0x1FFFFFFF, 0x3, 0xFFFFFFFF, 0x1, 0x7FFF]
+    nbits = [29, 2, 32, 1, 15]
+    exp, exp_total = serial_pack(patterns, nbits)
+    got, total = run_pack(patterns, nbits)
+    assert total == exp_total
+    assert bytes(got[: (total + 7) // 8]) == exp
+
+
+def test_fuzz_vs_serial():
+    rng = np.random.default_rng(1234)
+    for trial in range(20):
+        n = int(rng.integers(1, 400))
+        nbits = rng.integers(0, 33, n)
+        patterns = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        # Mask patterns to nbits (the packer also enforces this).
+        masked = [
+            int(p) & ((1 << int(b)) - 1 if b < 32 else 0xFFFFFFFF)
+            for p, b in zip(patterns, nbits)
+        ]
+        exp, exp_total = serial_pack(masked, nbits)
+        got, total = run_pack(patterns, nbits)
+        assert total == exp_total, f"trial {trial}"
+        assert bytes(got[: (total + 7) // 8]) == exp, f"trial {trial}"
+
+
+def test_trailing_bits_symbol():
+    for pre_bits in range(0, 40):
+        pat, n = bitpack.trailing_bits_symbol(jnp.int32(pre_bits))
+        total = pre_bits + int(n)
+        assert total % 8 == 0
+        assert int(n) >= 1 and int(n) <= 8
+        # Stop bit is the MSB of the symbol.
+        assert int(pat) == 1 << (int(n) - 1)
+
+
+def test_pack_under_jit_and_vmap():
+    def f(patterns, nbits):
+        return bitpack.pack_bytes(patterns, nbits, 64)
+
+    patterns = jnp.asarray([[1, 2, 3, 0xFF]] * 3, jnp.uint32)
+    nbits = jnp.asarray([[1, 3, 4, 8]] * 3, jnp.int32)
+    got_b, got_t = jax.jit(jax.vmap(f))(patterns, nbits)
+    exp, exp_total = serial_pack([1, 2, 3, 0xFF], [1, 3, 4, 8])
+    for i in range(3):
+        assert int(got_t[i]) == exp_total
+        assert bytes(np.asarray(got_b[i])[: (exp_total + 7) // 8]) == exp

@@ -1,0 +1,109 @@
+"""Emulation-prevention stencil vs the serial reference automaton."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from h264_scroll_encoder_tpu.ops import ebsp
+
+
+def serial_rbsp_to_ebsp(rbsp):
+    """Faithful model of the reference automaton (src/nal.c:24-50)."""
+    out = bytearray()
+    zero_count = 0
+    for byte in rbsp:
+        if zero_count >= 2 and byte <= 0x03:
+            out.append(0x03)
+            zero_count = 0
+        out.append(byte)
+        zero_count = zero_count + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+def serial_ebsp_to_rbsp(data):
+    """Faithful model of the parser automaton (src/nal_parser.c:67-88)."""
+    out = bytearray()
+    zero_count = 0
+    i = 0
+    while i < len(data):
+        if (zero_count >= 2 and data[i] == 0x03 and i + 1 < len(data)
+                and data[i + 1] <= 0x03):
+            zero_count = 0
+            i += 1
+            continue
+        out.append(data[i])
+        zero_count = zero_count + 1 if data[i] == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+CASES = [
+    b"",
+    b"\x00",
+    b"\x00\x00",
+    b"\x00\x00\x00",
+    b"\x00\x00\x01",
+    b"\x00\x00\x02",
+    b"\x00\x00\x03",
+    b"\x00\x00\x04",
+    b"\x00\x00\x00\x00",
+    b"\x00\x00\x00\x00\x00",
+    b"\x00\x00\x00\x00\x00\x00\x01",
+    b"\x00\x00\x00\x01\x00\x00\x02",
+    b"\x01\x00\x00\x03\x00\x00",
+    b"\xff\x00\x00\x00\xff\x00\x00\x01",
+]
+
+
+def test_known_cases_numpy():
+    for case in CASES:
+        arr = np.frombuffer(case, np.uint8)
+        got = ebsp.rbsp_to_ebsp_np(arr).tobytes()
+        assert got == serial_rbsp_to_ebsp(case), case.hex()
+
+
+def test_roundtrip_and_fuzz_numpy():
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        n = int(rng.integers(0, 400))
+        # Heavily biased toward zeros and small bytes to hit the automaton.
+        raw = rng.choice(
+            np.array([0, 0, 0, 1, 2, 3, 4, 0xFF], np.uint8), size=n)
+        exp = serial_rbsp_to_ebsp(bytes(raw))
+        got = ebsp.rbsp_to_ebsp_np(raw).tobytes()
+        assert got == exp, f"trial {trial}"
+        # Round-trip back.
+        back = ebsp.ebsp_to_rbsp_np(np.frombuffer(got, np.uint8)).tobytes()
+        assert back == bytes(raw), f"roundtrip trial {trial}"
+
+
+def test_ebsp_to_rbsp_fuzz_numpy():
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        n = int(rng.integers(0, 300))
+        raw = rng.choice(
+            np.array([0, 0, 1, 2, 3, 3, 4, 0xFF], np.uint8), size=n)
+        exp = serial_ebsp_to_rbsp(bytes(raw))
+        got = ebsp.ebsp_to_rbsp_np(raw).tobytes()
+        assert got == exp, f"trial {trial}"
+
+
+def test_jit_versions_match_numpy():
+    rng = np.random.default_rng(5)
+    max_in, max_out = 512, 1024
+    f_ins = jax.jit(lambda b, n: ebsp.rbsp_to_ebsp(b, n, max_out))
+    f_del = jax.jit(lambda b, n: ebsp.ebsp_to_rbsp(b, n, max_out))
+    for trial in range(10):
+        n = int(rng.integers(0, max_in))
+        raw = rng.choice(np.array([0, 0, 0, 1, 3, 0xFF], np.uint8), size=n)
+        padded = np.zeros(max_in, np.uint8)
+        padded[:n] = raw
+        out, out_len = f_ins(jnp.asarray(padded), jnp.int32(n))
+        exp = ebsp.rbsp_to_ebsp_np(raw)
+        assert int(out_len) == exp.size
+        assert np.asarray(out)[: exp.size].tobytes() == exp.tobytes()
+
+        out2, out2_len = f_del(jnp.asarray(padded), jnp.int32(n))
+        exp2 = ebsp.ebsp_to_rbsp_np(raw)
+        assert int(out2_len) == exp2.size
+        assert np.asarray(out2)[: exp2.size].tobytes() == exp2.tobytes()
