@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main() -> None:
+    from h264_scroll_encoder_tpu.utils import jaxcache
+    jaxcache.enable()
+
     import jax
     import jax.numpy as jnp
 
@@ -40,17 +43,23 @@ def main() -> None:
 
     run = jax.jit(lambda s, o: batch.run_frames(cfg, s, o))
 
-    # Warm up / compile.
+    # Warm up / compile.  NOTE: block_until_ready is unreliable on the
+    # tunneled axon platform — a host fetch (np.asarray) is the only
+    # trustworthy completion barrier, so all timing ends with one.
     s1, out = run(state, offsets)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[3])
 
-    # Timed: several scan invocations.
+    # Timed: several scan invocations chained through state; the final
+    # host fetch of a value depending on every rep closes the region.
     n_reps = 8
     t0 = time.perf_counter()
     s = state
+    acc = None
     for _ in range(n_reps):
         s, out = run(s, offsets)
-    jax.block_until_ready(out)
+        chk = out[3].sum(dtype=jnp.uint32)
+        acc = chk if acc is None else acc + chk
+    _ = int(acc)  # device->host: forces completion of the whole chain
     t1 = time.perf_counter()
 
     total_frames = n_reps * frames_per_scan * batch_size

@@ -1,0 +1,352 @@
+"""Bitstream surgery: padding transcode and dynamic-rect splice.
+
+Two capabilities on top of the MB transcode layer:
+
+1. `transcode_pad_stream` — the trans-resizer equivalent
+   (experiments/trans-resizer/trans_resizer.c:1787-2156): re-emit a CAVLC
+   stream at a wider geometry by appending padding macroblocks at the end
+   of each row (I-slices: I_PCM with the edge-compatibility hack
+   :213-265; P-slices: skip runs re-stitched across rows :1473-1551),
+   with regenerated SPS/PPS and transcoded slice headers.
+
+2. `splice_p_frame` — the dynamic-rect splice the reference *specifies*
+   (docs/MASTER_DESIGN.md §6 stitch algorithm) but never implemented in
+   its main tree: compose a P-frame where motion-only regions are
+   MV/P_Skip macroblocks referencing the long-term atlases and a donor
+   encoder's pre-encoded macroblocks are embedded at an arbitrary
+   MB-aligned rectangle, with nC-context repair (coeff_token re-encoded
+   under the output-geometry nC) and skip-run stitching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import ComposerConfig
+from ..ops import cavlc
+from ..ops.bitio import BitReader, BitWriter
+from ..syntax import parse
+from ..syntax.nal import AnnexBWriter
+from ..syntax.params import generate_pps, generate_sps
+from . import mb_transcode as mbt
+
+
+# ---------------------------------------------------------------------------
+# I_PCM padding macroblocks (trans_resizer.c:213-270).
+# ---------------------------------------------------------------------------
+
+def ipcm_padding_mb(edge_y: int = 16, first_padding: bool = False
+                    ) -> mbt.Macroblock:
+    """Black I_PCM padding MB; the first one after original content gets
+    edge-compatible samples (bottom row + left columns approach `edge_y`)
+    so the next row's intra prediction sees plausible top-right samples."""
+    y = np.full((16, 16), 16, np.uint8)
+    if first_padding:
+        y[15, :] = edge_y
+        y[:, 0] = edge_y
+        for col in range(1, 4):
+            y[:15, col] = (16 * col + edge_y * (4 - col)) // 4
+        y[15, :] = edge_y  # bottom row wins over the gradient
+    samples = np.concatenate([
+        y.reshape(-1),
+        np.full(64, 128, np.uint8),
+        np.full(64, 128, np.uint8),
+    ]).tobytes()
+    return mbt.Macroblock(kind="ipcm", mb_type=25, ipcm_samples=samples)
+
+
+# ---------------------------------------------------------------------------
+# Slice header transcode (trans_resizer.c:1985-2114).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SliceHeaderInfo:
+    first_mb: int
+    slice_type_raw: int
+    pps_id: int
+    frame_num: int
+    idr_pic_id: int
+    num_ref_idx_l0: int
+    num_ref_idx_override: int
+    qp_delta: int
+    disable_deblock: int
+    alpha_offset: int
+    beta_offset: int
+    is_idr: bool
+    nal_ref_idc: int
+
+    @property
+    def slice_type(self) -> int:
+        return self.slice_type_raw % 5
+
+    @property
+    def is_i(self) -> bool:
+        return self.slice_type == 2
+
+    @property
+    def is_p(self) -> bool:
+        return self.slice_type == 0
+
+
+def parse_slice_header(br: BitReader, *, is_idr: bool, nal_ref_idc: int,
+                       log2_max_frame_num: int,
+                       pps_num_ref_idx_l0_default: int) -> SliceHeaderInfo:
+    first_mb = br.read_ue()
+    slice_type_raw = br.read_ue()
+    pps_id = br.read_ue()
+    frame_num = br.read_bits(log2_max_frame_num)
+    idr_pic_id = br.read_ue() if is_idr else 0
+    # poc type 2: no POC fields.
+
+    slice_type = slice_type_raw % 5
+    num_ref_idx_l0 = pps_num_ref_idx_l0_default
+    override = 0
+    if slice_type == 0:  # P
+        override = br.read_bit()
+        if override:
+            num_ref_idx_l0 = br.read_ue() + 1
+        if br.read_bit():  # ref_pic_list_modification_flag_l0
+            while True:
+                idc = br.read_ue()
+                if idc == 3:
+                    break
+                br.read_ue()  # abs_diff_pic_num_minus1 / long_term_pic_num
+
+    if is_idr:
+        br.read_bit()  # no_output_of_prior_pics_flag
+        br.read_bit()  # long_term_reference_flag
+    elif nal_ref_idc != 0:
+        if br.read_bit():  # adaptive_ref_pic_marking_mode_flag
+            while True:
+                op = br.read_ue()
+                if op == 0:
+                    break
+                if op in (1, 3):
+                    br.read_ue()
+                if op == 2:
+                    br.read_ue()
+                if op in (3, 6):
+                    br.read_ue()
+                if op == 4:
+                    br.read_ue()
+
+    qp_delta = br.read_se()
+    disable_deblock = br.read_ue()
+    alpha = beta = 0
+    if disable_deblock != 1:
+        alpha = br.read_se()
+        beta = br.read_se()
+    return SliceHeaderInfo(first_mb, slice_type_raw, pps_id, frame_num,
+                           idr_pic_id, num_ref_idx_l0, override, qp_delta,
+                           disable_deblock, alpha, beta, is_idr, nal_ref_idc)
+
+
+def write_transcoded_slice_header(bw: BitWriter, h: SliceHeaderInfo,
+                                  log2_max_frame_num: int = 4) -> None:
+    """Rewrite the header for the padded geometry: ref-list modification
+    dropped, dec_ref_pic_marking reduced to sliding-window
+    (trans_resizer.c:2077-2114)."""
+    bw.write_ue(h.first_mb)
+    bw.write_ue(h.slice_type_raw)
+    bw.write_ue(h.pps_id)
+    bw.write_bits(h.frame_num, log2_max_frame_num)
+    if h.is_idr:
+        bw.write_ue(h.idr_pic_id)
+    if h.is_p:
+        bw.write_bit(h.num_ref_idx_override)
+        if h.num_ref_idx_override:
+            bw.write_ue(h.num_ref_idx_l0 - 1)
+        bw.write_bit(0)  # ref_pic_list_modification_flag_l0 = 0
+    if h.is_idr:
+        bw.write_bit(0)  # no_output_of_prior_pics_flag
+        bw.write_bit(0)  # long_term_reference_flag
+    elif h.nal_ref_idc != 0:
+        bw.write_bit(0)  # sliding window
+    bw.write_se(h.qp_delta)
+    bw.write_ue(h.disable_deblock)
+    if h.disable_deblock != 1:
+        bw.write_se(h.alpha_offset)
+        bw.write_se(h.beta_offset)
+
+
+# ---------------------------------------------------------------------------
+# Padding transcode (trans-resizer equivalent, geometry generalized).
+# ---------------------------------------------------------------------------
+
+def transcode_pad_stream(data: bytes, out_width: int, out_height: int, *,
+                         edge_y: int = 235, level_idc: int = 30,
+                         bug_compat: bool = False) -> bytes:
+    """Widen a CAVLC stream by appending padding MBs at each row's end.
+
+    Behavior-parity with the reference trans_resizer at its hardwired
+    320x320 -> 720x320 geometry; arbitrary MB-aligned out sizes accepted
+    (out rows must equal input rows; out cols >= input cols).
+
+    bug_compat=True reproduces the reference's duplicated final skip run
+    (see mb_transcode.emit_p_slice_mbs) for byte-level differential
+    testing; the default emits the corrected stream.
+    """
+    sps = pps = None
+    for unit in parse.iter_nal_units(data):
+        if unit.nal_unit_type == 7 and sps is None:
+            sps = parse.parse_sps(unit.rbsp)
+        elif unit.nal_unit_type == 8 and pps is None:
+            pps = parse.parse_pps(unit.rbsp)
+    if sps is None or pps is None:
+        raise ValueError("input stream missing SPS/PPS")
+
+    in_mbw, in_mbh = sps.width // 16, sps.height // 16
+    out_mbw, out_mbh = out_width // 16, out_height // 16
+    if out_mbh != in_mbh or out_mbw < in_mbw:
+        raise ValueError("padding transcode only widens rows")
+    pad = out_mbw - in_mbw
+
+    out = AnnexBWriter()
+    num_ref_default = pps.num_ref_idx_l0_default_active_minus1 + 1
+    out.write_nal_unit(
+        generate_sps(out_width, out_height, level_idc=level_idc,
+                     max_num_ref_frames=num_ref_default,
+                     log2_max_frame_num=4),
+        3, 7)
+    out.write_nal_unit(
+        generate_pps(
+            num_ref_idx_l0_default_active_minus1=(
+                pps.num_ref_idx_l0_default_active_minus1),
+            pic_init_qp_minus26=pps.pic_init_qp_minus26,
+            chroma_qp_index_offset=pps.chroma_qp_index_offset),
+        3, 8)
+
+    for unit in parse.iter_nal_units(data):
+        if unit.nal_unit_type not in (1, 5):
+            continue
+        br = BitReader(unit.rbsp)
+        hdr = parse_slice_header(
+            br, is_idr=(unit.nal_unit_type == 5),
+            nal_ref_idc=unit.nal_ref_idc,
+            log2_max_frame_num=sps.log2_max_frame_num,
+            pps_num_ref_idx_l0_default=num_ref_default)
+
+        bw = BitWriter()
+        write_transcoded_slice_header(bw, hdr)
+
+        if hdr.is_i:
+            grid = mbt.parse_i_slice_mbs(br, in_mbw, in_mbh)
+            out_grid = [
+                row + [ipcm_padding_mb(edge_y, first_padding=(p == 0))
+                       for p in range(pad)]
+                for row in grid]
+            mbt.emit_i_slice_mbs(bw, out_grid)
+        elif hdr.is_p:
+            grid = mbt.parse_p_slice_mbs(br, in_mbw, in_mbh,
+                                         hdr.num_ref_idx_l0)
+            out_grid = [row + [mbt.SKIP] * pad for row in grid]
+            dup = bug_compat and grid[-1][-1] is mbt.SKIP
+            mbt.emit_p_slice_mbs(bw, out_grid, hdr.num_ref_idx_l0,
+                                 duplicate_final_skip=dup)
+        else:
+            raise ValueError(f"unsupported slice type {hdr.slice_type}")
+
+        bw.write_trailing_bits()
+        out.write_nal_unit(bw.getvalue(), unit.nal_ref_idc,
+                           unit.nal_unit_type)
+
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-rect splice (MASTER_DESIGN §6 — new capability).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MotionRegion:
+    """A motion-only rectangle (MB units) referencing an atlas.
+
+    mv is in pixels; emitted as P_L0_16x16 with ref_idx into the slice's
+    reference list (0 = atlas A, 1 = atlas B, 2+ = waypoints).
+    """
+    mb_x0: int
+    mb_y0: int
+    mb_x1: int     # exclusive
+    mb_y1: int
+    ref_idx: int = 0
+    mv_x: int = 0
+    mv_y: int = 0
+
+
+@dataclasses.dataclass
+class FrameHints:
+    """Per-frame UI hints (MASTER_DESIGN §5): motion regions + the dynamic
+    rectangle where donor macroblocks are embedded.  The dynamic rect
+    overrides motion regions underneath (§10 occlusion)."""
+    motion_regions: tuple = ()
+    dynamic_mb_x: int = 0
+    dynamic_mb_y: int = 0
+
+
+def align_dynamic_rect(x: int, y: int, w: int, h: int,
+                       margin: int = 16) -> tuple:
+    """MASTER_DESIGN §7.1: expand by margin, align to 16-px boundaries.
+    Returns (x0, y0, x1, y1) in pixels."""
+    x0 = (x - margin) // 16 * 16
+    y0 = (y - margin) // 16 * 16
+    x1 = -(-(x + w + margin) // 16) * 16
+    y1 = -(-(y + h + margin) // 16) * 16
+    return max(0, x0), max(0, y0), x1, y1
+
+
+def splice_p_frame(cfg: ComposerConfig, hints: FrameHints,
+                   donor_grid: list | None,
+                   num_ref_idx_l0: int) -> list:
+    """Compose the MB grid for a spliced P-frame (no bit emission yet).
+
+    Background MBs become P_Skip; motion regions become P_L0_16x16 with
+    the hinted (ref, mv); donor macroblocks land at the dynamic rect
+    (intra donor MBs are retyped for the P-slice taxonomy).  The emitter
+    (mb_transcode.emit_p_slice_mbs) then handles nC repair and skip runs.
+
+    NOTE: P_Skip background requires the skip-derived MV (0,0 w/ ref 0)
+    to show the right content — i.e. a static background referencing
+    atlas slot 0, the MASTER_DESIGN "static chrome" case.  Scroll-style
+    backgrounds use models/scroll.py instead.
+    """
+    mbw, mbh = cfg.mb_width, cfg.mb_height
+    grid = [[mbt.SKIP] * mbw for _ in range(mbh)]
+
+    for region in hints.motion_regions:
+        for y in range(region.mb_y0, min(region.mb_y1, mbh)):
+            for x in range(region.mb_x0, min(region.mb_x1, mbw)):
+                grid[y][x] = mbt.Macroblock(
+                    kind="inter", mb_type=0,
+                    ref_idx=(region.ref_idx,) if num_ref_idx_l0 > 1 else (),
+                    mvds=((region.mv_x * 4, region.mv_y * 4),), cbp=0)
+
+    if donor_grid is not None:
+        dy, dx = hints.dynamic_mb_y, hints.dynamic_mb_x
+        for r, row in enumerate(donor_grid):
+            for c, mb in enumerate(row):
+                if dy + r >= mbh or dx + c >= mbw:
+                    raise ValueError("dynamic rect exceeds frame")
+                if mb is mbt.SKIP:
+                    grid[dy + r][dx + c] = mbt.SKIP
+                elif mb.kind in ("i4x4", "i16x16", "ipcm"):
+                    grid[dy + r][dx + c] = mbt.retype_for_p(mb)
+                else:
+                    grid[dy + r][dx + c] = mb
+    return grid
+
+
+def resolve_mvds_for_grid(grid: list) -> list:
+    """Fix up mvd values for hint-generated P_L0_16x16 MBs so each one's
+    *actual* MV equals its hinted MV under H.264 median prediction.
+
+    Hint MBs carry their desired MV in `mvds` (set by splice_p_frame as
+    mv*4); this pass converts them to true deltas using the same
+    prediction rules as the scroll kernel, with skipped MBs contributing
+    their decoder-derived MV.  Donor inter MBs keep their original mvds
+    (their prediction context inside the rect is self-consistent; the
+    rect boundary is the caller's responsibility via margins,
+    MASTER_DESIGN §7.1)."""
+    raise NotImplementedError(
+        "host-side mvd resolution lands with the device splice kernel")

@@ -79,7 +79,10 @@ class BitWriter:
     def write_bytes_aligned(self, data) -> None:
         """Bulk byte append; writer must be byte-aligned."""
         assert self._nbits == 0, "write_bytes_aligned requires alignment"
-        self._bytes += bytes(np.asarray(data, np.uint8).tobytes())
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            self._bytes += bytes(data)
+        else:
+            self._bytes += np.asarray(data, np.uint8).tobytes()
 
     # -- queries ------------------------------------------------------------
     @property
