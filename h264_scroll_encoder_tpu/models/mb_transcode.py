@@ -48,6 +48,8 @@ class Macroblock:
     qp_delta: int | None = None
     ipcm_samples: bytes = b""
     i16_idx: int = -1             # I_16x16 geometry index (0..23)
+    hint_mv: tuple | None = None  # desired (mvx,mvy) qpel; resolved by
+                                  # mv_field.decode_p_slice_mv_field
     # residual: luma DC (I_16x16), 16 luma 4x4 (raster order), chroma
     luma_dc: ResidualBlock | None = None
     luma: tuple = dataclasses.field(
@@ -232,7 +234,8 @@ def _parse_inter_mb(br, mb_type: int, num_ref_idx_l0: int, tracker, col):
         n_refs = 4 if mb_type == 3 else num_partitions
         max_ref = num_ref_idx_l0 - 1
         if max_ref == 1:
-            ref_idx = tuple(br.read_bit() for _ in range(n_refs))
+            # te(1): single *inverted* bit (H.264 9.1.1) — store semantic.
+            ref_idx = tuple(1 - br.read_bit() for _ in range(n_refs))
         else:
             ref_idx = tuple(br.read_ue() for _ in range(n_refs))
 
@@ -378,7 +381,7 @@ def emit_mb(bw: BitWriter, mb: Macroblock, tracker: _CtxTracker, col: int,
             max_ref = num_ref_idx_l0 - 1
             for r in mb.ref_idx:
                 if max_ref == 1:
-                    bw.write_bit(r)
+                    bw.write_bit(1 - (r & 1))  # te(1) inverted bit
                 else:
                     bw.write_ue(r)
         for mvd_x, mvd_y in mb.mvds:

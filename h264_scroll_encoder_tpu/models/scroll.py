@@ -176,21 +176,21 @@ def mv_pred_grid(ref, mv_x, mv_y):
                + match_c.astype(jnp.int32))
 
     def pick(vx_a, vx_b, vx_c):
-        # num_available == 1: the single available neighbor, zero if its
-        # ref doesn't match.
-        only = jnp.where(
-            avail_a, jnp.where(match_a, vx_a, 0),
-            jnp.where(avail_b, jnp.where(match_b, vx_b, 0),
-                      jnp.where(match_c, vx_c, 0)))
-        # exactly one ref match: that neighbor's MV.
+        # Spec rule 1 (8.4.1.3.1): B and C unavailable, A available ->
+        # mvA unconditionally.  (The C reference instead zeroes mvA when
+        # A's ref mismatches, src/h264_writer.c:407-417 — unreachable for
+        # its scroll pattern since rows are ref-uniform, so byte parity
+        # is unaffected; we keep the spec rule for general compositions.)
+        only_a = avail_a & ~avail_b & ~avail_c
+        # Degenerate single-B / single-C cases (1-MB-wide frames): the
+        # match/median rules below cover them identically to the C code.
         one_match = jnp.where(match_a, vx_a, jnp.where(match_b, vx_b, vx_c))
-        # median with unavailable -> 0.
         med = _median3(jnp.where(avail_a, vx_a, 0),
                        jnp.where(avail_b, vx_b, 0),
                        jnp.where(avail_c, vx_c, 0))
         return jnp.where(
             n_avail == 0, 0,
-            jnp.where(n_avail == 1, only,
+            jnp.where(only_a, vx_a,
                       jnp.where(n_match == 1, one_match, med)))
 
     return pick(mvx_a, mvx_b, mvx_c), pick(mvy_a, mvy_b, mvy_c)
@@ -254,17 +254,14 @@ def _mv_pred_for_ref0(ref, mv_x, mv_y):
                + match_c.astype(jnp.int32))
 
     def pick(vx_a, vx_b, vx_c):
-        only = jnp.where(
-            avail_a, jnp.where(match_a, vx_a, 0),
-            jnp.where(avail_b, jnp.where(match_b, vx_b, 0),
-                      jnp.where(match_c, vx_c, 0)))
+        only_a = avail_a & ~avail_b & ~avail_c  # spec rule: pred = mvA
         one_match = jnp.where(match_a, vx_a, jnp.where(match_b, vx_b, vx_c))
         med = _median3(jnp.where(avail_a, vx_a, 0),
                        jnp.where(avail_b, vx_b, 0),
                        jnp.where(avail_c, vx_c, 0))
         return jnp.where(
             n_avail == 0, 0,
-            jnp.where(n_avail == 1, only,
+            jnp.where(only_a, vx_a,
                       jnp.where(n_match == 1, one_match, med)))
 
     return pick(mvx_a, mvx_b, mvx_c), pick(mvy_a, mvy_b, mvy_c)

@@ -296,9 +296,38 @@ def align_dynamic_rect(x: int, y: int, w: int, h: int,
     return max(0, x0), max(0, y0), x1, y1
 
 
+def _map_donor_refs(mb: mbt.Macroblock, ref_map: tuple,
+                    num_ref_idx_l0: int) -> mbt.Macroblock:
+    """Re-target a donor inter MB's reference indices into the composite
+    slice's reference list.
+
+    Donor streams are encoded with their own (usually single-entry) list;
+    in the composite, `ref_map[donor_ref]` names the slot (e.g. a
+    dedicated long-term atlas holding the previous dynamic region).  A
+    donor that wrote no ref bits (1-ref stream, or P_8x8ref0) implies
+    donor ref 0 everywhere; P_8x8ref0 must be rewritten to P_8x8 when the
+    mapped ref is nonzero since ref0 is hardwired in its grammar."""
+    if mb.kind != "inter":
+        return mb
+    if mb.mb_type == 4 and ref_map[0] != 0:
+        return dataclasses.replace(mb, mb_type=3,
+                                   ref_idx=(ref_map[0],) * 4)
+    if num_ref_idx_l0 <= 1:
+        return dataclasses.replace(mb, ref_idx=())
+    n_parts = 1 if mb.mb_type == 0 else (2 if mb.mb_type <= 2 else 4)
+    if mb.mb_type == 4:
+        return mb
+    if not mb.ref_idx:
+        refs = (ref_map[0],) * n_parts
+    else:
+        refs = tuple(ref_map[r] for r in mb.ref_idx)
+    return dataclasses.replace(mb, ref_idx=refs)
+
+
 def splice_p_frame(cfg: ComposerConfig, hints: FrameHints,
                    donor_grid: list | None,
-                   num_ref_idx_l0: int) -> list:
+                   num_ref_idx_l0: int,
+                   donor_ref_map: tuple = (0,)) -> list:
     """Compose the MB grid for a spliced P-frame (no bit emission yet).
 
     Background MBs become P_Skip; motion regions become P_L0_16x16 with
@@ -320,7 +349,8 @@ def splice_p_frame(cfg: ComposerConfig, hints: FrameHints,
                 grid[y][x] = mbt.Macroblock(
                     kind="inter", mb_type=0,
                     ref_idx=(region.ref_idx,) if num_ref_idx_l0 > 1 else (),
-                    mvds=((region.mv_x * 4, region.mv_y * 4),), cbp=0)
+                    mvds=((0, 0),), cbp=0,
+                    hint_mv=(region.mv_x * 4, region.mv_y * 4))
 
     if donor_grid is not None:
         dy, dx = hints.dynamic_mb_y, hints.dynamic_mb_x
@@ -329,24 +359,44 @@ def splice_p_frame(cfg: ComposerConfig, hints: FrameHints,
                 if dy + r >= mbh or dx + c >= mbw:
                     raise ValueError("dynamic rect exceeds frame")
                 if mb is mbt.SKIP:
-                    grid[dy + r][dx + c] = mbt.SKIP
+                    if donor_ref_map[0] == 0:
+                        grid[dy + r][dx + c] = mbt.SKIP
+                    else:
+                        # P_Skip is hardwired to composite ref 0; a donor
+                        # skip means "ref donor-prev, MV 0", so re-target
+                        # it explicitly when the map moves donor ref 0.
+                        grid[dy + r][dx + c] = mbt.Macroblock(
+                            kind="inter", mb_type=0,
+                            ref_idx=(donor_ref_map[0],)
+                            if num_ref_idx_l0 > 1 else (),
+                            mvds=((0, 0),), cbp=0, hint_mv=(0, 0))
                 elif mb.kind in ("i4x4", "i16x16", "ipcm"):
                     grid[dy + r][dx + c] = mbt.retype_for_p(mb)
                 else:
-                    grid[dy + r][dx + c] = mb
+                    grid[dy + r][dx + c] = _map_donor_refs(
+                        mb, donor_ref_map, num_ref_idx_l0)
     return grid
 
 
-def resolve_mvds_for_grid(grid: list) -> list:
-    """Fix up mvd values for hint-generated P_L0_16x16 MBs so each one's
-    *actual* MV equals its hinted MV under H.264 median prediction.
+def finalize_spliced_frame(cfg: ComposerConfig, grid: list,
+                           num_ref_idx_l0: int,
+                           hdr_writer) -> bytes:
+    """Resolve hint mvds against the real decode-order prediction context
+    (models/mv_field), optionally convert newly-unskippable MBs, then emit
+    the slice payload.
 
-    Hint MBs carry their desired MV in `mvds` (set by splice_p_frame as
-    mv*4); this pass converts them to true deltas using the same
-    prediction rules as the scroll kernel, with skipped MBs contributing
-    their decoder-derived MV.  Donor inter MBs keep their original mvds
-    (their prediction context inside the rect is self-consistent; the
-    rect boundary is the caller's responsibility via margins,
-    MASTER_DESIGN §7.1)."""
-    raise NotImplementedError(
-        "host-side mvd resolution lands with the device splice kernel")
+    Hint MBs whose desired MV is reachable as P_Skip stay explicit here —
+    callers wanting maximal compression pre-mark them SKIP; the MV-field
+    pass verifies skip-derived MVs match desired content either way.
+    Donor MBs keep their original mvds (self-consistent inside the rect;
+    the margin ring absorbs boundary prediction drift, MASTER_DESIGN
+    §7.1)."""
+    from .mv_field import decode_p_slice_mv_field
+
+    decode_p_slice_mv_field(grid, cfg.mb_width, cfg.mb_height)
+
+    bw = BitWriter()
+    hdr_writer(bw)
+    mbt.emit_p_slice_mbs(bw, grid, num_ref_idx_l0)
+    bw.write_trailing_bits()
+    return bw.getvalue()
