@@ -63,6 +63,14 @@ class ComposerConfig:
 
     idr_pic_id: int = 0
 
+    # Per-frame RBSP capacity budget in bits per macroblock.  The absolute
+    # worst case is ~88 (max-magnitude mvds everywhere); real scroll/splice
+    # frames run ~7-16.  Frames exceeding the budget set an overflow flag
+    # (callers raise / fall back) rather than corrupting memory.  Smaller
+    # budgets shrink every downstream buffer (pack, emulation prevention,
+    # NAL) proportionally — the HBM-bandwidth lever.
+    rbsp_bits_per_mb: int = 32
+
     def __post_init__(self):
         if self.width % 16 or self.height % 16:
             raise ValueError("width/height must be multiples of 16")

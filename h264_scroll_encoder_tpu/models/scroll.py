@@ -36,13 +36,15 @@ from ..config import ComposerConfig, MAX_WAYPOINTS, MV_LIMIT_PX
 from ..ops import bitpack, ebsp, expgolomb
 from ..syntax.slice_headers import P_HEADER_SLOTS, p_slice_header_symbols
 
-# Worst-case bits per macroblock: skip-run ue(<=3600) 23 + mb_type 1 +
-# ref te/ue 7 + two mvd se(<=3968 qpel) 25+25 + cbp 1 < 88.
+# Absolute worst-case bits per macroblock: skip-run ue(<=3600) 23 +
+# mb_type 1 + ref te/ue 7 + two mvd se(<=3968 qpel) 25+25 + cbp 1 < 88.
+# The working buffer budget comes from cfg.rbsp_bits_per_mb (overflow is
+# detected, not silently truncated).
 _MAX_MB_BITS = 88
 
 
 def max_rbsp_bytes(cfg: ComposerConfig) -> int:
-    n = (cfg.total_mbs * _MAX_MB_BITS // 8) + 96
+    n = (cfg.total_mbs * cfg.rbsp_bits_per_mb // 8) + 96
     return (n + 3) // 4 * 4
 
 
@@ -302,8 +304,11 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
         [jnp.full((1,), -1, jnp.int32), last_coded_incl[:-1]])
     skip_run = idx - last_coded_before - 1
 
-    # Per-MB symbol slots: [skip_run ue | mb_type ue(0) | ref te |
-    #                       mvd_x se | mvd_y se | cbp ue(0)]
+    # Per-MB syntax: [skip_run ue | mb_type ue(0) | ref te | mvd_x se |
+    # mvd_y se | cbp ue(0)], merged into 3 symbols per MB to shrink both
+    # the symbol count and the packer's per-word contributor window:
+    #   A = skip_run||mb_type||ref (<=31 bits), B = mvd_x (<=25),
+    #   C = mvd_y||cbp (<=26).
     sr_pat, sr_n = expgolomb.ue(skip_run.astype(jnp.uint32))
     mbt_pat, mbt_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
     ref_pat, ref_n = expgolomb.te(ref_f.astype(jnp.uint32), num_refs)
@@ -311,12 +316,17 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     mvy_pat, mvy_n = expgolomb.se(mvd_y)
     cbp_pat, cbp_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
 
+    a_pat, a_n = bitpack.merge_symbol_pairs(sr_pat, sr_n, mbt_pat, mbt_n)
+    a_pat, a_n = bitpack.merge_symbol_pairs(a_pat, a_n, ref_pat, ref_n)
+    c_pat, c_n = bitpack.merge_symbol_pairs(mvy_pat, mvy_n, cbp_pat, cbp_n)
+
     coded_i = coded.astype(jnp.int32)
+    zero = jnp.uint32(0)
     mb_patterns = jnp.stack(
-        [sr_pat, mbt_pat, ref_pat, mvx_pat, mvy_pat, cbp_pat], axis=1)
+        [jnp.where(coded, a_pat, zero), jnp.where(coded, mvx_pat, zero),
+         jnp.where(coded, c_pat, zero)], axis=1)
     mb_nbits = jnp.stack(
-        [sr_n * coded_i, mbt_n * coded_i, ref_n * coded_i,
-         mvx_n * coded_i, mvy_n * coded_i, cbp_n * coded_i], axis=1)
+        [a_n * coded_i, mvx_n * coded_i, c_n * coded_i], axis=1)
 
     # Trailing skip run after the last coded MB (only if > 0); if no MB is
     # coded at all the whole slice is one skip run.
@@ -335,11 +345,14 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
     n_rbsp = max_rbsp_bytes(cfg)
-    rbsp_bytes, total_bits = bitpack.pack_bytes(patterns, nbits, n_rbsp)
+    rbsp_bytes, total_bits = bitpack.pack_bytes_gather(patterns, nbits,
+                                                       n_rbsp)
     rbsp_len = total_bits // 8  # trailing bits guarantee alignment
+    overflow = total_bits > jnp.int32(n_rbsp * 8)
 
     n_nal = max_nal_bytes(cfg)
-    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp(rbsp_bytes, rbsp_len, n_nal - 8)
+    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_gather(rbsp_bytes, rbsp_len,
+                                                    n_nal - 8)
 
     header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01  # NAL_TYPE_SLICE
     prefix = jnp.concatenate([
@@ -349,7 +362,7 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     out = jnp.zeros((n_nal,), jnp.uint8)
     out = jax.lax.dynamic_update_slice(out, ebsp_bytes, (5,))
     out = jax.lax.dynamic_update_slice(out, prefix, (0,))
-    return out, 5 + ebsp_len, total_bits
+    return out, 5 + ebsp_len, total_bits, overflow
 
 
 def needs_waypoint(offset_px, wp_offsets, wp_valid, num_waypoints):

@@ -1,0 +1,181 @@
+"""ctypes bridge to the native CAVLC slice parser (native/cavlc_decode.cpp).
+
+Donor-ingest CAVLC decode is bit-serial (the one stage that resists
+vectorization, SURVEY.md §7.3); the native parser runs it at C speed and
+returns flat macroblock records that convert losslessly into
+models/mb_transcode.Macroblock (tail bits extracted from the RBSP by
+span).  Falls back to the pure-Python parser when the library has not
+been built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .models import mb_transcode as mbt
+from .ops import cavlc
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libh264tpu_cavlc.so"
+
+
+class _BlockRec(ctypes.Structure):
+    _fields_ = [
+        ("tc", ctypes.c_int16),
+        ("t1", ctypes.c_int16),
+        ("total_zeros", ctypes.c_int16),
+        ("tail_start", ctypes.c_int32),
+        ("tail_len", ctypes.c_int32),
+    ]
+
+
+class _MBRec(ctypes.Structure):
+    _fields_ = [
+        ("kind", ctypes.c_int32),
+        ("mb_type", ctypes.c_int32),
+        ("cbp", ctypes.c_int32),
+        ("qp_delta", ctypes.c_int32),
+        ("chroma_pred", ctypes.c_int32),
+        ("i16_idx", ctypes.c_int32),
+        ("pred_bits_start", ctypes.c_int32),
+        ("pred_bits_len", ctypes.c_int32),
+        ("ipcm_byte_start", ctypes.c_int64),
+        ("sub_mb_types", ctypes.c_int32 * 4),
+        ("ref_idx", ctypes.c_int32 * 4),
+        ("n_ref", ctypes.c_int32),
+        ("mvds", (ctypes.c_int32 * 2) * 16),
+        ("n_mvds", ctypes.c_int32),
+        ("blocks", _BlockRec * 27),
+    ]
+
+
+_NO_QP = -(2 ** 31)
+
+
+@functools.lru_cache(maxsize=1)
+def load_library(build: bool = True):
+    """Load (building if needed) the native library; None on failure."""
+    if not _LIB_PATH.exists() and build:
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)],
+                           capture_output=True, check=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.cavlc_parse_slice.restype = ctypes.c_int
+    lib.cavlc_parse_slice.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(_MBRec), ctypes.POINTER(ctypes.c_long),
+    ]
+    if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
+        raise RuntimeError("native MBRec layout mismatch")
+    return lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def _bit_span(bits: np.ndarray, start: int, length: int) -> str:
+    return "".join("1" if b else "0" for b in bits[start:start + length])
+
+
+def _decode_tail(blk: _BlockRec, bits: np.ndarray) -> cavlc.ResidualBlock:
+    if blk.tc == 0:
+        return cavlc.EMPTY_BLOCK
+    tail = _bit_span(bits, blk.tail_start, blk.tail_len)
+    # Levels/runs are not re-derived here (the emitter only needs tc/t1/
+    # tail); parity with the Python parser is asserted on those fields.
+    return cavlc.ResidualBlock(int(blk.tc), int(blk.t1), tail, (),
+                               int(blk.total_zeros), ())
+
+
+def parse_slice_native(rbsp: bytes, start_bit: int, mb_width: int,
+                       mb_height: int, is_p: bool,
+                       num_ref_idx_l0: int):
+    """-> (grid, end_bit) like mb_transcode.parse_*_slice_mbs (P_Skip as
+    mbt.SKIP), or None when the native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+
+    data = np.frombuffer(rbsp, np.uint8)
+    total = mb_width * mb_height
+    recs = (_MBRec * total)()
+    end_bit = ctypes.c_long(0)
+    err = lib.cavlc_parse_slice(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(rbsp), start_bit, mb_width, mb_height, int(is_p),
+        num_ref_idx_l0, recs, ctypes.byref(end_bit))
+    if err:
+        raise cavlc.CAVLCError(f"native CAVLC parse failed: code {err}")
+
+    bits = np.unpackbits(data)
+    grid = []
+    i = 0
+    for _r in range(mb_height):
+        row = []
+        for _c in range(mb_width):
+            rec = recs[i]
+            i += 1
+            row.append(_convert(rec, bits, rbsp))
+        grid.append(row)
+    return grid, int(end_bit.value)
+
+
+def _convert(rec: _MBRec, bits: np.ndarray, rbsp: bytes):
+    if rec.kind == 0:
+        return mbt.SKIP
+    qp = None if rec.qp_delta == _NO_QP else int(rec.qp_delta)
+    luma = tuple(_decode_tail(rec.blocks[1 + r], bits) for r in range(16))
+    chroma_ac = tuple(
+        tuple(_decode_tail(rec.blocks[19 + c * 4 + k], bits)
+              for k in range(4)) for c in range(2))
+    cb_dc = (_decode_tail(rec.blocks[17], bits)
+             if rec.blocks[17].tail_start or rec.blocks[17].tc else None)
+    cr_dc = (_decode_tail(rec.blocks[18], bits)
+             if rec.blocks[18].tail_start or rec.blocks[18].tc else None)
+    cbp_chroma = (rec.cbp >> 4) & 3
+    if cbp_chroma == 0:
+        cb_dc = cr_dc = None
+
+    if rec.kind == 1:
+        n_parts = (1 if rec.mb_type == 0 else
+                   (2 if rec.mb_type <= 2 else 4))
+        return mbt.Macroblock(
+            kind="inter", mb_type=int(rec.mb_type),
+            sub_mb_types=tuple(int(s) for s in rec.sub_mb_types[:4])
+            if rec.mb_type >= 3 else (),
+            ref_idx=tuple(int(r) for r in rec.ref_idx[: rec.n_ref]),
+            mvds=tuple((int(rec.mvds[k][0]), int(rec.mvds[k][1]))
+                       for k in range(rec.n_mvds)),
+            cbp=int(rec.cbp), qp_delta=qp, luma=luma, cb_dc=cb_dc,
+            cr_dc=cr_dc, chroma_ac=chroma_ac)
+    if rec.kind == 2:
+        return mbt.Macroblock(
+            kind="i4x4", mb_type=int(rec.mb_type),
+            pred_mode_bits=_bit_span(bits, rec.pred_bits_start,
+                                     rec.pred_bits_len),
+            chroma_pred=int(rec.chroma_pred), cbp=int(rec.cbp),
+            qp_delta=qp, luma=luma, cb_dc=cb_dc, cr_dc=cr_dc,
+            chroma_ac=chroma_ac)
+    if rec.kind == 3:
+        return mbt.Macroblock(
+            kind="i16x16", mb_type=int(rec.mb_type),
+            i16_idx=int(rec.i16_idx), chroma_pred=int(rec.chroma_pred),
+            cbp=int(rec.cbp), qp_delta=qp,
+            luma_dc=_decode_tail(rec.blocks[0], bits), luma=luma,
+            cb_dc=cb_dc, cr_dc=cr_dc, chroma_ac=chroma_ac)
+    if rec.kind == 4:
+        start = int(rec.ipcm_byte_start)
+        return mbt.Macroblock(kind="ipcm", mb_type=int(rec.mb_type),
+                              ipcm_samples=rbsp[start:start + 384])
+    raise cavlc.CAVLCError(f"native parser returned bad kind {rec.kind}")

@@ -85,6 +85,48 @@ def ebsp_to_rbsp(ebsp, n, max_out: int):
     return out, out_len
 
 
+def rbsp_to_ebsp_gather(rbsp, n, max_out: int):
+    """Gather-based emulation prevention (TPU hot path).
+
+    Scatter lowers to a serialized loop on TPU (~51 ms per 64-session
+    720p batch); instead each *output* byte pulls its source: with qs the
+    sorted output positions of inserted 0x03 bytes, output j is 0x03 when
+    j is in qs, else input[j - #insertions<=j].  qs is built by the same
+    searchsorted-compaction trick as ops/bitpack.compact_symbols.
+    """
+    b = jnp.asarray(rbsp, jnp.uint8)
+    size = b.shape[0]
+    idx = jnp.arange(size, dtype=jnp.int32)
+    valid = idx < n
+
+    t = _zero_run_before(b, valid)
+    ins = valid & (b <= 3) & (t >= 2) & (t % 2 == 0)
+
+    ins_i = ins.astype(jnp.int32)
+    cum = jnp.cumsum(ins_i)                  # inclusive count
+    total_ins = cum[-1] if size else jnp.int32(0)
+
+    # qs[k] = output position of the k-th inserted 0x03
+    #       = (input index of k-th insertion) + k.
+    src_k = jnp.searchsorted(cum, jnp.arange(1, size + 1, dtype=jnp.int32),
+                             side="left")
+    src_k = jnp.clip(src_k, 0, size - 1)
+    qs = jnp.where(jnp.arange(size, dtype=jnp.int32) < total_ins,
+                   src_k + jnp.arange(size, dtype=jnp.int32),
+                   jnp.int32(2 ** 30))
+
+    out_idx = jnp.arange(max_out, dtype=jnp.int32)
+    r = jnp.searchsorted(qs, out_idx, side="right")
+    r_safe = jnp.clip(r - 1, 0, size - 1)
+    is_ins = (r > 0) & (qs[r_safe] == out_idx)
+    src = jnp.clip(out_idx - r, 0, size - 1)
+    out_len = n + total_ins
+    out = jnp.where(out_idx < out_len,
+                    jnp.where(is_ins, jnp.uint8(3), b[src]),
+                    jnp.uint8(0))
+    return out, out_len
+
+
 # ---------------------------------------------------------------------------
 # Host (numpy) versions for the parse / session-setup path.
 # ---------------------------------------------------------------------------

@@ -68,7 +68,7 @@ def _session_step(cfg: ComposerConfig, enable_pskip: bool, emit_waypoints: bool,
                                   state.wp_valid, state.wp_count)
 
     if emit_waypoints:
-        wp_nal, wp_len, _ = scroll.waypoint_frame(
+        wp_nal, wp_len, _, wp_ovf = scroll.waypoint_frame(
             cfg, state.frame_num, offset_px, state.wp_offsets,
             state.wp_ltidx, state.wp_valid, state.wp_count,
             enable_pskip=enable_pskip)
@@ -92,12 +92,14 @@ def _session_step(cfg: ComposerConfig, enable_pskip: bool, emit_waypoints: bool,
     else:
         wp_nal = jnp.zeros((scroll.max_nal_bytes(cfg),), jnp.uint8)
         wp_len = jnp.int32(0)
+        wp_ovf = jnp.asarray(False)
 
-    nal, nal_len, rbsp_bits = scroll.scroll_frame(
+    nal, nal_len, rbsp_bits, overflow = scroll.scroll_frame(
         cfg, state.frame_num, offset_px, state.wp_offsets, state.wp_ltidx,
         state.wp_valid, state.wp_count, enable_pskip=enable_pskip)
+    overflow = overflow | wp_ovf
     state = dataclasses.replace(state, frame_num=state.frame_num + 1)
-    return state, (nal, nal_len, wp_nal, wp_len, rbsp_bits)
+    return state, (nal, nal_len, wp_nal, wp_len, rbsp_bits, overflow)
 
 
 @functools.lru_cache(maxsize=None)
@@ -130,7 +132,7 @@ def make_sharded_step(cfg: ComposerConfig, mesh: Mesh, axis: str = "sessions",
         wp_count=NamedSharding(mesh, spec),
     )
     out_sharding = (state_sharding,
-                    tuple(NamedSharding(mesh, spec) for _ in range(5)))
+                    tuple(NamedSharding(mesh, spec) for _ in range(6)))
     return jax.jit(vstep,
                    in_shardings=(state_sharding, NamedSharding(mesh, spec)),
                    out_shardings=out_sharding)
@@ -152,8 +154,8 @@ def run_frames(cfg: ComposerConfig, state: SessionState, offsets,
         # Keep only sizes in the scan output; NAL bytes are consumed via
         # the per-step API in production (egress), sizes suffice to time
         # the compose+pack pipeline end-to-end.
-        nal, nal_len, wp_nal, wp_len, rbsp_bits = outs
+        nal, nal_len, wp_nal, wp_len, rbsp_bits, overflow = outs
         checksum = jnp.sum(nal.astype(jnp.uint32), axis=-1, dtype=jnp.uint32)
-        return new_state, (nal_len, wp_len, rbsp_bits, checksum)
+        return new_state, (nal_len, wp_len, rbsp_bits, checksum, overflow)
 
     return jax.lax.scan(body, state, jnp.asarray(offsets, jnp.int32))

@@ -159,8 +159,14 @@ class ComposerSession:
 
     def _emit(self, fn, offset_px: int) -> None:
         wp_off, wp_lt, wp_valid, count = self.waypoints.as_arrays()
-        nal, nal_len, _ = fn(jnp.int32(self.frame_num), jnp.int32(offset_px),
-                             wp_off, wp_lt, wp_valid, count)
+        nal, nal_len, _, overflow = fn(
+            jnp.int32(self.frame_num), jnp.int32(offset_px),
+            wp_off, wp_lt, wp_valid, count)
+        if bool(overflow):
+            raise OverflowError(
+                f"frame at offset {offset_px} exceeds the RBSP budget of "
+                f"{self.cfg.rbsp_bits_per_mb} bits/MB — raise "
+                f"ComposerConfig.rbsp_bits_per_mb")
         data = np.asarray(nal)[: int(nal_len)].tobytes()
         self.writer.append_raw(data)
         self.frame_num += 1

@@ -1,0 +1,502 @@
+// Native CAVLC slice parser — donor-ingest hot path.
+//
+// The one genuinely sequential stage of the framework (SURVEY.md §7.3):
+// variable-length CAVLC decode is bit-serial within a slice, so donor
+// macroblock ingest runs as native code on the host while everything
+// vectorizable runs on the TPU.  Behavior mirrors the Python reference
+// implementation (h264_scroll_encoder_tpu/models/mb_transcode.py), which
+// is itself differentially verified against the reference trans_resizer
+// binary; this library is verified against the Python parser in
+// tests/test_native.py.
+//
+// Residual-block payloads after coeff_token are nC-independent, so each
+// block is recorded as (total_coeff, trailing_ones, total_zeros,
+// tail-bit span) — re-emission re-encodes coeff_token for the output
+// geometry's nC and copies the span verbatim.
+//
+// Build: make -C native   (produces libh264tpu_cavlc.so; ctypes binding
+// in h264_scroll_encoder_tpu/native_bridge.py)
+
+#include <cstdint>
+#include <cstring>
+
+#include "cavlc_tables.inc"
+
+namespace {
+
+constexpr int kErrBits = -1;
+constexpr int kErrToken = -2;
+constexpr int kErrTotalZeros = -3;
+constexpr int kErrRunBefore = -4;
+constexpr int kErrMbType = -5;
+constexpr int kErrChromaPred = -6;
+constexpr int kErrLevel = -7;
+
+class BitReader {
+ public:
+  BitReader(const uint8_t* data, long nbytes, long start_bit)
+      : data_(data), nbits_(nbytes * 8), pos_(start_bit) {}
+
+  long pos() const { return pos_; }
+  void seek(long p) { pos_ = p; }
+
+  int bit() {
+    if (pos_ >= nbits_) { ++pos_; return 0; }  // EOF reads 0
+    int b = (data_[pos_ >> 3] >> (7 - (pos_ & 7))) & 1;
+    ++pos_;
+    return b;
+  }
+
+  uint32_t bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+    return v;
+  }
+
+  uint32_t peek(int n) {
+    long save = pos_;
+    uint32_t v = bits(n);
+    pos_ = save;
+    return v;
+  }
+
+  uint32_t ue() {
+    int lz = 0;
+    while (bit() == 0 && lz < 32) ++lz;
+    if (lz == 0) return 0;
+    return (1u << lz) - 1 + bits(lz);
+  }
+
+  int32_t se() {
+    uint32_t v = ue();
+    return (v & 1) ? (int32_t)((v + 1) / 2) : -(int32_t)(v / 2);
+  }
+
+  void align() { pos_ = (pos_ + 7) & ~7L; }
+
+ private:
+  const uint8_t* data_;
+  long nbits_;
+  long pos_;
+};
+
+struct BlockRec {
+  int16_t tc, t1, total_zeros;
+  int32_t tail_start, tail_len;
+};
+
+struct MBRec {
+  int32_t kind;  // 0=skip 1=inter 2=i4x4 3=i16x16 4=ipcm
+  int32_t mb_type;
+  int32_t cbp;
+  int32_t qp_delta;  // INT32_MIN when absent
+  int32_t chroma_pred;
+  int32_t i16_idx;
+  int32_t pred_bits_start, pred_bits_len;
+  int64_t ipcm_byte_start;
+  int32_t sub_mb_types[4];
+  int32_t ref_idx[4];
+  int32_t n_ref;
+  int32_t mvds[16][2];
+  int32_t n_mvds;
+  BlockRec blocks[27];  // [0] luma DC, [1..16] luma raster, [17] cbDC,
+                        // [18] crDC, [19..26] chroma AC (cb0..3 cr0..3)
+};
+
+constexpr int32_t kNoQp = INT32_MIN;
+
+struct CoeffCtx {
+  int8_t luma[16];
+  int8_t chroma[2][4];
+};
+
+int decode_coeff_token(BitReader& br, int nC, int* tc, int* t1) {
+  const CoeffTokenRow* table;
+  int n;
+  if (nC == -1) { table = kCoeffTokenChromaDc; n = kCoeffTokenChromaDc_len; }
+  else if (nC < 2) { table = kCoeffTokenNc0; n = kCoeffTokenNc0_len; }
+  else if (nC < 4) { table = kCoeffTokenNc2; n = kCoeffTokenNc2_len; }
+  else if (nC < 8) { table = kCoeffTokenNc4; n = kCoeffTokenNc4_len; }
+  else {
+    uint32_t code = br.bits(6);
+    if (code == 3) { *tc = 0; *t1 = 0; }
+    else { *tc = (int)(code >> 2) + 1; *t1 = (int)(code & 3); }
+    return 0;
+  }
+  for (int i = 0; i < n; ++i) {
+    if (br.peek(table[i].len) == table[i].code) {
+      br.bits(table[i].len);
+      *tc = table[i].tc;
+      *t1 = table[i].t1;
+      return 0;
+    }
+  }
+  return kErrToken;
+}
+
+int decode_vlc_row(BitReader& br, const VlcRow* row, int max_value) {
+  for (int v = 0; v <= max_value && v < 18; ++v) {
+    if (row[v].len == 0) continue;
+    if (br.peek(row[v].len) == row[v].code) {
+      br.bits(row[v].len);
+      return v;
+    }
+  }
+  return -1;
+}
+
+int read_block(BitReader& br, int nC, int max_coeff, BlockRec* out) {
+  int tc = 0, t1 = 0;
+  int err = decode_coeff_token(br, nC, &tc, &t1);
+  if (err) return err;
+  out->tc = (int16_t)tc;
+  out->t1 = (int16_t)t1;
+  out->tail_start = (int32_t)br.pos();
+  out->total_zeros = 0;
+  out->tail_len = 0;
+  if (tc == 0) return 0;
+
+  br.bits(t1);  // trailing-one signs (copied verbatim later)
+
+  int suffix_length = (tc > 10 && t1 < 3) ? 1 : 0;
+  for (int i = 0; i < tc - t1; ++i) {
+    int prefix = 0;
+    while (br.bit() == 0 && prefix < 16) ++prefix;
+    if (prefix > 15) return kErrLevel;
+    int level_code = prefix << suffix_length;
+    int suffix_size = suffix_length;
+    if (prefix == 14 && suffix_length == 0) suffix_size = 4;
+    else if (prefix == 15) {
+      suffix_size = 12;
+      if (suffix_length == 0) level_code += 15;
+    }
+    if (suffix_size) level_code += (int)br.bits(suffix_size);
+    if (i == 0 && t1 < 3) level_code += 2;
+    int level = (level_code % 2 == 0) ? level_code / 2 + 1
+                                      : -((level_code + 1) / 2);
+    if (suffix_length == 0) suffix_length = 1;
+    int abs_level = level < 0 ? -level : level;
+    if (abs_level > (3 << (suffix_length - 1)) && suffix_length < 6)
+      ++suffix_length;
+  }
+
+  int total_zeros = 0;
+  if (tc < max_coeff) {
+    const VlcRow* row;
+    int max_tz;
+    if (max_coeff == 4) { row = kTotalZerosChromaDc[tc - 1]; max_tz = 4 - tc; }
+    else { row = kTotalZeros4x4[tc - 1]; max_tz = max_coeff - tc; }
+    total_zeros = decode_vlc_row(br, row, max_tz);
+    if (total_zeros < 0) return kErrTotalZeros;
+  }
+  out->total_zeros = (int16_t)total_zeros;
+
+  int zeros_left = total_zeros;
+  for (int i = 0; i < tc - 1 && zeros_left > 0; ++i) {
+    int key = zeros_left < 7 ? zeros_left : 7;
+    int max_run = zeros_left < 14 ? zeros_left : 14;
+    int run = decode_vlc_row(br, kRunBefore[key - 1], max_run);
+    if (run < 0) return kErrRunBefore;
+    zeros_left -= run;
+  }
+  out->tail_len = (int32_t)(br.pos() - out->tail_start);
+  return 0;
+}
+
+int luma_nc(int raster, const CoeffCtx* cur, const CoeffCtx* left,
+            const CoeffCtx* top) {
+  int row = raster / 4, col = raster % 4;
+  int nA = -1, nB = -1;
+  if (col > 0) nA = cur->luma[raster - 1];
+  else if (left) nA = left->luma[row * 4 + 3];
+  if (row > 0) nB = cur->luma[raster - 4];
+  else if (top) nB = top->luma[12 + col];
+  if (nA >= 0 && nB >= 0) return (nA + nB + 1) >> 1;
+  if (nA >= 0) return nA;
+  if (nB >= 0) return nB;
+  return 0;
+}
+
+int chroma_nc(int plane, int blk, const CoeffCtx* cur, const CoeffCtx* left,
+              const CoeffCtx* top) {
+  int row = blk / 2, col = blk % 2;
+  int nA = -1, nB = -1;
+  if (col > 0) nA = cur->chroma[plane][blk - 1];
+  else if (left) nA = left->chroma[plane][row * 2 + 1];
+  if (row > 0) nB = cur->chroma[plane][blk - 2];
+  else if (top) nB = top->chroma[plane][2 + col];
+  if (nA >= 0 && nB >= 0) return (nA + nB + 1) >> 1;
+  if (nA >= 0) return nA;
+  if (nB >= 0) return nB;
+  return 0;
+}
+
+int parse_luma_inter(BitReader& br, int cbp_luma, CoeffCtx* ctx,
+                     const CoeffCtx* left, const CoeffCtx* top, MBRec* mb,
+                     int max_coeff) {
+  for (int i8 = 0; i8 < 4; ++i8) {
+    if (!(cbp_luma & (1 << i8))) continue;
+    for (int i4 = 0; i4 < 4; ++i4) {
+      int raster = kScanToRaster[i8 * 4 + i4];
+      int nC = luma_nc(raster, ctx, left, top);
+      int err = read_block(br, nC, max_coeff, &mb->blocks[1 + raster]);
+      if (err) return err;
+      ctx->luma[raster] = (int8_t)mb->blocks[1 + raster].tc;
+    }
+  }
+  return 0;
+}
+
+int parse_chroma(BitReader& br, int cbp_chroma, CoeffCtx* ctx,
+                 const CoeffCtx* left, const CoeffCtx* top, MBRec* mb) {
+  if (cbp_chroma <= 0) return 0;
+  int err = read_block(br, -1, 4, &mb->blocks[17]);
+  if (err) return err;
+  err = read_block(br, -1, 4, &mb->blocks[18]);
+  if (err) return err;
+  if (cbp_chroma == 2) {
+    for (int c = 0; c < 2; ++c) {
+      for (int i = 0; i < 4; ++i) {
+        int nC = chroma_nc(c, i, ctx, left, top);
+        err = read_block(br, nC, 15, &mb->blocks[19 + c * 4 + i]);
+        if (err) return err;
+        ctx->chroma[c][i] = (int8_t)mb->blocks[19 + c * 4 + i].tc;
+      }
+    }
+  }
+  return 0;
+}
+
+struct Tracker {
+  int width;
+  CoeffCtx* top;   // width entries (previous row)
+  CoeffCtx* cur;   // width entries (current row)
+  bool* top_set;
+  bool* cur_set;
+  CoeffCtx left;
+  bool left_set = false;
+
+  const CoeffCtx* left_of(int col) const {
+    return (col > 0 && left_set) ? &left : nullptr;
+  }
+  const CoeffCtx* top_of(int col) const {
+    return top_set[col] ? &top[col] : nullptr;
+  }
+  void push(int col, const CoeffCtx& c) {
+    cur[col] = c;
+    cur_set[col] = true;
+    left = c;
+    left_set = true;
+  }
+  void end_row() {
+    std::memcpy(top, cur, sizeof(CoeffCtx) * width);
+    std::memcpy(top_set, cur_set, sizeof(bool) * width);
+    std::memset(cur_set, 0, sizeof(bool) * width);
+    left_set = false;
+  }
+};
+
+void init_mb(MBRec* mb) {
+  std::memset(mb, 0, sizeof(*mb));
+  mb->qp_delta = kNoQp;
+  mb->i16_idx = -1;
+  mb->ipcm_byte_start = -1;
+}
+
+int parse_i4x4(BitReader& br, MBRec* mb, Tracker& trk, int col) {
+  const CoeffCtx* left = trk.left_of(col);
+  const CoeffCtx* top = trk.top_of(col);
+  CoeffCtx ctx;
+  std::memset(&ctx, 0, sizeof(ctx));
+  mb->kind = 2;
+  mb->pred_bits_start = (int32_t)br.pos();
+  for (int b = 0; b < 16; ++b) {
+    if (!br.bit()) br.bits(3);
+  }
+  mb->pred_bits_len = (int32_t)(br.pos() - mb->pred_bits_start);
+  uint32_t chroma_pred = br.ue();
+  if (chroma_pred > 3) return kErrChromaPred;
+  mb->chroma_pred = (int32_t)chroma_pred;
+  uint32_t cbp_code = br.ue();
+  int cbp = cbp_code < 48 ? kCbpIntra[cbp_code] : 0;
+  mb->cbp = cbp;
+  if (cbp > 0) {
+    mb->qp_delta = br.se();
+    int err = parse_luma_inter(br, cbp & 0xF, &ctx, left, top, mb, 16);
+    if (err) return err;
+    err = parse_chroma(br, (cbp >> 4) & 3, &ctx, left, top, mb);
+    if (err) return err;
+  }
+  trk.push(col, ctx);
+  return 0;
+}
+
+int parse_i16x16(BitReader& br, MBRec* mb, int idx, Tracker& trk, int col) {
+  const CoeffCtx* left = trk.left_of(col);
+  const CoeffCtx* top = trk.top_of(col);
+  CoeffCtx ctx;
+  std::memset(&ctx, 0, sizeof(ctx));
+  mb->kind = 3;
+  mb->i16_idx = idx;
+  int cbp_luma = (idx / 12) ? 15 : 0;
+  int cbp_chroma = (idx / 4) % 3;
+  mb->cbp = (cbp_chroma << 4) | cbp_luma;
+  uint32_t chroma_pred = br.ue();
+  if (chroma_pred > 3) return kErrChromaPred;
+  mb->chroma_pred = (int32_t)chroma_pred;
+  mb->qp_delta = br.se();
+  int dc_nc = luma_nc(0, &ctx, left, top);
+  int err = read_block(br, dc_nc, 16, &mb->blocks[0]);
+  if (err) return err;
+  for (int i8 = 0; i8 < 4; ++i8) {
+    for (int i4 = 0; i4 < 4; ++i4) {
+      int raster = kScanToRaster[i8 * 4 + i4];
+      if (cbp_luma & (1 << i8)) {
+        int nC = luma_nc(raster, &ctx, left, top);
+        err = read_block(br, nC, 15, &mb->blocks[1 + raster]);
+        if (err) return err;
+        ctx.luma[raster] = (int8_t)mb->blocks[1 + raster].tc;
+      }
+    }
+  }
+  err = parse_chroma(br, cbp_chroma, &ctx, left, top, mb);
+  if (err) return err;
+  trk.push(col, ctx);
+  return 0;
+}
+
+int parse_ipcm(BitReader& br, MBRec* mb, Tracker& trk, int col) {
+  mb->kind = 4;
+  br.align();
+  mb->ipcm_byte_start = br.pos() / 8;
+  br.seek(br.pos() + 384 * 8);
+  CoeffCtx ctx;
+  std::memset(&ctx, 0, sizeof(ctx));
+  trk.push(col, ctx);
+  return 0;
+}
+
+int parse_inter(BitReader& br, MBRec* mb, int mb_type, int num_ref,
+                Tracker& trk, int col) {
+  const CoeffCtx* left = trk.left_of(col);
+  const CoeffCtx* top = trk.top_of(col);
+  CoeffCtx ctx;
+  std::memset(&ctx, 0, sizeof(ctx));
+  mb->kind = 1;
+  static const int sub_mvs[4] = {1, 2, 2, 4};
+  int n_parts = mb_type == 0 ? 1 : (mb_type <= 2 ? 2 : 4);
+  int total_mvs = n_parts;
+  if (mb_type >= 3) {
+    total_mvs = 0;
+    for (int i = 0; i < 4; ++i) {
+      mb->sub_mb_types[i] = (int32_t)br.ue();
+      if (mb->sub_mb_types[i] < 4)
+        total_mvs += sub_mvs[mb->sub_mb_types[i]];
+      else
+        total_mvs += 1;
+    }
+  }
+  if (num_ref > 1 && mb_type != 4) {
+    int n_refs = mb_type == 3 ? 4 : n_parts;
+    mb->n_ref = n_refs;
+    for (int i = 0; i < n_refs; ++i) {
+      mb->ref_idx[i] = (num_ref == 2) ? (1 - br.bit()) : (int32_t)br.ue();
+    }
+  }
+  mb->n_mvds = total_mvs;
+  for (int i = 0; i < total_mvs; ++i) {
+    mb->mvds[i][0] = br.se();
+    mb->mvds[i][1] = br.se();
+  }
+  uint32_t cbp_code = br.ue();
+  int cbp = cbp_code < 48 ? kCbpInter[cbp_code] : 0;
+  mb->cbp = cbp;
+  if (cbp > 0) {
+    mb->qp_delta = br.se();
+    int err = parse_luma_inter(br, cbp & 0xF, &ctx, left, top, mb, 16);
+    if (err) return err;
+    err = parse_chroma(br, (cbp >> 4) & 3, &ctx, left, top, mb);
+    if (err) return err;
+  }
+  trk.push(col, ctx);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, negative error code otherwise.  `end_bit`
+// receives the bit position after the last macroblock.
+int cavlc_parse_slice(const uint8_t* rbsp, long nbytes, long start_bit,
+                      int mb_width, int mb_height, int is_p,
+                      int num_ref_idx_l0, MBRec* out, long* end_bit) {
+  BitReader br(rbsp, nbytes, start_bit);
+  CoeffCtx* top = new CoeffCtx[mb_width];
+  CoeffCtx* cur = new CoeffCtx[mb_width];
+  bool* top_set = new bool[mb_width]();
+  bool* cur_set = new bool[mb_width]();
+  Tracker trk{mb_width, top, cur, top_set, cur_set};
+  int total = mb_width * mb_height;
+  int count = 0;
+  int err = 0;
+
+  auto cleanup = [&]() {
+    delete[] top;
+    delete[] cur;
+    delete[] top_set;
+    delete[] cur_set;
+  };
+
+  if (!is_p) {
+    for (int i = 0; i < total; ++i) init_mb(&out[i]);
+    for (int row = 0; row < mb_height && !err; ++row) {
+      for (int col = 0; col < mb_width && !err; ++col) {
+        MBRec* mb = &out[row * mb_width + col];
+        uint32_t t = br.ue();
+        mb->mb_type = (int32_t)t;
+        if (t == 0) err = parse_i4x4(br, mb, trk, col);
+        else if (t <= 24) err = parse_i16x16(br, mb, (int)t - 1, trk, col);
+        else if (t == 25) err = parse_ipcm(br, mb, trk, col);
+        else err = kErrMbType;
+      }
+      trk.end_row();
+    }
+  } else {
+    for (int i = 0; i < total; ++i) { init_mb(&out[i]); }
+    while (count < total && !err) {
+      uint32_t skip_run = br.ue();
+      for (uint32_t s = 0; s < skip_run && count < total; ++s) {
+        int row = count / mb_width, col = count % mb_width;
+        (void)row;
+        if (col == 0 && count) trk.end_row();
+        CoeffCtx z;
+        std::memset(&z, 0, sizeof(z));
+        trk.push(col, z);
+        out[count].kind = 0;  // skip
+        ++count;
+      }
+      if (count >= total) break;
+      int row = count / mb_width, col = count % mb_width;
+      (void)row;
+      if (col == 0 && count) trk.end_row();
+      MBRec* mb = &out[count];
+      uint32_t t = br.ue();
+      mb->mb_type = (int32_t)t;
+      if (t <= 4) err = parse_inter(br, mb, (int)t, num_ref_idx_l0, trk, col);
+      else if (t == 5) err = parse_i4x4(br, mb, trk, col);
+      else if (t <= 29) err = parse_i16x16(br, mb, (int)t - 6, trk, col);
+      else if (t == 30) err = parse_ipcm(br, mb, trk, col);
+      else err = kErrMbType;
+      ++count;
+    }
+  }
+
+  if (end_bit) *end_bit = br.pos();
+  cleanup();
+  return err;
+}
+
+long cavlc_mbrec_size() { return (long)sizeof(MBRec); }
+
+}  // extern "C"

@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Persistent XLA compile cache: this environment routes every XLA compile
+# (even CPU) through a remote service whose queue can take minutes; the
+# cache makes recompiles of unchanged programs a local disk hit.
+from h264_scroll_encoder_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache"))
+
 import subprocess
 from pathlib import Path
 

@@ -81,6 +81,68 @@ def test_trailing_bits_symbol():
         assert int(pat) == 1 << (int(n) - 1)
 
 
+def test_gather_pack_matches_scatter_and_serial():
+    """The gather-based packer (TPU hot path) must be bit-exact vs both
+    the scatter version and the serial writer, including zero-length
+    symbol runs (handled by compaction)."""
+    rng = np.random.default_rng(77)
+
+    @jax.jit
+    def packer_gather(p, n):
+        return bitpack.pack_bytes_gather(p, n, _PACK_BYTES)
+
+    for trial in range(20):
+        n = int(rng.integers(1, _PACK_SLOTS))
+        nbits = rng.integers(0, 33, n)
+        # Inject long zero-length runs (masked P_Skip slots).
+        if trial % 2:
+            k = int(rng.integers(1, n + 1))
+            nbits[rng.choice(n, size=k, replace=False)] = 0
+        patterns = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        masked = [int(p) & ((1 << int(b)) - 1 if b < 32 else 0xFFFFFFFF)
+                  for p, b in zip(patterns, nbits)]
+        exp, exp_total = serial_pack(masked, nbits)
+
+        pp = np.zeros(_PACK_SLOTS, np.uint32)
+        nn = np.zeros(_PACK_SLOTS, np.int32)
+        pp[:n] = patterns
+        nn[:n] = nbits
+        got_b, got_t = packer_gather(jnp.asarray(pp), jnp.asarray(nn))
+        assert int(got_t) == exp_total, f"trial {trial}"
+        assert bytes(np.asarray(got_b)[: (exp_total + 7) // 8]) == exp, \
+            f"trial {trial}"
+
+
+def test_gather_pack_window_stress():
+    """A realistic mix with short symbols stays within the contributor
+    window.  (Streams of >WORD_WINDOW-2 consecutive 1-bit symbols are out
+    of contract for the gather packer — the frame emitters merge per-MB
+    symbols precisely so their minimum symbol length keeps any 32-bit
+    word's contributor count below the window; the parity tests cover the
+    real emitters.)"""
+    nbits2 = np.asarray([1, 1, 1, 5, 7, 1, 1, 9, 3, 1] * 20, np.int32)
+    pats2 = np.asarray([1, 0, 1, 17, 99, 1, 0, 301, 5, 1] * 20, np.uint32)
+    exp2, exp2_total = serial_pack(pats2, nbits2)
+    got_b2, got_t2 = bitpack.pack_bytes_gather(
+        jnp.asarray(pats2), jnp.asarray(nbits2), 128)
+    assert int(got_t2) == exp2_total
+    assert bytes(np.asarray(got_b2)[: (exp2_total + 7) // 8]) == exp2
+
+
+def test_merge_symbol_pairs():
+    p, n = bitpack.merge_symbol_pairs(
+        jnp.uint32(0b101), jnp.int32(3), jnp.uint32(0b01), jnp.int32(2))
+    assert (int(p), int(n)) == (0b10101, 5)
+    # Zero-length right operand is the identity.
+    p, n = bitpack.merge_symbol_pairs(
+        jnp.uint32(7), jnp.int32(3), jnp.uint32(0), jnp.int32(0))
+    assert (int(p), int(n)) == (7, 3)
+    # Zero-length left operand (pattern 0) is the identity too.
+    p, n = bitpack.merge_symbol_pairs(
+        jnp.uint32(0), jnp.int32(0), jnp.uint32(5), jnp.int32(3))
+    assert (int(p), int(n)) == (5, 3)
+
+
 def test_pack_under_jit_and_vmap():
     def f(patterns, nbits):
         return bitpack.pack_bytes(patterns, nbits, 64)

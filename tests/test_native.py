@@ -1,0 +1,91 @@
+"""Native CAVLC parser vs the Python reference parser (differential)."""
+
+import numpy as np
+import pytest
+
+from h264_scroll_encoder_tpu import native_bridge
+from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+from h264_scroll_encoder_tpu.ops.bitio import BitReader, BitWriter
+from h264_scroll_encoder_tpu.utils import fixtures
+
+
+pytestmark = pytest.mark.skipif(not native_bridge.native_available(),
+                                reason="native library unavailable")
+
+
+def _assert_mb_equal(a, b, where):
+    if a is mbt.SKIP or b is mbt.SKIP:
+        assert a is b, where
+        return
+    assert a.kind == b.kind, where
+    assert a.mb_type == b.mb_type, where
+    assert a.cbp == b.cbp, where
+    assert a.qp_delta == b.qp_delta, where
+    assert a.chroma_pred == b.chroma_pred, where
+    assert a.mvds == b.mvds, where
+    assert a.ref_idx == b.ref_idx, where
+    assert a.sub_mb_types == b.sub_mb_types, where
+    assert a.pred_mode_bits == b.pred_mode_bits, where
+    assert a.ipcm_samples == b.ipcm_samples, where
+    for i, (x, y) in enumerate(zip(a.luma, b.luma)):
+        assert (x.total_coeff, x.trailing_ones, x.tail) == (
+            y.total_coeff, y.trailing_ones, y.tail), (where, "luma", i)
+    if a.luma_dc or b.luma_dc:
+        assert (a.luma_dc.total_coeff, a.luma_dc.tail) == (
+            b.luma_dc.total_coeff, b.luma_dc.tail), where
+    for c in range(2):
+        for i in range(4):
+            x, y = a.chroma_ac[c][i], b.chroma_ac[c][i]
+            assert (x.total_coeff, x.tail) == (y.total_coeff, y.tail), \
+                (where, "chroma", c, i)
+
+
+@pytest.mark.parametrize("seed,is_p,num_ref", [
+    (1, False, 1), (2, True, 1), (3, True, 2), (4, True, 4),
+])
+def test_native_matches_python(seed, is_p, num_ref):
+    rng = np.random.default_rng(seed)
+    w, h = 8, 6
+    if is_p:
+        grid = fixtures.random_p_slice_grid(rng, w, h, num_ref)
+    else:
+        grid = fixtures.random_i_slice_grid(rng, w, h)
+    bw = BitWriter()
+    if is_p:
+        mbt.emit_p_slice_mbs(bw, grid, num_ref)
+    else:
+        mbt.emit_i_slice_mbs(bw, grid)
+    bw.write_trailing_bits()
+    rbsp = bw.getvalue()
+
+    br = BitReader(rbsp)
+    if is_p:
+        py_grid = mbt.parse_p_slice_mbs(br, w, h, num_ref)
+    else:
+        py_grid = mbt.parse_i_slice_mbs(br, w, h)
+    py_end = br.bit_position
+
+    nat = native_bridge.parse_slice_native(rbsp, 0, w, h, is_p, num_ref)
+    assert nat is not None
+    nat_grid, nat_end = nat
+    assert nat_end == py_end
+    for r in range(h):
+        for c in range(w):
+            _assert_mb_equal(py_grid[r][c], nat_grid[r][c], (r, c))
+
+
+def test_native_reemission_byte_identical():
+    """Native-parsed grids must re-emit byte-identically."""
+    rng = np.random.default_rng(9)
+    w, h = 10, 8
+    grid = fixtures.random_p_slice_grid(rng, w, h, 2)
+    bw = BitWriter()
+    mbt.emit_p_slice_mbs(bw, grid, 2)
+    bw.write_trailing_bits()
+    rbsp = bw.getvalue()
+
+    nat_grid, _ = native_bridge.parse_slice_native(rbsp, 0, w, h, True, 2)
+    bw2 = BitWriter()
+    mbt.emit_p_slice_mbs(bw2, nat_grid, 2)
+    bw2.write_trailing_bits()
+    assert bw2.getvalue() == rbsp
