@@ -134,5 +134,52 @@ def scroll_encoder_main(argv=None) -> int:
     return 0
 
 
+def trans_resizer_main(argv=None) -> int:
+    """Padding transcoder CLI (trans-resizer equivalent, generalized
+    geometry; experiments/trans-resizer/trans_resizer.c:1787-1793)."""
+    from .models.splice import transcode_pad_stream
+    from .verify import verify_stream
+    from pathlib import Path
+
+    ap = argparse.ArgumentParser(
+        prog="trans-resizer",
+        description="Widen a CAVLC H.264 stream by appending padding "
+                    "macroblocks at each row's end")
+    ap.add_argument("input")
+    ap.add_argument("output")
+    ap.add_argument("--out-width", type=int, default=720)
+    ap.add_argument("--out-height", type=int, default=None,
+                    help="default: input height")
+    ap.add_argument("--bug-compat", action="store_true",
+                    help="reproduce the C reference's duplicated final "
+                         "skip run byte-for-byte")
+    ap.add_argument("--no-verify", action="store_true")
+    args = ap.parse_args(argv)
+
+    data = Path(args.input).read_bytes()
+    try:
+        from .syntax import parse as sparse
+        sps = next(sparse.parse_sps(u.rbsp)
+                   for u in sparse.iter_nal_units(data)
+                   if u.nal_unit_type == 7)
+        out_h = args.out_height or sps.height
+        out = transcode_pad_stream(data, args.out_width, out_h,
+                                   bug_compat=args.bug_compat)
+    except (ValueError, StopIteration) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    Path(args.output).write_bytes(out)
+    print(f"Output: {args.output} ({len(out)} bytes)")
+
+    if not args.no_verify:
+        # Self-verification, mirroring the reference's ffmpeg check
+        # (trans_resizer.c:2176-2186) with the native oracle.
+        rep = verify_stream(out, strict_trailing=not args.bug_compat)
+        print("Verification:", "SUCCESS" if rep.ok else
+              f"FAILED {rep.errors[:3]}")
+        return 0 if rep.ok else 1
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(composer_main())

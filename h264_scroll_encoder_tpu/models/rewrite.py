@@ -55,8 +55,46 @@ def _write_deblock_tail(bw: BitWriter, write_cfg: ComposerConfig, hdr) -> None:
             bw.write_se(hdr.slice_beta_offset_div2)
 
 
+def _payload(header_bw: BitWriter, donor_rbsp: bytes, hdr,
+             parse_cfg: ComposerConfig, mode: str) -> bytes:
+    """Attach the donor MB payload after our new header.
+
+    mode:
+      "splice"  — raw bit-shift of the payload, exactly the C reference's
+                  copy_bits behavior (src/h264_writer.c:228-240).
+      "realign" — CAVLC-parse the donor macroblocks and re-emit them after
+                  the new header.  Needed when the payload contains I_PCM
+                  macroblocks and the new header length differs from the
+                  donor's mod 8: pcm_alignment_zero_bits are
+                  position-dependent, so a raw bit-shift corrupts them — a
+                  latent reference defect invisible with x264 donors
+                  (pure CAVLC has no alignment) but real for I_PCM input.
+      "auto"    — realign only when the shift is misaligning and the
+                  payload parses as containing I_PCM; splice otherwise.
+    """
+    if mode == "splice":
+        return _splice(header_bw, donor_rbsp, hdr.mb_data_start_bit)
+
+    from . import mb_transcode as mbt
+    from ..ops.bitio import BitReader
+
+    shift = (header_bw.bit_position - hdr.mb_data_start_bit) % 8
+    if mode == "auto" and shift == 0:
+        return _splice(header_bw, donor_rbsp, hdr.mb_data_start_bit)
+
+    br = BitReader(donor_rbsp)
+    br.skip_bits(hdr.mb_data_start_bit)
+    grid = mbt.parse_i_slice_mbs(br, parse_cfg.mb_width, parse_cfg.mb_height)
+    if mode == "auto" and not any(
+            mb.kind == "ipcm" for row in grid for mb in row):
+        return _splice(header_bw, donor_rbsp, hdr.mb_data_start_bit)
+    mbt.emit_i_slice_mbs(header_bw, grid)
+    header_bw.write_trailing_bits()
+    return header_bw.getvalue()
+
+
 def rewrite_idr_frame(write_cfg: ComposerConfig, parse_cfg: ComposerConfig,
-                      donor_rbsp: bytes) -> bytes:
+                      donor_rbsp: bytes, *, mode: str = "auto") -> bytes:
     """Donor IDR -> our IDR NAL with long_term_reference_flag=1 (atlas A)."""
     hdr = _parse_donor_header(donor_rbsp, parse_cfg)
 
@@ -73,13 +111,14 @@ def rewrite_idr_frame(write_cfg: ComposerConfig, parse_cfg: ComposerConfig,
     bw.write_se(hdr.slice_qp_delta)        # preserve donor QP
     _write_deblock_tail(bw, write_cfg, hdr)
 
-    rbsp = _splice(bw, donor_rbsp, hdr.mb_data_start_bit)
+    rbsp = _payload(bw, donor_rbsp, hdr, parse_cfg, mode)
     return write_nal_unit(rbsp, NAL_REF_IDC_HIGHEST, NAL_TYPE_IDR)
 
 
 def rewrite_as_non_idr_i_frame(write_cfg: ComposerConfig,
                                parse_cfg: ComposerConfig,
-                               donor_rbsp: bytes, frame_num: int) -> bytes:
+                               donor_rbsp: bytes, frame_num: int, *,
+                               mode: str = "auto") -> bytes:
     """Donor IDR -> non-IDR I NAL with MMCO long-term marking (atlas B)."""
     hdr = _parse_donor_header(donor_rbsp, parse_cfg)
 
@@ -99,5 +138,5 @@ def rewrite_as_non_idr_i_frame(write_cfg: ComposerConfig,
     bw.write_se(hdr.slice_qp_delta)
     _write_deblock_tail(bw, write_cfg, hdr)
 
-    rbsp = _splice(bw, donor_rbsp, hdr.mb_data_start_bit)
+    rbsp = _payload(bw, donor_rbsp, hdr, parse_cfg, mode)
     return write_nal_unit(rbsp, NAL_REF_IDC_HIGHEST, NAL_TYPE_SLICE)

@@ -94,16 +94,62 @@ def _best_waypoint_b(offset_px, height, wp_offsets, wp_valid, num_waypoints):
             jnp.where(found, wp_offsets[safe], 0))
 
 
+def mb_fields_traced(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
+                     num_waypoints, is_waypoint_frame,
+                     boundary_policy: str = "floor"):
+    """mb_fields with `is_waypoint_frame` as a traced bool: waypoint
+    frames never redirect the B region (src/h264_writer.c:726-729)."""
+    offset_px = jnp.asarray(offset_px, jnp.int32)
+    h, w = cfg.mb_height, cfg.mb_width
+    if boundary_policy == "floor":
+        a_region_end = (cfg.height - offset_px) // 16
+    elif boundary_policy == "nearest":
+        a_region_end = (cfg.height - offset_px + 8) // 16
+    else:
+        raise ValueError(f"unknown boundary_policy {boundary_policy!r}")
+
+    wp_a, wp_a_off = _best_waypoint_a(offset_px, wp_offsets, wp_valid,
+                                      num_waypoints)
+    wp_b, wp_b_off = _best_waypoint_b(offset_px, cfg.height, wp_offsets,
+                                      wp_valid, num_waypoints)
+    wp_b = jnp.where(is_waypoint_frame, -1, wp_b)
+
+    a_ref = jnp.where(wp_a >= 0, 2 + wp_a, 0)
+    a_mv = jnp.where(wp_a >= 0, offset_px - wp_a_off, offset_px)
+    b_ref = jnp.where(wp_b >= 0, 2 + wp_b, 1)
+    b_mv = jnp.where(wp_b >= 0, offset_px - wp_b_off, offset_px - cfg.height)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    in_a = row < a_region_end
+    ref = jnp.where(in_a, a_ref, b_ref)
+    mv_y = jnp.where(in_a, a_mv, b_mv) * 4
+    return ref, mv_y
+
+
 def mb_fields(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
-              num_waypoints, *, is_waypoint_frame):
+              num_waypoints, *, is_waypoint_frame,
+              boundary_policy: str = "floor"):
     """Per-MB (ref_idx, mv_y_qpel) grids for a scroll or waypoint frame.
 
     Scroll frames may redirect both the A and B regions through waypoints;
     waypoint frames only redirect A (src/h264_writer.c:689-729).
+
+    boundary_policy addresses the reference's KNOWN_ISSUES "scroll jumps
+    in ~16 px increments": the A/B seam row floors to MB granularity
+    while content MVs are per-pixel, so up to 15 rows at the seam fetch
+    past their atlas edge (edge-clamped pixels) and the artifact band
+    jumps per 16 px of scroll.  'floor' reproduces the reference
+    (required for byte parity); 'nearest' rounds the seam to the closest
+    MB row, halving the worst-case artifact band to 8 rows.
     """
     offset_px = jnp.asarray(offset_px, jnp.int32)
     h, w = cfg.mb_height, cfg.mb_width
-    a_region_end = (cfg.height - offset_px) // 16
+    if boundary_policy == "floor":
+        a_region_end = (cfg.height - offset_px) // 16
+    elif boundary_policy == "nearest":
+        a_region_end = (cfg.height - offset_px + 8) // 16
+    else:
+        raise ValueError(f"unknown boundary_policy {boundary_policy!r}")
 
     wp_a, wp_a_off = _best_waypoint_a(offset_px, wp_offsets, wp_valid,
                                       num_waypoints)
@@ -365,6 +411,37 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     return out, 5 + ebsp_len, total_bits, overflow
 
 
+def unified_frame(cfg: ComposerConfig, frame_num, offset_px,
+                  wp_offsets, wp_ltidx, wp_valid, num_waypoints,
+                  is_waypoint, *, enable_pskip: bool = False,
+                  boundary_policy: str = "floor"):
+    """One P-frame that is a waypoint reference iff `is_waypoint` (traced).
+
+    This is the batched-serving kernel: a session step emits exactly one
+    frame, avoiding the 2x cost of unconditionally materializing both a
+    waypoint and a scroll frame.  All waypoint-dependent syntax
+    (nal_ref_idc, MMCO self-marking, B-region redirection) selects on the
+    traced flag.
+    """
+    max_fn = 1 << cfg.log2_max_frame_num
+    fn = frame_num % max_fn
+    is_waypoint = jnp.asarray(is_waypoint, bool)
+    long_term_idx = jnp.where(is_waypoint, 2 + num_waypoints, -1)
+    hp, hn = p_slice_header_symbols(
+        cfg, fn, fn * 2, is_reference=is_waypoint,
+        long_term_idx=long_term_idx, num_waypoints=num_waypoints,
+        wp_long_term_idx=wp_ltidx, wp_valid=wp_valid)
+    ref, mv_y = mb_fields_traced(cfg, offset_px, wp_offsets, wp_valid,
+                                 num_waypoints, is_waypoint,
+                                 boundary_policy=boundary_policy)
+    mv_x = jnp.zeros_like(mv_y)
+    nal_ref_idc = jnp.where(is_waypoint, 2, 0)
+    return emit_p_frame(cfg, hp, hn, ref, mv_x, mv_y,
+                        num_refs=2 + num_waypoints,
+                        nal_ref_idc=nal_ref_idc,
+                        enable_pskip=enable_pskip)
+
+
 def needs_waypoint(offset_px, wp_offsets, wp_valid, num_waypoints):
     """h264_needs_waypoint (src/h264_writer.c:666-676)."""
     offset_px = jnp.asarray(offset_px, jnp.int32)
@@ -376,7 +453,8 @@ def needs_waypoint(offset_px, wp_offsets, wp_valid, num_waypoints):
 
 def scroll_frame(cfg: ComposerConfig, frame_num, offset_px,
                  wp_offsets, wp_ltidx, wp_valid, num_waypoints,
-                 *, enable_pskip: bool = False):
+                 *, enable_pskip: bool = False,
+                 boundary_policy: str = "floor"):
     """One non-reference scroll P-frame (nal_ref_idc=0)."""
     max_fn = 1 << cfg.log2_max_frame_num
     fn = frame_num % max_fn
@@ -385,7 +463,8 @@ def scroll_frame(cfg: ComposerConfig, frame_num, offset_px,
         num_waypoints=num_waypoints, wp_long_term_idx=wp_ltidx,
         wp_valid=wp_valid)
     ref, mv_y = mb_fields(cfg, offset_px, wp_offsets, wp_valid,
-                          num_waypoints, is_waypoint_frame=False)
+                          num_waypoints, is_waypoint_frame=False,
+                          boundary_policy=boundary_policy)
     mv_x = jnp.zeros_like(mv_y)
     return emit_p_frame(cfg, hp, hn, ref, mv_x, mv_y,
                         num_refs=2 + num_waypoints, nal_ref_idc=0,
@@ -394,7 +473,8 @@ def scroll_frame(cfg: ComposerConfig, frame_num, offset_px,
 
 def waypoint_frame(cfg: ComposerConfig, frame_num, offset_px,
                    wp_offsets, wp_ltidx, wp_valid, num_waypoints,
-                   *, enable_pskip: bool = False):
+                   *, enable_pskip: bool = False,
+                   boundary_policy: str = "floor"):
     """One reference waypoint P-frame (nal_ref_idc=2) that MMCO-marks
     itself long-term idx 2+num_waypoints (src/h264_writer.c:678-782)."""
     max_fn = 1 << cfg.log2_max_frame_num
@@ -405,7 +485,8 @@ def waypoint_frame(cfg: ComposerConfig, frame_num, offset_px,
         num_waypoints=num_waypoints, wp_long_term_idx=wp_ltidx,
         wp_valid=wp_valid)
     ref, mv_y = mb_fields(cfg, offset_px, wp_offsets, wp_valid,
-                          num_waypoints, is_waypoint_frame=True)
+                          num_waypoints, is_waypoint_frame=True,
+                          boundary_policy=boundary_policy)
     mv_x = jnp.zeros_like(mv_y)
     return emit_p_frame(cfg, hp, hn, ref, mv_x, mv_y,
                         num_refs=2 + num_waypoints, nal_ref_idc=2,

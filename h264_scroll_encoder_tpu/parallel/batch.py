@@ -58,48 +58,40 @@ def _session_step(cfg: ComposerConfig, enable_pskip: bool, emit_waypoints: bool,
                   state: SessionState, offset_px):
     """One composed frame for one session (unbatched; vmapped below).
 
-    When `emit_waypoints` is True the step also evaluates
-    h264_needs_waypoint and, on the rare step that crosses a 496 px
-    boundary, emits the waypoint reference frame ahead of the scroll frame
-    and registers it (both NAL buffers are always produced; the waypoint's
-    length is 0 when absent).
+    Exactly ONE NAL is emitted per step through the unified kernel: on the
+    rare step whose offset crosses a 496 px boundary
+    (h264_needs_waypoint) it is the waypoint *reference* frame — the
+    session registers it, and the caller repeats the offset next step to
+    get the scroll frame (the experiment scheduler's semantics,
+    scroll-encoder main.c:417-424).  `emitted_waypoint` in the outputs
+    tells the caller.  With emit_waypoints=False the waypoint check is
+    skipped entirely (schedules known to stay within the MV limit).
     """
-    needs = scroll.needs_waypoint(offset_px, state.wp_offsets,
-                                  state.wp_valid, state.wp_count)
-
     if emit_waypoints:
-        wp_nal, wp_len, _, wp_ovf = scroll.waypoint_frame(
-            cfg, state.frame_num, offset_px, state.wp_offsets,
-            state.wp_ltidx, state.wp_valid, state.wp_count,
-            enable_pskip=enable_pskip)
-        wp_len = jnp.where(needs, wp_len, 0)
-
-        # Register the waypoint + frame_num consumed by the waypoint frame.
-        slot = jnp.minimum(state.wp_count, MAX_WAYPOINTS - 1)
-        can_reg = needs & (state.wp_count < MAX_WAYPOINTS)
-        new_offsets = jnp.where(
-            can_reg, state.wp_offsets.at[slot].set(offset_px),
-            state.wp_offsets)
-        new_ltidx = jnp.where(
-            can_reg, state.wp_ltidx.at[slot].set(2 + state.wp_count),
-            state.wp_ltidx)
-        new_valid = jnp.where(
-            can_reg, state.wp_valid.at[slot].set(True), state.wp_valid)
-        new_count = state.wp_count + can_reg.astype(jnp.int32)
-        frame_num = state.frame_num + needs.astype(jnp.int32)
-        state = SessionState(frame_num, new_offsets, new_ltidx, new_valid,
-                             new_count)
+        needs = scroll.needs_waypoint(offset_px, state.wp_offsets,
+                                      state.wp_valid, state.wp_count)
     else:
-        wp_nal = jnp.zeros((scroll.max_nal_bytes(cfg),), jnp.uint8)
-        wp_len = jnp.int32(0)
-        wp_ovf = jnp.asarray(False)
+        needs = jnp.asarray(False)
 
-    nal, nal_len, rbsp_bits, overflow = scroll.scroll_frame(
+    nal, nal_len, rbsp_bits, overflow = scroll.unified_frame(
         cfg, state.frame_num, offset_px, state.wp_offsets, state.wp_ltidx,
-        state.wp_valid, state.wp_count, enable_pskip=enable_pskip)
-    overflow = overflow | wp_ovf
-    state = dataclasses.replace(state, frame_num=state.frame_num + 1)
-    return state, (nal, nal_len, wp_nal, wp_len, rbsp_bits, overflow)
+        state.wp_valid, state.wp_count, needs, enable_pskip=enable_pskip)
+
+    # Register the waypoint (no-op when `needs` is False).
+    slot = jnp.minimum(state.wp_count, MAX_WAYPOINTS - 1)
+    can_reg = needs & (state.wp_count < MAX_WAYPOINTS)
+    new_offsets = jnp.where(can_reg,
+                            state.wp_offsets.at[slot].set(offset_px),
+                            state.wp_offsets)
+    new_ltidx = jnp.where(can_reg,
+                          state.wp_ltidx.at[slot].set(2 + state.wp_count),
+                          state.wp_ltidx)
+    new_valid = jnp.where(can_reg, state.wp_valid.at[slot].set(True),
+                          state.wp_valid)
+    new_count = state.wp_count + can_reg.astype(jnp.int32)
+    state = SessionState(state.frame_num + 1, new_offsets, new_ltidx,
+                         new_valid, new_count)
+    return state, (nal, nal_len, needs, rbsp_bits, overflow)
 
 
 @functools.lru_cache(maxsize=None)
@@ -132,7 +124,7 @@ def make_sharded_step(cfg: ComposerConfig, mesh: Mesh, axis: str = "sessions",
         wp_count=NamedSharding(mesh, spec),
     )
     out_sharding = (state_sharding,
-                    tuple(NamedSharding(mesh, spec) for _ in range(6)))
+                    tuple(NamedSharding(mesh, spec) for _ in range(5)))
     return jax.jit(vstep,
                    in_shardings=(state_sharding, NamedSharding(mesh, spec)),
                    out_shardings=out_sharding)
@@ -154,8 +146,9 @@ def run_frames(cfg: ComposerConfig, state: SessionState, offsets,
         # Keep only sizes in the scan output; NAL bytes are consumed via
         # the per-step API in production (egress), sizes suffice to time
         # the compose+pack pipeline end-to-end.
-        nal, nal_len, wp_nal, wp_len, rbsp_bits, overflow = outs
+        nal, nal_len, emitted_wp, rbsp_bits, overflow = outs
         checksum = jnp.sum(nal.astype(jnp.uint32), axis=-1, dtype=jnp.uint32)
-        return new_state, (nal_len, wp_len, rbsp_bits, checksum, overflow)
+        return new_state, (nal_len, emitted_wp, rbsp_bits, checksum,
+                           overflow)
 
     return jax.lax.scan(body, state, jnp.asarray(offsets, jnp.int32))

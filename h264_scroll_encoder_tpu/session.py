@@ -65,15 +65,19 @@ class WaypointRegistry:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_scroll(cfg: ComposerConfig, enable_pskip: bool):
+def _jitted_scroll(cfg: ComposerConfig, enable_pskip: bool,
+                   boundary_policy: str = "floor"):
     return jax.jit(functools.partial(
-        scroll.scroll_frame, cfg, enable_pskip=enable_pskip))
+        scroll.scroll_frame, cfg, enable_pskip=enable_pskip,
+        boundary_policy=boundary_policy))
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_waypoint(cfg: ComposerConfig, enable_pskip: bool):
+def _jitted_waypoint(cfg: ComposerConfig, enable_pskip: bool,
+                     boundary_policy: str = "floor"):
     return jax.jit(functools.partial(
-        scroll.waypoint_frame, cfg, enable_pskip=enable_pskip))
+        scroll.waypoint_frame, cfg, enable_pskip=enable_pskip,
+        boundary_policy=boundary_policy))
 
 
 class ComposerSession:
@@ -81,7 +85,8 @@ class ComposerSession:
 
     def __init__(self, cfg: ComposerConfig,
                  parse_cfg: ComposerConfig | None = None,
-                 *, enable_pskip: bool = False):
+                 *, enable_pskip: bool = False,
+                 boundary_policy: str = "floor"):
         self.cfg = cfg
         self.parse_cfg = parse_cfg or cfg
         self.enable_pskip = enable_pskip
@@ -89,8 +94,9 @@ class ComposerSession:
         self.frame_num = 0
         self.waypoints = WaypointRegistry.empty()
         self.frames_written = 0
-        self._scroll_fn = _jitted_scroll(cfg, enable_pskip)
-        self._waypoint_fn = _jitted_waypoint(cfg, enable_pskip)
+        self._scroll_fn = _jitted_scroll(cfg, enable_pskip, boundary_policy)
+        self._waypoint_fn = _jitted_waypoint(cfg, enable_pskip,
+                                             boundary_policy)
 
     # -- setup paths --------------------------------------------------------
 
@@ -123,14 +129,20 @@ class ComposerSession:
             self.frame_num += 1
 
     def write_donor_atlases(self, donor_a_rbsp: bytes,
-                            donor_b_rbsp: bytes) -> None:
+                            donor_b_rbsp: bytes, *,
+                            rewrite_mode: str = "auto") -> None:
         """Donor-mode atlas pair: rewrite two donor IDR RBSPs
-        (composer_write_header, src/composer.c:232-253)."""
+        (composer_write_header, src/composer.c:232-253).
+
+        rewrite_mode "splice" reproduces the C reference's raw bit-shift
+        (corrupts I_PCM-bearing donors — see models/rewrite._payload);
+        "auto" realigns I_PCM payloads when needed."""
         self.writer.append_raw(rewrite.rewrite_idr_frame(
-            self.cfg, self.parse_cfg, donor_a_rbsp))
+            self.cfg, self.parse_cfg, donor_a_rbsp, mode=rewrite_mode))
         self.frame_num = 1
         self.writer.append_raw(rewrite.rewrite_as_non_idr_i_frame(
-            self.cfg, self.parse_cfg, donor_b_rbsp, self.frame_num))
+            self.cfg, self.parse_cfg, donor_b_rbsp, self.frame_num,
+            mode=rewrite_mode))
         self.frame_num += 1
 
     # -- per-frame hot path --------------------------------------------------

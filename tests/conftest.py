@@ -8,13 +8,17 @@ Must run before jax initializes its backends.
 import os
 import sys
 
-# Force CPU: the session environment pre-sets JAX_PLATFORMS=axon (real TPU
-# via a remote tunnel with remote compilation) — tests must not depend on it.
+# Force CPU with 8 virtual devices.  Env vars are NOT enough here: the
+# environment's sitecustomize registers the axon TPU plugin at interpreter
+# start and calls jax.config.update("jax_platforms", "axon,cpu"), which
+# overrides JAX_PLATFORMS — so override back through jax.config before any
+# backend client is created.
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

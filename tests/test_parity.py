@@ -111,10 +111,39 @@ def test_composer_donor_mode(ref_binaries, donor_files, tmpdir_mod):
     from h264_scroll_encoder_tpu.cli import triangle_offsets
     s = open_donor_session(donor_files["a"], donor_files["b"])
     s.write_parameter_sets()
-    s.write_donor_atlases(s._donor_a_rbsp, s._donor_b_rbsp)
+    # "splice" = the C reference's raw bit-shift; required for byte parity
+    # (the C path corrupts I_PCM-bearing donors — our "auto" mode fixes
+    # that, verified separately in test_donor_realign_fixes_ipcm).
+    s.write_donor_atlases(s._donor_a_rbsp, s._donor_b_rbsp,
+                          rewrite_mode="splice")
     for off in triangle_offsets(140, 4, s.cfg.height):
         s.write_scroll_frame(off)
     assert_streams_identical(s.getvalue(), out.read_bytes())
+
+
+def test_donor_realign_fixes_ipcm(donor_files):
+    """The C reference's donor rewrite bit-shifts payloads, corrupting
+    I_PCM alignment when the new header length differs mod 8 (the
+    rewritten atlas B fails CAVLC grammar).  Our auto mode re-emits with
+    recomputed alignment; the full stream must verify cleanly."""
+    from h264_scroll_encoder_tpu.session import open_donor_session
+    from h264_scroll_encoder_tpu.verify import verify_stream
+
+    s = open_donor_session(donor_files["a"], donor_files["b"])
+    s.write_parameter_sets()
+    s.write_donor_atlases(s._donor_a_rbsp, s._donor_b_rbsp)  # auto
+    for off in (0, 4, 8, 200, 496, 500):
+        s.write_scroll_frame(off)
+    rep = verify_stream(s.getvalue())
+    assert rep.ok, rep.errors
+
+    # And the splice mode indeed reproduces the defect on these donors.
+    s2 = open_donor_session(donor_files["a"], donor_files["b"])
+    s2.write_parameter_sets()
+    s2.write_donor_atlases(s2._donor_a_rbsp, s2._donor_b_rbsp,
+                           rewrite_mode="splice")
+    rep2 = verify_stream(s2.getvalue())
+    assert not rep2.ok
 
 
 def test_experiment_donor_mode(ref_binaries, donor_files, tmpdir_mod):
@@ -138,7 +167,8 @@ def test_experiment_donor_mode(ref_binaries, donor_files, tmpdir_mod):
     from h264_scroll_encoder_tpu.cli import triangle_offsets
     s = open_two_idr_session(two_idr)
     s.write_parameter_sets(nal_ref_idc=2)
-    s.write_donor_atlases(s._donor_a_rbsp, s._donor_b_rbsp)
+    s.write_donor_atlases(s._donor_a_rbsp, s._donor_b_rbsp,
+                          rewrite_mode="splice")  # C-parity bit splice
     for off in triangle_offsets(120, 8, s.cfg.height - 16, start_offset=496):
         s.write_scroll_or_waypoint_frame(off)
     assert_streams_identical(s.getvalue(), out.read_bytes())
