@@ -391,14 +391,14 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
     n_rbsp = max_rbsp_bytes(cfg)
-    rbsp_bytes, total_bits = bitpack.pack_bytes_gather(patterns, nbits,
-                                                       n_rbsp)
+    rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
+                                                     n_rbsp)
     rbsp_len = total_bits // 8  # trailing bits guarantee alignment
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
     n_nal = max_nal_bytes(cfg)
-    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_gather(rbsp_bytes, rbsp_len,
-                                                    n_nal - 8)
+    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(rbsp_bytes, rbsp_len,
+                                                  n_nal - 8)
 
     header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01  # NAL_TYPE_SLICE
     prefix = jnp.concatenate([

@@ -1,0 +1,522 @@
+"""On-device dynamic-rect splice kernel.
+
+BASELINE config "dynamic-rect splice: pre-encoded 360x360 CAVLC MBs
+composited into 1280x720 P-frames".  Division of labor:
+
+  host (numpy + native C++ parser): parse the donor slice (bit-serial by
+    nature), express every donor macroblock as fixed-slot symbol arrays —
+    pre-residual syntax and residual-block *tails* as verbatim <=32-bit
+    chunks, plus per-block (total_coeff, trailing_ones) metadata.
+
+  device (one jitted program): recompute every residual block's nC in the
+    *composite* geometry (a stencil over total_coeff grids — outside-rect
+    macroblocks are P_Skip/MV-only with tc=0), look up the repaired
+    coeff_token patterns from constant tables, lay donor symbols into the
+    frame's macroblock symbol grid alongside background/motion-region
+    MBs and skip runs, then run the standard pack -> emulation prevention
+    -> NAL pipeline.
+
+Rect geometry is static per compiled program (position may vary per
+session config; content varies per frame).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ComposerConfig
+from ..ops import bitpack, ebsp, expgolomb
+from ..ops import cavlc_tables as T
+from ..syntax.slice_headers import P_HEADER_SLOTS, p_slice_header_symbols
+from . import mb_transcode as mbt
+from . import scroll as scroll_model
+
+# Per-donor-MB symbol slot budget:
+#   PRE:   pre-residual syntax (mb_type..cbp/qp) as <=32-bit chunks
+#   per block (27 blocks in emission order): 1 token slot + TAIL chunks
+PRE_SLOTS = 40
+TAIL_CHUNKS = 16
+N_BLOCKS = 27
+MB_SLOTS = PRE_SLOTS + N_BLOCKS * (1 + TAIL_CHUNKS)
+
+# Residual-block slot meaning (mirrors native/cavlc_decode.cpp layout):
+# [0] luma DC (i16x16), [1..16] luma raster, [17] cbDC, [18] crDC,
+# [19..26] chroma AC.  Emission ORDER differs per MB kind; the host
+# records symbols in emission order directly, so the device only needs
+# (block_id -> nC class) metadata per token slot.
+
+# nC class codes for the token table lookup.
+CLASS_NC0, CLASS_NC2, CLASS_NC4, CLASS_FLC, CLASS_CHROMA = 0, 1, 2, 3, 4
+
+
+@functools.lru_cache(maxsize=1)
+def token_tables():
+    """Constant token pattern/length tables: [class 0..4][tc 0..16][t1 0..3].
+
+    class: 0 = nC<2, 1 = nC<4, 2 = nC<8, 3 = nC>=8 (FLC), 4 = chroma DC.
+    Invalid (tc,t1) combinations hold zeros (never selected).
+    """
+    pat = np.zeros((5, 17, 4), np.uint32)
+    ln = np.zeros((5, 17, 4), np.int32)
+    for ci, cls in enumerate(("nc0", "nc2", "nc4")):
+        for (tc, t1), code in T._TOKEN_TABLES[cls].items():
+            pat[ci, tc, t1] = int(code, 2)
+            ln[ci, tc, t1] = len(code)
+    for tc in range(17):
+        for t1 in range(min(3, tc) + 1):
+            code = T.coeff_token_code(8, tc, t1)
+            pat[CLASS_FLC, tc, t1] = int(code, 2)
+            ln[CLASS_FLC, tc, t1] = len(code)
+    for (tc, t1), code in T._TOKEN_TABLES["chroma_dc"].items():
+        pat[CLASS_CHROMA, tc, t1] = int(code, 2)
+        ln[CLASS_CHROMA, tc, t1] = len(code)
+    return jnp.asarray(pat), jnp.asarray(ln)
+
+
+@dataclasses.dataclass
+class DonorSymbols:
+    """Host-prepared device arrays for one donor rect (R x C macroblocks).
+
+    All arrays are row-major over donor MBs (index m = r*C + c).
+    """
+    pre_patterns: np.ndarray      # u32 [M, PRE_SLOTS]
+    pre_nbits: np.ndarray         # i32 [M, PRE_SLOTS]
+    tail_patterns: np.ndarray     # u32 [M, N_BLOCKS, TAIL_CHUNKS]
+    tail_nbits: np.ndarray        # i32 [M, N_BLOCKS, TAIL_CHUNKS]
+    # token metadata, indexed by *emission position* 0..N_BLOCKS-1:
+    tok_tc: np.ndarray            # i32 [M, N_BLOCKS] total_coeff
+    tok_t1: np.ndarray            # i32 [M, N_BLOCKS] trailing_ones
+    tok_present: np.ndarray       # bool [M, N_BLOCKS]
+    tok_block_id: np.ndarray      # i32 [M, N_BLOCKS] canonical block id
+    # context grids (for the composite nC stencil):
+    luma_tc: np.ndarray           # i32 [M, 16] raster order
+    chroma_tc: np.ndarray         # i32 [M, 2, 4]
+    coded: np.ndarray             # bool [M] (False = donor P_Skip)
+    ipcm: np.ndarray              # bool [M]
+
+
+def _bits_of_str(s: str) -> tuple:
+    """bit-string -> list of (pattern, nbits) chunks of <=32 bits."""
+    out = []
+    for i in range(0, len(s), 32):
+        piece = s[i:i + 32]
+        out.append((int(piece, 2) if piece else 0, len(piece)))
+    return out
+
+
+class _SlotWriter:
+    """Accumulate (pattern, nbits) pairs into fixed slot arrays."""
+
+    def __init__(self, n_slots: int):
+        self.patterns = np.zeros(n_slots, np.uint32)
+        self.nbits = np.zeros(n_slots, np.int32)
+        self.i = 0
+
+    def put(self, pattern: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        assert self.i < self.patterns.size, "slot budget exceeded"
+        self.patterns[self.i] = pattern & 0xFFFFFFFF
+        self.nbits[self.i] = nbits
+        self.i += 1
+
+    def put_ue(self, v: int) -> None:
+        vp1 = v + 1
+        m = vp1.bit_length() - 1
+        self.put(vp1, 2 * m + 1)
+
+    def put_se(self, v: int) -> None:
+        self.put_ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def put_bits_str(self, s: str) -> None:
+        for p, n in _bits_of_str(s):
+            self.put(p, n)
+
+
+def _emission_blocks(mb: mbt.Macroblock):
+    """Yield (block_id, ResidualBlock, nc_kind) in emission order.
+
+    nc_kind: 'luma' (needs luma nC), 'chroma' (AC, needs chroma nC),
+    'cdc' (chroma DC, fixed class).  block_id matches the canonical
+    layout (0 luma DC, 1+raster luma, 17/18 chroma DC, 19+ chroma AC).
+    """
+    cbp_luma = mb.cbp & 0xF
+    cbp_chroma = (mb.cbp >> 4) & 0x3
+    if mb.kind == "i16x16":
+        yield 0, mb.luma_dc, "luma"
+        for s in range(16):
+            raster = T.SCAN_TO_RASTER[s]
+            if cbp_luma & (1 << (s // 4)):
+                yield 1 + raster, mb.luma[raster], "luma"
+    elif mb.kind in ("inter", "i4x4"):
+        if mb.cbp > 0:
+            for s in range(16):
+                raster = T.SCAN_TO_RASTER[s]
+                if cbp_luma & (1 << (s // 4)):
+                    yield 1 + raster, mb.luma[raster], "luma"
+    if mb.cbp > 0 or mb.kind == "i16x16":
+        if cbp_chroma > 0:
+            yield 17, mb.cb_dc, "cdc"
+            yield 18, mb.cr_dc, "cdc"
+            if cbp_chroma == 2:
+                for c in range(2):
+                    for k in range(4):
+                        yield 19 + c * 4 + k, mb.chroma_ac[c][k], "chroma"
+
+
+def prepare_donor_symbols(donor_grid: list, num_ref_idx_l0: int,
+                          donor_ref_map: tuple = (0,)) -> DonorSymbols:
+    """Flatten a parsed donor MB grid into device-ready symbol arrays."""
+    rows, cols = len(donor_grid), len(donor_grid[0])
+    m_total = rows * cols
+    ds = DonorSymbols(
+        pre_patterns=np.zeros((m_total, PRE_SLOTS), np.uint32),
+        pre_nbits=np.zeros((m_total, PRE_SLOTS), np.int32),
+        tail_patterns=np.zeros((m_total, N_BLOCKS, TAIL_CHUNKS), np.uint32),
+        tail_nbits=np.zeros((m_total, N_BLOCKS, TAIL_CHUNKS), np.int32),
+        tok_tc=np.zeros((m_total, N_BLOCKS), np.int32),
+        tok_t1=np.zeros((m_total, N_BLOCKS), np.int32),
+        tok_present=np.zeros((m_total, N_BLOCKS), bool),
+        tok_block_id=np.zeros((m_total, N_BLOCKS), np.int32),
+        luma_tc=np.zeros((m_total, 16), np.int32),
+        chroma_tc=np.zeros((m_total, 2, 4), np.int32),
+        coded=np.zeros(m_total, bool),
+        ipcm=np.zeros(m_total, bool),
+    )
+
+    from .splice import _map_donor_refs
+
+    for r in range(rows):
+        for c in range(cols):
+            m = r * cols + c
+            mb = donor_grid[r][c]
+            if mb is mbt.SKIP:
+                continue
+            mb = _map_donor_refs(mbt.retype_for_p(mb), donor_ref_map,
+                                 num_ref_idx_l0)
+            ds.coded[m] = True
+            if mb.kind == "ipcm":
+                # I_PCM needs byte alignment — data-dependent padding the
+                # static slot model can't express; donors with I_PCM use
+                # the host splice path instead.
+                raise NotImplementedError(
+                    "I_PCM donor MBs: use models/splice.finalize_spliced_"
+                    "frame (host path)")
+
+            w = _SlotWriter(PRE_SLOTS)
+            w.put_ue(mb.mb_type)
+            if mb.kind == "inter":
+                if mb.mb_type >= 3:
+                    for s in mb.sub_mb_types:
+                        w.put_ue(s)
+                if num_ref_idx_l0 > 1 and mb.mb_type != 4 and mb.ref_idx:
+                    for ref in mb.ref_idx:
+                        if num_ref_idx_l0 == 2:
+                            w.put(1 - (ref & 1), 1)
+                        else:
+                            w.put_ue(ref)
+                for mvd_x, mvd_y in mb.mvds:
+                    w.put_se(mvd_x)
+                    w.put_se(mvd_y)
+                w.put_ue(T.CBP_INTER_INV[mb.cbp])
+                if mb.cbp > 0:
+                    w.put_se(mb.qp_delta)
+            elif mb.kind == "i4x4":
+                w.put_bits_str(mb.pred_mode_bits)
+                w.put_ue(mb.chroma_pred)
+                w.put_ue(T.CBP_INTRA_INV[mb.cbp])
+                if mb.cbp > 0:
+                    w.put_se(mb.qp_delta)
+            elif mb.kind == "i16x16":
+                w.put_ue(mb.chroma_pred)
+                w.put_se(mb.qp_delta)
+            ds.pre_patterns[m] = w.patterns
+            ds.pre_nbits[m] = w.nbits
+
+            for pos, (block_id, blk, _kind) in enumerate(
+                    _emission_blocks(mb)):
+                ds.tok_present[m, pos] = True
+                ds.tok_block_id[m, pos] = block_id
+                ds.tok_tc[m, pos] = blk.total_coeff
+                ds.tok_t1[m, pos] = blk.trailing_ones
+                for k, (p, n) in enumerate(_bits_of_str(blk.tail)):
+                    ds.tail_patterns[m, pos, k] = p
+                    ds.tail_nbits[m, pos, k] = n
+
+            ds.luma_tc[m] = [b.total_coeff for b in mb.luma]
+            ds.chroma_tc[m] = [[b.total_coeff for b in plane]
+                               for plane in mb.chroma_ac]
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# Device: composite nC stencil + token lookup + frame assembly.
+# ---------------------------------------------------------------------------
+
+def _nc_rule(nA, availA, nB, availB):
+    both = availA & availB
+    return jnp.where(both, (nA + nB + 1) >> 1,
+                     jnp.where(availA, nA, jnp.where(availB, nB, 0)))
+
+
+def _luma_nc_grid(luma_tc, rect_at_left_edge, rect_at_top_edge):
+    """nC per luma 4x4 block: [R, C, 16] -> [R, C, 16].
+
+    Composite neighbors outside the rect are coded-with-zero-residual
+    macroblocks (tc=0, *available*) except past the frame edge.
+    """
+    R, C = luma_tc.shape[:2]
+    g = luma_tc.reshape(R, C, 4, 4).transpose(0, 2, 1, 3).reshape(R * 4,
+                                                                  C * 4)
+    ga = jnp.pad(g, ((1, 0), (1, 0)))  # zero = outside-rect tc
+    nA = ga[1:, :-1]
+    nB = ga[:-1, 1:]
+    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    availA = ~(rect_at_left_edge & (col == 0))
+    availB = ~(rect_at_top_edge & (row == 0))
+    nc = _nc_rule(nA, availA, nB, availB)
+    return nc.reshape(R, 4, C, 4).transpose(0, 2, 1, 3).reshape(R, C, 16)
+
+
+def _chroma_nc_grid(chroma_tc, rect_at_left_edge, rect_at_top_edge):
+    """[R, C, 2, 4] -> [R, C, 2, 4] (2x2 blocks per plane)."""
+    R, C = chroma_tc.shape[:2]
+    out = []
+    for plane in range(2):
+        g = chroma_tc[:, :, plane].reshape(R, C, 2, 2)
+        g = g.transpose(0, 2, 1, 3).reshape(R * 2, C * 2)
+        ga = jnp.pad(g, ((1, 0), (1, 0)))
+        nA = ga[1:, :-1]
+        nB = ga[:-1, 1:]
+        col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+        availA = ~(rect_at_left_edge & (col == 0))
+        availB = ~(rect_at_top_edge & (row == 0))
+        nc = _nc_rule(nA, availA, nB, availB)
+        out.append(nc.reshape(R, 2, C, 2).transpose(0, 2, 1, 3)
+                   .reshape(R, C, 4))
+    return jnp.stack(out, axis=2)
+
+
+def donor_mb_symbols(ds_dev: dict, R: int, C: int,
+                     rect_at_left_edge: bool, rect_at_top_edge: bool):
+    """Device: donor MB slot arrays [M, MB_SLOTS] with repaired tokens."""
+    luma_nc = _luma_nc_grid(ds_dev["luma_tc"].reshape(R, C, 16),
+                            rect_at_left_edge, rect_at_top_edge)
+    chroma_nc = _chroma_nc_grid(ds_dev["chroma_tc"].reshape(R, C, 2, 4),
+                                rect_at_left_edge, rect_at_top_edge)
+    M = R * C
+    luma_nc = luma_nc.reshape(M, 16)
+    chroma_nc = chroma_nc.reshape(M, 8)
+
+    block_id = ds_dev["tok_block_id"]          # [M, N_BLOCKS]
+    # nC per token: luma ids 0..16 map to luma raster (id 0 -> raster 0),
+    # chroma DC -> class CHROMA directly, chroma AC ids 19.. -> plane/blk.
+    luma_raster = jnp.clip(jnp.where(block_id == 0, 0, block_id - 1), 0, 15)
+    nc_luma = jnp.take_along_axis(luma_nc, luma_raster, axis=1)
+    ac_idx = jnp.clip(block_id - 19, 0, 7)
+    nc_chroma = jnp.take_along_axis(chroma_nc, ac_idx, axis=1)
+
+    is_cdc = (block_id == 17) | (block_id == 18)
+    is_cac = block_id >= 19
+    nc = jnp.where(is_cac, nc_chroma, nc_luma)
+    cls = jnp.where(
+        is_cdc, CLASS_CHROMA,
+        jnp.where(nc < 2, CLASS_NC0,
+                  jnp.where(nc < 4, CLASS_NC2,
+                            jnp.where(nc < 8, CLASS_NC4, CLASS_FLC))))
+
+    pat_tab, len_tab = token_tables()
+    tc = jnp.clip(ds_dev["tok_tc"], 0, 16)
+    t1 = jnp.clip(ds_dev["tok_t1"], 0, 3)
+    tok_pat = pat_tab[cls, tc, t1]
+    tok_len = jnp.where(ds_dev["tok_present"], len_tab[cls, tc, t1], 0)
+
+    # Assemble per-MB slots: [pre | per block: token + tails].
+    blocks_p = jnp.concatenate(
+        [tok_pat[:, :, None], ds_dev["tail_patterns"]], axis=2)
+    blocks_n = jnp.concatenate(
+        [tok_len[:, :, None],
+         jnp.where(ds_dev["tok_present"][:, :, None],
+                   ds_dev["tail_nbits"], 0)], axis=2)
+    patterns = jnp.concatenate(
+        [ds_dev["pre_patterns"], blocks_p.reshape(M, -1)], axis=1)
+    nbits = jnp.concatenate(
+        [ds_dev["pre_nbits"], blocks_n.reshape(M, -1)], axis=1)
+    return patterns, nbits  # [M, MB_SLOTS]
+
+
+def emit_spliced_frame(cfg: ComposerConfig, rect_mb_x: int, rect_mb_y: int,
+                       R: int, C: int, num_refs: int,
+                       header_patterns, header_nbits,
+                       bg_ref, bg_mv_x, bg_mv_y, bg_coded,
+                       ds_dev: dict, donor_ref, donor_mv_x, donor_mv_y,
+                       nal_ref_idc: int = 0):
+    """Device splice: one P-frame with the donor rect embedded.
+
+    bg_* are full-frame [H, W] fields for background/motion-region MBs
+    (bg_coded False = P_Skip); donor_* are MB-level approximations of the
+    donor macroblocks' motion (used only for neighboring prediction — the
+    margin ring absorbs the boundary error per MASTER_DESIGN §7.1).
+    """
+    H, W = cfg.mb_height, cfg.mb_width
+    r0, c0 = rect_mb_y, rect_mb_x
+    assert r0 + R <= H and c0 + C <= W
+
+    donor_coded = ds_dev["coded"].reshape(R, C)
+    in_rect = jnp.zeros((H, W), bool).at[r0:r0 + R, c0:c0 + C].set(True)
+
+    # Composite fields for MV prediction.
+    ref = bg_ref.at[r0:r0 + R, c0:c0 + C].set(donor_ref.reshape(R, C))
+    mv_x = bg_mv_x.at[r0:r0 + R, c0:c0 + C].set(donor_mv_x.reshape(R, C))
+    mv_y = bg_mv_y.at[r0:r0 + R, c0:c0 + C].set(donor_mv_y.reshape(R, C))
+    coded = jnp.where(in_rect, False, bg_coded)
+    coded = coded.at[r0:r0 + R, c0:c0 + C].set(donor_coded)
+
+    pred_x, pred_y = scroll_model.mv_pred_grid(ref, mv_x, mv_y)
+    mvd_x = mv_x - pred_x
+    mvd_y = mv_y - pred_y
+
+    # Skip-run per coded MB over the composite grid.
+    n_mbs = H * W
+    coded_f = coded.reshape(-1)
+    idx = jnp.arange(n_mbs, dtype=jnp.int32)
+    coded_idx = jnp.where(coded_f, idx, -1)
+    last_incl = jax.lax.associative_scan(jnp.maximum, coded_idx)
+    last_before = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_incl[:-1]])
+    skip_run = idx - last_before - 1
+    sr_pat, sr_n = expgolomb.ue(skip_run.astype(jnp.uint32))
+    sr_n = sr_n * coded_f.astype(jnp.int32)
+    sr_pat = jnp.where(coded_f, sr_pat, 0).astype(jnp.uint32)
+
+    # Background (hint) MB symbols: 3 merged slots like emit_p_frame.
+    mbt_pat, mbt_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
+    ref_pat, ref_n = expgolomb.te(ref.reshape(-1).astype(jnp.uint32),
+                                  num_refs)
+    mvx_pat, mvx_n = expgolomb.se(mvd_x.reshape(-1))
+    mvy_pat, mvy_n = expgolomb.se(mvd_y.reshape(-1))
+    cbp_pat, cbp_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
+    a_pat, a_n = bitpack.merge_symbol_pairs(mbt_pat, mbt_n, ref_pat, ref_n)
+    c_pat, c_n = bitpack.merge_symbol_pairs(mvy_pat, mvy_n, cbp_pat, cbp_n)
+    bg_active = coded_f & ~in_rect.reshape(-1)
+    bg_i = bg_active.astype(jnp.int32)
+    zero = jnp.uint32(0)
+    bg_syms_p = jnp.stack([jnp.where(bg_active, a_pat, zero),
+                           jnp.where(bg_active, mvx_pat, zero),
+                           jnp.where(bg_active, c_pat, zero)], axis=1)
+    bg_syms_n = jnp.stack([a_n * bg_i, mvx_n * bg_i, c_n * bg_i], axis=1)
+
+    # Donor MB symbols (token repair on device).
+    d_pat, d_n = donor_mb_symbols(ds_dev, R, C, c0 == 0, r0 == 0)
+    d_n = jnp.where(donor_coded.reshape(-1, 1), d_n, 0)
+
+    # Assemble the global symbol stream in raster order: static layout.
+    sr_pat2 = sr_pat.reshape(H, W)
+    sr_n2 = sr_n.reshape(H, W)
+    segs_p, segs_n = [], []
+    for row in range(H):
+        if r0 <= row < r0 + R:
+            left = slice(row * W, row * W + c0)
+            right = slice(row * W + c0 + C, (row + 1) * W)
+            segs_p += [jnp.concatenate(
+                [sr_pat2[row, :c0, None], bg_syms_p[left]], axis=1
+            ).reshape(-1)]
+            segs_n += [jnp.concatenate(
+                [sr_n2[row, :c0, None], bg_syms_n[left]], axis=1
+            ).reshape(-1)]
+            dslice = slice((row - r0) * C, (row - r0 + 1) * C)
+            segs_p += [jnp.concatenate(
+                [sr_pat2[row, c0:c0 + C, None], d_pat[dslice]], axis=1
+            ).reshape(-1)]
+            segs_n += [jnp.concatenate(
+                [sr_n2[row, c0:c0 + C, None], d_n[dslice]], axis=1
+            ).reshape(-1)]
+            segs_p += [jnp.concatenate(
+                [sr_pat2[row, c0 + C:, None], bg_syms_p[right]], axis=1
+            ).reshape(-1)]
+            segs_n += [jnp.concatenate(
+                [sr_n2[row, c0 + C:, None], bg_syms_n[right]], axis=1
+            ).reshape(-1)]
+        else:
+            sl = slice(row * W, (row + 1) * W)
+            segs_p += [jnp.concatenate(
+                [sr_pat2[row, :, None], bg_syms_p[sl]], axis=1).reshape(-1)]
+            segs_n += [jnp.concatenate(
+                [sr_n2[row, :, None], bg_syms_n[sl]], axis=1).reshape(-1)]
+
+    tail_skips = jnp.int32(n_mbs) - 1 - last_incl[-1]
+    ts_pat, ts_n = expgolomb.ue(tail_skips.astype(jnp.uint32))
+    ts_n = jnp.where(tail_skips > 0, ts_n, 0)
+
+    patterns = jnp.concatenate([header_patterns] + segs_p + [ts_pat[None]])
+    nbits = jnp.concatenate([header_nbits] + segs_n + [ts_n[None]])
+    payload_bits = jnp.sum(nbits)
+    tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
+    patterns = jnp.concatenate([patterns, tb_pat[None]])
+    nbits = jnp.concatenate([nbits, tb_n[None]])
+
+    # Budget: donor residuals can be dense — size on the donor payload.
+    n_rbsp = ((cfg.total_mbs * cfg.rbsp_bits_per_mb
+               + R * C * N_BLOCKS * TAIL_CHUNKS * 4) // 8 + 255) // 4 * 4
+    rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
+                                                     n_rbsp)
+    rbsp_len = total_bits // 8
+    overflow = total_bits > jnp.int32(n_rbsp * 8)
+
+    n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
+    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(rbsp_bytes, rbsp_len,
+                                                  n_nal - 8)
+    header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
+    prefix = jnp.concatenate([
+        jnp.asarray([0, 0, 0, 1], jnp.uint8),
+        jnp.asarray(header_byte, jnp.uint8).reshape(1).astype(jnp.uint8)])
+    out = jnp.zeros((n_nal,), jnp.uint8)
+    out = jax.lax.dynamic_update_slice(out, ebsp_bytes, (5,))
+    out = jax.lax.dynamic_update_slice(out, prefix, (0,))
+    return out, 5 + ebsp_len, total_bits, overflow
+
+
+def donor_mb_motion(donor_grid: list):
+    """MB-level (ref, mvx, mvy) for the donor rect, decoded in donor
+    context (models/mv_field) — the neighbor-prediction approximation the
+    device kernel uses.  Intra MBs get the INTRA sentinel (-2) so they
+    never ref-match and contribute zero MVs, matching 8.4.1.3.1."""
+    from .mv_field import decode_p_slice_mv_field
+
+    rows, cols = len(donor_grid), len(donor_grid[0])
+    field = decode_p_slice_mv_field(
+        [list(r) for r in donor_grid], cols, rows)
+    ref = np.zeros(rows * cols, np.int32)
+    mvx = np.zeros(rows * cols, np.int32)
+    mvy = np.zeros(rows * cols, np.int32)
+    for r in range(rows):
+        for c in range(cols):
+            m = r * cols + c
+            ref[m] = field.ref[r * 4, c * 4]
+            mvx[m] = field.mvx[r * 4, c * 4]
+            mvy[m] = field.mvy[r * 4, c * 4]
+    return jnp.asarray(ref), jnp.asarray(mvx), jnp.asarray(mvy)
+
+
+def donor_device_arrays(ds: DonorSymbols) -> dict:
+    """DonorSymbols -> jnp arrays dict (one host->device transfer set)."""
+    return {
+        "pre_patterns": jnp.asarray(ds.pre_patterns),
+        "pre_nbits": jnp.asarray(ds.pre_nbits),
+        "tail_patterns": jnp.asarray(ds.tail_patterns),
+        "tail_nbits": jnp.asarray(ds.tail_nbits),
+        "tok_tc": jnp.asarray(ds.tok_tc),
+        "tok_t1": jnp.asarray(ds.tok_t1),
+        "tok_present": jnp.asarray(ds.tok_present),
+        "tok_block_id": jnp.asarray(ds.tok_block_id),
+        "luma_tc": jnp.asarray(ds.luma_tc),
+        "chroma_tc": jnp.asarray(ds.chroma_tc),
+        "coded": jnp.asarray(ds.coded),
+    }

@@ -192,6 +192,173 @@ def pack_bytes_gather(patterns, nbits, num_bytes: int, *,
     return words_to_bytes(words), total
 
 
+# ---------------------------------------------------------------------------
+# Tree packer: gather-free formulation (the real TPU hot path).
+#
+# TPU has no hardware gather/scatter — any arbitrary per-element indexing
+# (including jnp.searchsorted and fancy indexing) lowers to serialized
+# dynamic-slices (profiled: the "gather" packer was 8x *slower* on a v5e
+# than the scatter one).  This formulation uses only dense vector ops and
+# STATIC rolls:
+#
+#   - zero-length symbols are removed by monotone log-step compaction
+#     (shift amounts are non-decreasing, so each power-of-two step is a
+#     masked static roll);
+#   - the ragged concatenation of N variable-length codes is a pairwise
+#     merge tree: at each of log2(N) rounds adjacent bit-strings merge,
+#     the right string shifted into place by log-step word rolls (static
+#     shifts, masked by the bits of the word offset) plus one neighbor
+#     funnel shift for the sub-word offset.
+#
+# Everything is elementwise/roll/reduce — exactly what the VPU does well.
+# ---------------------------------------------------------------------------
+
+
+def monotone_expand(values, shifts, valid, out_size: int, fill):
+    """out[j + shifts[j]] = values[j] for non-decreasing shifts over the
+    valid elements.  Positions not hit by any source get `fill`.
+
+    Log-step algorithm: process shift bits high->low; each step is one
+    masked static roll.  Monotone shifts keep live elements at pairwise
+    distinct positions throughout (current_j = target_j - remaining_j and
+    remaining gaps never exceed target gaps), so moves never collide.
+    Returns (out, landed_mask).
+    """
+    n = values.shape[0]
+    pad = out_size - n
+    vals = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
+    rem = jnp.concatenate(
+        [jnp.where(valid, shifts.astype(jnp.int32), 0),
+         jnp.zeros((pad,), jnp.int32)])
+    live = jnp.concatenate([jnp.asarray(valid, bool),
+                            jnp.zeros((pad,), bool)])
+    for b in reversed(range(max(1, out_size).bit_length())):
+        step = 1 << b
+        if step >= out_size:
+            continue
+        v_r = jnp.roll(vals, step)
+        r_r = jnp.roll(rem, step)
+        l_r = jnp.roll(live, step)
+        take = l_r & (r_r >= step)
+        vacate = live & (rem >= step)
+        vals = jnp.where(take, v_r, vals)
+        rem = jnp.where(take, r_r - step, jnp.where(vacate, 0, rem))
+        live = (live & ~vacate) | take
+    out = jnp.where(live, vals, fill)
+    return out, live
+
+
+def _monotone_compact(values, keep, fill=0):
+    """Stable compaction of kept elements to the front (gather-free).
+
+    Left-shift amounts (#removed before each kept element) are
+    non-decreasing -> same log-step trick with negative rolls.
+    """
+    n = values.shape[0]
+    shifts = jnp.cumsum((~keep).astype(jnp.int32)) * keep.astype(jnp.int32)
+    vals = values
+    rem = shifts
+    live = keep
+    # Bits LOW->HIGH: for left moves the no-collision invariant needs the
+    # remaining shifts to stay monotone, which floor(s/2^b)*2^b gives
+    # (expansion's right moves need the opposite order — see
+    # monotone_expand).
+    for b in range(max(1, n).bit_length()):
+        step = 1 << b
+        if step >= n:
+            continue
+        v_r = jnp.roll(vals, -step)
+        r_r = jnp.roll(rem, -step)
+        l_r = jnp.roll(live, -step)
+        # Low->high needs the exact bit test (the greedy rem>=step rule
+        # only decomposes correctly high->low).
+        take = l_r & ((r_r & step) != 0)
+        vacate = live & ((rem & step) != 0)
+        vals = jnp.where(take, v_r, vals)
+        rem = jnp.where(take, r_r - step, jnp.where(vacate, 0, rem))
+        live = (live & ~vacate) | take
+    return jnp.where(live, vals, fill), live
+
+
+def _shift_words_right(y, sw, width: int):
+    """y[p, c] -> y shifted right along c by sw[p] words (log-step)."""
+    for b in range(max(1, width - 1).bit_length()):
+        step = 1 << b
+        if step >= width:
+            break
+        rolled = jnp.pad(y, ((0, 0), (step, 0)))[:, :width]
+        y = jnp.where((sw & step).astype(bool)[:, None], rolled, y)
+    return y
+
+
+def pack_words_tree(patterns, nbits, num_words: int):
+    """Gather-free packer: bit-exact equivalent of pack_words.
+
+    Accepts zero-length symbols anywhere (compacted internally).
+    num_words must be >= total_bits/32 and is rounded up internally to a
+    power of two for the merge tree.
+    """
+    patterns = jnp.asarray(patterns, jnp.uint32).reshape(-1)
+    nbits = jnp.asarray(nbits, jnp.int32).reshape(-1)
+    n = patterns.shape[0]
+
+    full = nbits >= 32
+    mask = jnp.where(full, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << jnp.clip(nbits, 0, 31).astype(jnp.uint32)) - 1)
+    patterns = patterns & mask
+    total = jnp.sum(nbits)
+
+    patterns, _ = _monotone_compact(patterns, nbits > 0)
+    nbits, _ = _monotone_compact(nbits, nbits > 0)
+
+    # Pad symbol count to a power of two.
+    p2 = 1 << max(1, (n - 1)).bit_length()
+    patterns = jnp.pad(patterns, (0, p2 - n))
+    nbits = jnp.pad(nbits, (0, p2 - n))
+
+    # Left-justify each symbol in a 1-word container.
+    sh = jnp.clip(32 - nbits, 0, 31).astype(jnp.uint32)
+    words = jnp.where(nbits > 0, patterns << sh, 0)[:, None]  # [p2, 1]
+    lens = nbits
+
+    width = 1
+    while words.shape[0] > 1:
+        x = words[0::2]
+        y = words[1::2]
+        xl = lens[0::2]
+        yl = lens[1::2]
+        new_width = width * 2
+        x = jnp.pad(x, ((0, 0), (0, new_width - width)))
+        y = jnp.pad(y, ((0, 0), (0, new_width - width)))
+        #
+
+        # Shift y right by xl bits: whole words then the sub-word funnel.
+        sw = xl >> 5
+        sb = (xl & 31).astype(jnp.uint32)
+        y = _shift_words_right(y, sw, new_width)
+        carry = jnp.pad(y, ((0, 0), (1, 0)))[:, :new_width]
+        lsh = (jnp.uint32(32) - sb) & jnp.uint32(31)
+        y = jnp.where(sb[:, None] > 0,
+                      (y >> sb[:, None]) | jnp.where(
+                          lsh[:, None] < 32, carry << lsh[:, None], 0),
+                      y)
+        words = x | y
+        lens = xl + yl
+        width = new_width
+
+    stream = words[0]
+    out = jnp.zeros((num_words,), jnp.uint32)
+    take = min(num_words, stream.shape[0])
+    out = out.at[:take].set(stream[:take])
+    return out, total
+
+
+def pack_bytes_tree(patterns, nbits, num_bytes: int):
+    assert num_bytes % 4 == 0
+    words, total = pack_words_tree(patterns, nbits, num_bytes // 4)
+    return words_to_bytes(words), total
+
+
 def merge_symbol_pairs(p1, n1, p2, n2):
     """Concatenate two codes per lane: (p1,n1)||(p2,n2), total <= 32 bits."""
     n2u = jnp.clip(n2, 0, 31).astype(jnp.uint32)

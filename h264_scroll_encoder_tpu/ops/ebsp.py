@@ -127,6 +127,34 @@ def rbsp_to_ebsp_gather(rbsp, n, max_out: int):
     return out, out_len
 
 
+def rbsp_to_ebsp_tree(rbsp, n, max_out: int):
+    """Gather-free emulation prevention via monotone log-step expansion.
+
+    TPU has no hardware gather; instead each byte's output position is
+    input position + (#insertions before it) — a non-decreasing shift —
+    so the whole stream moves with log2(max_out) masked static rolls
+    (ops/bitpack.monotone_expand) and the vacated holes become 0x03.
+    """
+    from .bitpack import monotone_expand
+
+    b = jnp.asarray(rbsp, jnp.uint8)
+    size = b.shape[0]
+    idx = jnp.arange(size, dtype=jnp.int32)
+    valid = idx < n
+
+    t = _zero_run_before(b, valid)
+    ins = valid & (b <= 3) & (t >= 2) & (t % 2 == 0)
+    shifts = jnp.cumsum(ins.astype(jnp.int32))
+    total_ins = shifts[-1] if size else jnp.int32(0)
+    out_len = n + total_ins
+
+    out, live = monotone_expand(b, shifts, valid, max_out,
+                                jnp.uint8(3))
+    out_idx = jnp.arange(max_out, dtype=jnp.int32)
+    out = jnp.where(out_idx < out_len, out, jnp.uint8(0))
+    return out, out_len
+
+
 # ---------------------------------------------------------------------------
 # Host (numpy) versions for the parse / session-setup path.
 # ---------------------------------------------------------------------------

@@ -114,6 +114,46 @@ def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
     return patterns, nbits
 
 
+def write_p_slice_header(bw: BitWriter, cfg: ComposerConfig, frame_num: int,
+                         *, is_reference: bool = False,
+                         long_term_idx: int = -1, num_waypoints: int = 0,
+                         wp_long_term_idx=()) -> None:
+    """Host twin of p_slice_header_symbols (bit-identical output)."""
+    bw.write_ue(0)
+    bw.write_ue(SLICE_TYPE_P)
+    bw.write_ue(0)
+    bw.write_bits(frame_num & ((1 << cfg.log2_max_frame_num) - 1),
+                  cfg.log2_max_frame_num)
+    if cfg.pic_order_cnt_type == 0:
+        bw.write_bits((frame_num * 2)
+                      & ((1 << cfg.log2_max_pic_order_cnt_lsb) - 1),
+                      cfg.log2_max_pic_order_cnt_lsb)
+    bw.write_bit(1)                       # num_ref_idx_active_override
+    bw.write_ue(num_waypoints + 1)        # 2 + waypoints refs
+    bw.write_bit(1)                       # ref_pic_list_modification
+    bw.write_ue(2)
+    bw.write_ue(0)
+    bw.write_ue(2)
+    bw.write_ue(1)
+    for i in range(num_waypoints):
+        bw.write_ue(2)
+        bw.write_ue(wp_long_term_idx[i])
+    bw.write_ue(3)
+    if is_reference:
+        if long_term_idx >= 0:
+            bw.write_bit(1)
+            bw.write_ue(4)
+            bw.write_ue(long_term_idx + 1)
+            bw.write_ue(6)
+            bw.write_ue(long_term_idx)
+            bw.write_ue(0)
+        else:
+            bw.write_bit(0)
+    bw.write_se(0)
+    if cfg.deblocking_filter_control_present_flag:
+        bw.write_ue(1)
+
+
 # ---------------------------------------------------------------------------
 # Host-side I-slice headers (session setup: I_PCM atlas frames).
 # ---------------------------------------------------------------------------

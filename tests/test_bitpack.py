@@ -129,6 +129,60 @@ def test_gather_pack_window_stress():
     assert bytes(np.asarray(got_b2)[: (exp2_total + 7) // 8]) == exp2
 
 
+def test_tree_pack_matches_serial():
+    """The gather-free tree packer (TPU hot path) is bit-exact vs the
+    serial writer, including zero-length runs and full-width symbols."""
+    rng = np.random.default_rng(31)
+
+    @jax.jit
+    def packer(p, n):
+        return bitpack.pack_bytes_tree(p, n, _PACK_BYTES)
+
+    for trial in range(20):
+        n = int(rng.integers(1, _PACK_SLOTS))
+        nbits = rng.integers(0, 33, n)
+        if trial % 2:
+            k = int(rng.integers(1, n + 1))
+            nbits[rng.choice(n, size=k, replace=False)] = 0
+        patterns = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        masked = [int(p) & ((1 << int(b)) - 1 if b < 32 else 0xFFFFFFFF)
+                  for p, b in zip(patterns, nbits)]
+        exp, exp_total = serial_pack(masked, nbits)
+
+        pp = np.zeros(_PACK_SLOTS, np.uint32)
+        nn = np.zeros(_PACK_SLOTS, np.int32)
+        pp[:n] = patterns
+        nn[:n] = nbits
+        got_b, got_t = packer(jnp.asarray(pp), jnp.asarray(nn))
+        assert int(got_t) == exp_total, f"trial {trial}"
+        assert bytes(np.asarray(got_b)[: (exp_total + 7) // 8]) == exp, \
+            f"trial {trial}"
+
+
+def test_monotone_expand_fuzz():
+    rng = np.random.default_rng(5)
+    for trial in range(30):
+        n = int(rng.integers(1, 200))
+        n_valid = int(rng.integers(0, n + 1))
+        incs = rng.integers(0, 3, n_valid)
+        shifts = np.cumsum(incs)
+        out_size = 512
+        values = rng.integers(0, 255, n).astype(np.uint8)
+        valid = np.arange(n) < n_valid
+        out, live = bitpack.monotone_expand(
+            jnp.asarray(values), jnp.asarray(np.pad(shifts, (0, n - n_valid))),
+            jnp.asarray(valid), out_size, jnp.uint8(0xEE))
+        out = np.asarray(out)
+        live = np.asarray(live)
+        exp = np.full(out_size, 0xEE, np.uint8)
+        exp_live = np.zeros(out_size, bool)
+        for j in range(n_valid):
+            exp[j + shifts[j]] = values[j]
+            exp_live[j + shifts[j]] = True
+        assert np.array_equal(out, exp), f"trial {trial}"
+        assert np.array_equal(live, exp_live), f"trial {trial}"
+
+
 def test_merge_symbol_pairs():
     p, n = bitpack.merge_symbol_pairs(
         jnp.uint32(0b101), jnp.int32(3), jnp.uint32(0b01), jnp.int32(2))

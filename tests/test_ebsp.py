@@ -105,6 +105,23 @@ def test_gather_version_matches_numpy():
             f"trial {trial}"
 
 
+def test_tree_version_matches_numpy():
+    rng = np.random.default_rng(23)
+    max_in, max_out = 512, 1024
+    f = jax.jit(lambda b, n: ebsp.rbsp_to_ebsp_tree(b, n, max_out))
+    for trial in range(12):
+        n = int(rng.integers(0, max_in))
+        raw = rng.choice(np.array([0, 0, 0, 1, 2, 3, 0xFF], np.uint8),
+                         size=n)
+        padded = np.zeros(max_in, np.uint8)
+        padded[:n] = raw
+        out, out_len = f(jnp.asarray(padded), jnp.int32(n))
+        exp = ebsp.rbsp_to_ebsp_np(raw)
+        assert int(out_len) == exp.size, f"trial {trial}"
+        assert np.asarray(out)[: exp.size].tobytes() == exp.tobytes(), \
+            f"trial {trial}"
+
+
 def test_jit_versions_match_numpy():
     rng = np.random.default_rng(5)
     max_in, max_out = 512, 1024

