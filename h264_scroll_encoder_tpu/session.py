@@ -169,6 +169,24 @@ class ComposerSession:
         self._emit(self._waypoint_fn, offset_px)
         self.waypoints.register(offset_px)
 
+    def write_hint_frame(self, hints) -> None:
+        """Hint-composed frame: static chrome (P_Skip) + motion regions
+        (MASTER_DESIGN §5/§6.1; BASELINE 'composer 720p' config)."""
+        from .models.hints import emit_hint_frame
+
+        _, wp_lt, wp_valid, count = self.waypoints.as_arrays()
+        # Hint frames are a new capability (no C equivalent to byte-match),
+        # so they always use the validated P_Skip path — that is the point
+        # of static chrome.
+        nal, nal_len, _, overflow = emit_hint_frame(
+            self.cfg, self.frame_num, hints, enable_pskip=True,
+            num_waypoints=count, wp_ltidx=wp_lt, wp_valid=wp_valid)
+        if bool(overflow):
+            raise OverflowError("hint frame exceeds the RBSP budget")
+        self.writer.append_raw(np.asarray(nal)[: int(nal_len)].tobytes())
+        self.frame_num += 1
+        self.frames_written += 1
+
     def _emit(self, fn, offset_px: int) -> None:
         wp_off, wp_lt, wp_valid, count = self.waypoints.as_arrays()
         nal, nal_len, _, overflow = fn(

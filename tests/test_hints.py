@@ -1,0 +1,68 @@
+"""Hint-composed frames: static chrome + motion regions with P_Skip."""
+
+import numpy as np
+
+from h264_scroll_encoder_tpu.config import ComposerConfig
+from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+from h264_scroll_encoder_tpu.models import mv_field
+from h264_scroll_encoder_tpu.models.splice import (FrameHints, MotionRegion,
+                                                   parse_slice_header)
+from h264_scroll_encoder_tpu.ops.bitio import BitReader
+from h264_scroll_encoder_tpu.session import ComposerSession
+from h264_scroll_encoder_tpu.syntax import parse
+from h264_scroll_encoder_tpu.verify import verify_stream
+
+
+def test_hint_frame_chrome_and_regions():
+    cfg = ComposerConfig(320, 240)  # 20x15 MBs
+    s = ComposerSession(cfg)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+
+    hints = FrameHints(motion_regions=(
+        MotionRegion(2, 3, 10, 9, ref_idx=0, mv_x=0, mv_y=40),
+        MotionRegion(12, 10, 18, 14, ref_idx=1, mv_x=-8, mv_y=0),
+    ))
+    for _ in range(3):
+        s.write_hint_frame(hints)
+    stream = s.getvalue()
+
+    rep = verify_stream(stream)
+    assert rep.ok, rep.errors
+    # Chrome must compress to skip runs.
+    assert rep.skipped_mbs > rep.coded_mbs
+
+    units = [u for u in parse.iter_nal_units(stream) if u.nal_unit_type == 1
+             and u.nal_ref_idc == 0]
+    assert len(units) == 3
+    br = BitReader(units[0].rbsp)
+    hdr = parse_slice_header(br, is_idr=False, nal_ref_idc=0,
+                             log2_max_frame_num=4,
+                             pps_num_ref_idx_l0_default=2)
+    grid = mbt.parse_p_slice_mbs(br, 20, 15, hdr.num_ref_idx_l0)
+    field = mv_field.decode_p_slice_mv_field(grid, 20, 15)
+
+    # Region MVs decode to the hinted vectors; chrome decodes to zero.
+    # (MotionRegion args are x0, y0, x1, y1.)
+    for y in range(15):
+        for x in range(20):
+            ref, mvx, mvy = mv_field.mb_level_mv(field, x, y)
+            if 3 <= y < 9 and 2 <= x < 10:
+                assert (ref, mvx, mvy) == (0, 0, 160), (x, y)
+            elif 10 <= y < 14 and 12 <= x < 18:
+                assert (ref, mvx, mvy) == (1, -32, 0), (x, y)
+            else:
+                assert (ref, mvx, mvy) == (0, 0, 0), (x, y)
+
+
+def test_hint_frame_occlusion_order():
+    """Later regions override earlier ones (z-order)."""
+    cfg = ComposerConfig(128, 96)
+    from h264_scroll_encoder_tpu.models.hints import hint_fields
+    hints = FrameHints(motion_regions=(
+        MotionRegion(0, 0, 8, 6, ref_idx=0, mv_y=10),
+        MotionRegion(2, 2, 5, 4, ref_idx=1, mv_y=-4),
+    ))
+    ref, mvx, mvy = hint_fields(cfg, hints)
+    assert int(ref[3, 3]) == 1 and int(mvy[3, 3]) == -16
+    assert int(ref[1, 1]) == 0 and int(mvy[1, 1]) == 40
