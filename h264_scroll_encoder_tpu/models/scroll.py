@@ -97,8 +97,17 @@ def _best_waypoint_b(offset_px, height, wp_offsets, wp_valid, num_waypoints):
 def mb_fields_traced(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
                      num_waypoints, is_waypoint_frame,
                      boundary_policy: str = "floor"):
-    """mb_fields with `is_waypoint_frame` as a traced bool: waypoint
-    frames never redirect the B region (src/h264_writer.c:726-729)."""
+    """Per-MB (ref, mv) field assignment; `is_waypoint_frame` is a traced
+    bool (waypoint frames never redirect the B region,
+    src/h264_writer.c:726-729).
+
+    boundary_policy addresses the reference's KNOWN_ISSUES "scroll jumps
+    in ~16 px increments": the A/B seam row floors to MB granularity while
+    content MVs are per-pixel, so up to 15 rows at the seam fetch past
+    their atlas edge and the artifact band jumps per 16 px of scroll.
+    'floor' reproduces the reference (required for byte parity);
+    'nearest' rounds the seam to the closest MB row, halving the worst
+    case (docs/KNOWN_ISSUES_ANALYSIS.md)."""
     offset_px = jnp.asarray(offset_px, jnp.int32)
     h, w = cfg.mb_height, cfg.mb_width
     if boundary_policy == "floor":
@@ -135,40 +144,13 @@ def mb_fields(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
     waypoint frames only redirect A (src/h264_writer.c:689-729).
 
     boundary_policy addresses the reference's KNOWN_ISSUES "scroll jumps
-    in ~16 px increments": the A/B seam row floors to MB granularity
-    while content MVs are per-pixel, so up to 15 rows at the seam fetch
-    past their atlas edge (edge-clamped pixels) and the artifact band
-    jumps per 16 px of scroll.  'floor' reproduces the reference
-    (required for byte parity); 'nearest' rounds the seam to the closest
-    MB row, halving the worst-case artifact band to 8 rows.
+    in ~16 px increments" — see mb_fields_traced and
+    docs/KNOWN_ISSUES_ANALYSIS.md.
     """
-    offset_px = jnp.asarray(offset_px, jnp.int32)
-    h, w = cfg.mb_height, cfg.mb_width
-    if boundary_policy == "floor":
-        a_region_end = (cfg.height - offset_px) // 16
-    elif boundary_policy == "nearest":
-        a_region_end = (cfg.height - offset_px + 8) // 16
-    else:
-        raise ValueError(f"unknown boundary_policy {boundary_policy!r}")
-
-    wp_a, wp_a_off = _best_waypoint_a(offset_px, wp_offsets, wp_valid,
-                                      num_waypoints)
-    if is_waypoint_frame:
-        wp_b, wp_b_off = jnp.int32(-1), jnp.int32(0)
-    else:
-        wp_b, wp_b_off = _best_waypoint_b(offset_px, cfg.height, wp_offsets,
-                                          wp_valid, num_waypoints)
-
-    a_ref = jnp.where(wp_a >= 0, 2 + wp_a, 0)
-    a_mv = jnp.where(wp_a >= 0, offset_px - wp_a_off, offset_px)
-    b_ref = jnp.where(wp_b >= 0, 2 + wp_b, 1)
-    b_mv = jnp.where(wp_b >= 0, offset_px - wp_b_off, offset_px - cfg.height)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    in_a = row < a_region_end
-    ref = jnp.where(in_a, a_ref, b_ref)
-    mv_y = jnp.where(in_a, a_mv, b_mv) * 4  # quarter-pel
-    return ref, mv_y
+    return mb_fields_traced(cfg, offset_px, wp_offsets, wp_valid,
+                            num_waypoints,
+                            jnp.asarray(is_waypoint_frame, bool),
+                            boundary_policy=boundary_policy)
 
 
 # ---------------------------------------------------------------------------
@@ -189,13 +171,21 @@ def _neighbors(field):
     return a, b, c, d
 
 
-def mv_pred_grid(ref, mv_x, mv_y):
-    """H.264 8.4.1.3.1 median MV prediction, vectorized.
+def _pred_stencil(ref, mv_x, mv_y, cur_ref):
+    """H.264 8.4.1.3.1 median MV prediction stencil.
 
     Exact decision tree of get_mv_prediction (src/h264_writer.c:369-432):
     C = above-right, falling back to D = above-left; the
     exactly-one-ref-match fast path; otherwise component-wise median with
-    unavailable neighbors contributing (0,0).
+    unavailable neighbors contributing (0,0).  `cur_ref` is the reference
+    index each MB predicts for — the MB's own ref for coded P_L0_16x16,
+    or 0 for the P_Skip derivation.
+
+    One deliberate spec-vs-C difference: when only A is available the
+    spec uses mvA unconditionally (rule "B and C unavailable"); the C
+    code zeroes it on ref mismatch (src/h264_writer.c:407-417) — an
+    unreachable case in its scroll pattern (rows are ref-uniform), so
+    byte parity is unaffected.
     """
     h, w = ref.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -214,24 +204,17 @@ def mv_pred_grid(ref, mv_x, mv_y):
     mvx_c = jnp.where(use_cr, mvx_cr, mvx_d)
     mvy_c = jnp.where(use_cr, mvy_cr, mvy_d)
 
-    match_a = avail_a & (ref_a == ref)
-    match_b = avail_b & (ref_b == ref)
-    match_c = avail_c & (ref_c == ref)
+    match_a = avail_a & (ref_a == cur_ref)
+    match_b = avail_b & (ref_b == cur_ref)
+    match_c = avail_c & (ref_c == cur_ref)
 
     n_avail = (avail_a.astype(jnp.int32) + avail_b.astype(jnp.int32)
                + avail_c.astype(jnp.int32))
     n_match = (match_a.astype(jnp.int32) + match_b.astype(jnp.int32)
                + match_c.astype(jnp.int32))
+    only_a = avail_a & ~avail_b & ~avail_c
 
     def pick(vx_a, vx_b, vx_c):
-        # Spec rule 1 (8.4.1.3.1): B and C unavailable, A available ->
-        # mvA unconditionally.  (The C reference instead zeroes mvA when
-        # A's ref mismatches, src/h264_writer.c:407-417 — unreachable for
-        # its scroll pattern since rows are ref-uniform, so byte parity
-        # is unaffected; we keep the spec rule for general compositions.)
-        only_a = avail_a & ~avail_b & ~avail_c
-        # Degenerate single-B / single-C cases (1-MB-wide frames): the
-        # match/median rules below cover them identically to the C code.
         one_match = jnp.where(match_a, vx_a, jnp.where(match_b, vx_b, vx_c))
         med = _median3(jnp.where(avail_a, vx_a, 0),
                        jnp.where(avail_b, vx_b, 0),
@@ -242,6 +225,11 @@ def mv_pred_grid(ref, mv_x, mv_y):
                       jnp.where(n_match == 1, one_match, med)))
 
     return pick(mvx_a, mvx_b, mvx_c), pick(mvy_a, mvy_b, mvy_c)
+
+
+def mv_pred_grid(ref, mv_x, mv_y):
+    """Encoder-side prediction: each MB predicts for its own ref."""
+    return _pred_stencil(ref, mv_x, mv_y, ref)
 
 
 def pskip_mv_grid(ref, mv_x, mv_y):
@@ -267,52 +255,9 @@ def pskip_mv_grid(ref, mv_x, mv_y):
     zero_b = avail_b & (ref_b == 0) & (mvx_b == 0) & (mvy_b == 0)
     force_zero = (~avail_a) | (~avail_b) | zero_a | zero_b
 
-    # Skip derivation evaluates 8.4.1.3.1 for refIdx 0 (neighbor refs keep
-    # their real values, the current MB's ref is forced to 0).
-    pred_x, pred_y = _mv_pred_for_ref0(ref, mv_x, mv_y)
+    pred_x, pred_y = _pred_stencil(ref, mv_x, mv_y, jnp.zeros_like(ref))
     return (jnp.where(force_zero, 0, pred_x),
             jnp.where(force_zero, 0, pred_y))
-
-
-def _mv_pred_for_ref0(ref, mv_x, mv_y):
-    """8.4.1.3.1 median prediction assuming the current MB uses refIdx 0."""
-    h, w = ref.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-
-    ref_a, ref_b, ref_cr, ref_d = _neighbors(ref)
-    mvx_a, mvx_b, mvx_cr, mvx_d = _neighbors(mv_x)
-    mvy_a, mvy_b, mvy_cr, mvy_d = _neighbors(mv_y)
-
-    avail_a = col > 0
-    avail_b = row > 0
-    use_cr = (row > 0) & (col + 1 < w)
-    use_d = (row > 0) & (col > 0) & ~use_cr
-    avail_c = use_cr | use_d
-    ref_c = jnp.where(use_cr, ref_cr, ref_d)
-    mvx_c = jnp.where(use_cr, mvx_cr, mvx_d)
-    mvy_c = jnp.where(use_cr, mvy_cr, mvy_d)
-
-    match_a = avail_a & (ref_a == 0)
-    match_b = avail_b & (ref_b == 0)
-    match_c = avail_c & (ref_c == 0)
-    n_avail = (avail_a.astype(jnp.int32) + avail_b.astype(jnp.int32)
-               + avail_c.astype(jnp.int32))
-    n_match = (match_a.astype(jnp.int32) + match_b.astype(jnp.int32)
-               + match_c.astype(jnp.int32))
-
-    def pick(vx_a, vx_b, vx_c):
-        only_a = avail_a & ~avail_b & ~avail_c  # spec rule: pred = mvA
-        one_match = jnp.where(match_a, vx_a, jnp.where(match_b, vx_b, vx_c))
-        med = _median3(jnp.where(avail_a, vx_a, 0),
-                       jnp.where(avail_b, vx_b, 0),
-                       jnp.where(avail_c, vx_c, 0))
-        return jnp.where(
-            n_avail == 0, 0,
-            jnp.where(only_a, vx_a,
-                      jnp.where(n_match == 1, one_match, med)))
-
-    return pick(mvx_a, mvx_b, mvx_c), pick(mvy_a, mvy_b, mvy_c)
 
 
 # ---------------------------------------------------------------------------

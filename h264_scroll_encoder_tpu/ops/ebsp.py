@@ -20,6 +20,7 @@ against a serial automaton in tests/test_ebsp.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,14 +30,10 @@ def _zero_run_before(b, valid):
     n = b.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     nz = jnp.where(valid & (b != 0), idx, jnp.int32(-1))
-    last_nz = jax_cummax(nz)
-    last_nz_before = jnp.concatenate([jnp.full((1,), -1, jnp.int32), last_nz[:-1]])
+    last_nz = jax.lax.associative_scan(jnp.maximum, nz)
+    last_nz_before = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_nz[:-1]])
     return idx - 1 - last_nz_before
-
-
-def jax_cummax(x):
-    import jax
-    return jax.lax.associative_scan(jnp.maximum, x)
 
 
 def rbsp_to_ebsp(rbsp, n, max_out: int):
