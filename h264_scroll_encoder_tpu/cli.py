@@ -181,5 +181,108 @@ def trans_resizer_main(argv=None) -> int:
     return 0
 
 
+def splice_demo_main(argv=None) -> int:
+    """Dynamic-rect splice demo: compose P-frames with a donor rectangle
+    embedded over P_Skip chrome + optional motion regions
+    (MASTER_DESIGN §6; BASELINE 'dynamic-rect splice' config).
+
+    The donor is a small CAVLC stream (e.g. from scripts or a real
+    encoder); its P-slices are spliced at --rect-x/--rect-y each frame.
+    """
+    from pathlib import Path
+
+    import numpy as np
+
+    from .models import mb_transcode as mbt
+    from .models.splice import (FrameHints, MotionRegion, parse_slice_header,
+                                splice_p_frame, finalize_spliced_frame)
+    from .session import ComposerSession
+    from .syntax import parse as sparse
+    from .syntax.nal import write_nal_unit
+    from .syntax.slice_headers import write_p_slice_header
+    from .verify import verify_stream
+    from .ops.bitio import BitReader
+
+    ap = argparse.ArgumentParser(
+        prog="splice-demo",
+        description="Embed a donor's pre-encoded macroblocks into composed "
+                    "P-frames (dynamic-rect splice)")
+    ap.add_argument("--donor", required=True,
+                    help="CAVLC H.264 stream supplying dynamic-region MBs")
+    ap.add_argument("-o", "--output", default="spliced.h264")
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--rect-x", type=int, default=28,
+                    help="rect position in MBs")
+    ap.add_argument("--rect-y", type=int, default=10)
+    ap.add_argument("--scroll-region", action="store_true",
+                    help="add a scrolling motion region beside the rect")
+    args = ap.parse_args(argv)
+
+    donor_data = Path(args.donor).read_bytes()
+    d_sps = d_pps = None
+    donor_slices = []
+    for u in sparse.iter_nal_units(donor_data):
+        if u.nal_unit_type == 7 and d_sps is None:
+            d_sps = sparse.parse_sps(u.rbsp)
+        elif u.nal_unit_type == 8 and d_pps is None:
+            d_pps = sparse.parse_pps(u.rbsp)
+        elif u.nal_unit_type in (1, 5):
+            donor_slices.append(u)
+    if d_sps is None or d_pps is None or not donor_slices:
+        print("Error: donor must contain SPS, PPS and slices",
+              file=sys.stderr)
+        return 1
+    if d_pps.entropy_coding_mode_flag:
+        print("Error: donor is CABAC; CAVLC required", file=sys.stderr)
+        return 1
+
+    cfg = ComposerConfig(args.width, args.height)
+    session = ComposerSession(cfg)
+    session.write_parameter_sets()
+    session.write_test_atlases(striped=True)
+
+    dw, dh = d_sps.width // 16, d_sps.height // 16
+    num_refs = 2
+    frame_idx = 0
+    for u in donor_slices:
+        br = BitReader(u.rbsp)
+        hdr = parse_slice_header(
+            br, is_idr=(u.nal_unit_type == 5), nal_ref_idc=u.nal_ref_idc,
+            log2_max_frame_num=d_sps.log2_max_frame_num,
+            pps_num_ref_idx_l0_default=(
+                d_pps.num_ref_idx_l0_default_active_minus1 + 1))
+        if hdr.is_i:
+            donor_grid = mbt.parse_i_slice_mbs(br, dw, dh)
+        else:
+            donor_grid = mbt.parse_p_slice_mbs(br, dw, dh,
+                                               hdr.num_ref_idx_l0)
+
+        regions = ()
+        if args.scroll_region:
+            regions = (MotionRegion(0, 0, cfg.mb_width, args.rect_y - 1,
+                                    ref_idx=0, mv_y=4 * (frame_idx + 1)),)
+        hints = FrameHints(motion_regions=regions,
+                           dynamic_mb_x=args.rect_x,
+                           dynamic_mb_y=args.rect_y)
+        grid = splice_p_frame(cfg, hints, donor_grid, num_refs)
+        fn = session.frame_num
+
+        def hdr_writer(bw, fn=fn):
+            write_p_slice_header(bw, cfg, fn)
+
+        rbsp = finalize_spliced_frame(cfg, grid, num_refs, hdr_writer)
+        session.writer.append_raw(write_nal_unit(rbsp, 0, 1))
+        session.frame_num += 1
+        frame_idx += 1
+
+    size = session.write_to_file(args.output)
+    rep = verify_stream(session.getvalue())
+    print(f"Output: {args.output} ({size} bytes, {frame_idx} spliced "
+          f"frames)")
+    print("Verification:", "SUCCESS" if rep.ok else f"FAILED {rep.errors[:3]}")
+    return 0 if rep.ok else 1
+
+
 if __name__ == "__main__":
     sys.exit(composer_main())

@@ -260,6 +260,10 @@ def open_two_idr_session(input_path, *,
     if len(idr_rbsps) < 2:
         raise ValueError(
             f"Input must contain 2 IDR frames (found {len(idr_rbsps)})")
+    if pps.entropy_coding_mode_flag:
+        raise ValueError(
+            "Donor stream is CABAC-encoded; the composer requires "
+            "Baseline/CAVLC donors (re-encode with entropy=CAVLC)")
 
     parse_cfg = ComposerConfig(sps.width, sps.height).with_sps_params(
         sps.log2_max_frame_num, sps.pic_order_cnt_type,
@@ -290,4 +294,11 @@ def _parse_reference_file(data: bytes) -> dict:
     missing = [k for k, v in out.items() if v is None]
     if missing:
         raise ValueError(f"Reference file missing {missing}")
+    if out["pps"].entropy_coding_mode_flag:
+        # Donor MB data is spliced bit-verbatim into a CAVLC stream; a
+        # CABAC donor would be silently corrupting (the C reference only
+        # guards this in its shell scripts, netflix_scroll.sh:74-78).
+        raise ValueError(
+            "Donor stream is CABAC-encoded; the composer requires "
+            "Baseline/CAVLC donors (re-encode with entropy=CAVLC)")
     return out

@@ -131,13 +131,14 @@ class PPSInfo:
     deblocking_filter_control_present_flag: int
     pic_init_qp_minus26: int = 0
     chroma_qp_index_offset: int = 0
+    entropy_coding_mode_flag: int = 0
 
 
 def parse_pps(rbsp: bytes) -> PPSInfo:
     br = BitReader(rbsp)
     br.read_ue()    # pic_parameter_set_id
     br.read_ue()    # seq_parameter_set_id
-    br.read_bit()   # entropy_coding_mode_flag
+    entropy = br.read_bit()  # entropy_coding_mode_flag (1 = CABAC)
     br.read_bit()   # bottom_field_pic_order_in_frame_present_flag
     if br.read_ue() > 0:  # num_slice_groups_minus1
         raise UnsupportedStream("slice groups not supported")
@@ -154,6 +155,7 @@ def parse_pps(rbsp: bytes) -> PPSInfo:
         deblocking_filter_control_present_flag=deblock,
         pic_init_qp_minus26=pic_init_qp_minus26,
         chroma_qp_index_offset=chroma_qp_index_offset,
+        entropy_coding_mode_flag=entropy,
     )
 
 

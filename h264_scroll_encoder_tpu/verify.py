@@ -130,6 +130,23 @@ def _verify_slice(unit, sps, pps, mbw, mbh, rep, mv_limit_px,
             f"(expected 1..8 for rbsp_trailing_bits)")
 
 
+def nal_diff(ours: bytes, ref: bytes) -> str:
+    """NAL-by-NAL comparison report (the BASELINE north star's diff tool:
+    'NAL-level diff + conformance decode of every emitted stream')."""
+    ours_units = list(parse.iter_nal_units(ours))
+    ref_units = list(parse.iter_nal_units(ref))
+    lines = [f"ours: {len(ours_units)} NALs, ref: {len(ref_units)} NALs"]
+    for i, (a, b) in enumerate(zip(ours_units, ref_units)):
+        same = a.data == b.data and a.nal_unit_type == b.nal_unit_type
+        if not same:
+            first = next((j for j, (x, y) in enumerate(zip(a.data, b.data))
+                          if x != y), min(len(a.data), len(b.data)))
+            lines.append(
+                f"  NAL {i}: type {a.nal_unit_type}/{b.nal_unit_type} "
+                f"size {len(a.data)}/{len(b.data)} first-diff@{first}")
+    return "\n".join(lines)
+
+
 def verify_cli(argv=None) -> int:
     import argparse
     import json

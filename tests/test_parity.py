@@ -18,20 +18,7 @@ from h264_scroll_encoder_tpu.session import ComposerSession
 from h264_scroll_encoder_tpu.syntax import parse
 
 
-def nal_diff(ours: bytes, ref: bytes) -> str:
-    """NAL-by-NAL comparison report for debugging mismatches."""
-    ours_units = list(parse.iter_nal_units(ours))
-    ref_units = list(parse.iter_nal_units(ref))
-    lines = [f"ours: {len(ours_units)} NALs, ref: {len(ref_units)} NALs"]
-    for i, (a, b) in enumerate(zip(ours_units, ref_units)):
-        same = a.data == b.data and a.nal_unit_type == b.nal_unit_type
-        if not same:
-            first = next((j for j, (x, y) in enumerate(zip(a.data, b.data))
-                          if x != y), min(len(a.data), len(b.data)))
-            lines.append(
-                f"  NAL {i}: type {a.nal_unit_type}/{b.nal_unit_type} "
-                f"size {len(a.data)}/{len(b.data)} first-diff@{first}")
-    return "\n".join(lines)
+from h264_scroll_encoder_tpu.verify import nal_diff  # noqa: E402
 
 
 def assert_streams_identical(ours: bytes, ref: bytes):
