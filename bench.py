@@ -70,6 +70,21 @@ def main() -> None:
     fps = total_frames / (t1 - t0)
     p50_latency_ms = (t1 - t0) / (n_reps * frames_per_scan) * 1000.0
 
+    # Single-frame compose+pack latency (B=1, one step per call) — the
+    # BASELINE "p50 per-frame compose+pack latency" tracked metric.
+    one = batch.make_batched_step(cfg, emit_waypoints=False)
+    s1 = batch.SessionState.create(1)
+    off1 = jnp.asarray([240], jnp.int32)
+    _, out1 = one(s1, off1)
+    _ = np.asarray(out1[1])
+    lat = []
+    for _ in range(20):
+        ta = time.perf_counter()
+        _, out1 = one(s1, off1)
+        _ = np.asarray(out1[1])
+        lat.append(time.perf_counter() - ta)
+    p50_single_ms = sorted(lat)[len(lat) // 2] * 1000.0
+
     baseline = 5000.0  # north-star target, frames/sec/chip
     print(json.dumps({
         "metric": "composed 720p frames/sec/chip",
@@ -79,6 +94,7 @@ def main() -> None:
         "extra": {
             "batch_sessions": batch_size,
             "p50_batchstep_ms": round(p50_latency_ms, 3),
+            "p50_single_frame_ms": round(p50_single_ms, 3),
             "device": str(jax.devices()[0]),
         },
     }))

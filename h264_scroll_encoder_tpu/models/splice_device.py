@@ -37,12 +37,17 @@ from . import mb_transcode as mbt
 from . import scroll as scroll_model
 
 # Per-donor-MB symbol slot budget:
-#   PRE:   pre-residual syntax (mb_type..cbp/qp) as <=32-bit chunks
-#   per block (27 blocks in emission order): 1 token slot + TAIL chunks
-PRE_SLOTS = 40
+#   PRE:   pre-residual syntax (mb_type..cbp/qp) as <=32-bit chunks.
+#          Worst case is P_8x8 with 4 sub_mb_types of 4 MVs each:
+#          1 mb_type + 4 sub + 4 ref + 32 mvd + 1 cbp + 1 qp = 43.
+#   per block (27 blocks in emission order): 1 token slot + TAIL chunks.
+#   TAIL_CHUNKS is chosen per donor from the actual residual density
+#   (quantized so jit programs are shared within a class); 16 covers the
+#   absolute worst case (16 coefficients with 12-bit escape suffixes).
+PRE_SLOTS = 48
+TAIL_CHUNK_CLASSES = (2, 4, 8, 16)
 TAIL_CHUNKS = 16
 N_BLOCKS = 27
-MB_SLOTS = PRE_SLOTS + N_BLOCKS * (1 + TAIL_CHUNKS)
 
 # Residual-block slot meaning (mirrors native/cavlc_decode.cpp layout):
 # [0] luma DC (i16x16), [1..16] luma raster, [17] cbDC, [18] crDC,
@@ -169,16 +174,36 @@ def _emission_blocks(mb: mbt.Macroblock):
                         yield 19 + c * 4 + k, mb.chroma_ac[c][k], "chroma"
 
 
+def _tail_chunk_class(donor_grid: list) -> int:
+    """Smallest TAIL_CHUNK_CLASSES entry covering every residual tail."""
+    need = 1
+    for row in donor_grid:
+        for mb in row:
+            if mb is mbt.SKIP:
+                continue
+            for _bid, blk, _k in _emission_blocks(mb):
+                if blk is not None and blk.tail:
+                    need = max(need, (len(blk.tail) + 31) // 32)
+    for cls in TAIL_CHUNK_CLASSES:
+        if need <= cls:
+            return cls
+    return TAIL_CHUNKS
+
+
 def prepare_donor_symbols(donor_grid: list, num_ref_idx_l0: int,
                           donor_ref_map: tuple = (0,)) -> DonorSymbols:
-    """Flatten a parsed donor MB grid into device-ready symbol arrays."""
+    """Flatten a parsed donor MB grid into device-ready symbol arrays.
+
+    Tail-chunk slots are sized to the donor's residual density (quantized
+    to TAIL_CHUNK_CLASSES so compiled programs are shared per class)."""
     rows, cols = len(donor_grid), len(donor_grid[0])
     m_total = rows * cols
+    tail_chunks = _tail_chunk_class(donor_grid)
     ds = DonorSymbols(
         pre_patterns=np.zeros((m_total, PRE_SLOTS), np.uint32),
         pre_nbits=np.zeros((m_total, PRE_SLOTS), np.int32),
-        tail_patterns=np.zeros((m_total, N_BLOCKS, TAIL_CHUNKS), np.uint32),
-        tail_nbits=np.zeros((m_total, N_BLOCKS, TAIL_CHUNKS), np.int32),
+        tail_patterns=np.zeros((m_total, N_BLOCKS, tail_chunks), np.uint32),
+        tail_nbits=np.zeros((m_total, N_BLOCKS, tail_chunks), np.int32),
         tok_tc=np.zeros((m_total, N_BLOCKS), np.int32),
         tok_t1=np.zeros((m_total, N_BLOCKS), np.int32),
         tok_present=np.zeros((m_total, N_BLOCKS), bool),
@@ -463,8 +488,9 @@ def emit_spliced_frame(cfg: ComposerConfig, rect_mb_x: int, rect_mb_y: int,
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
     # Budget: donor residuals can be dense — size on the donor payload.
+    tail_chunks = ds_dev["tail_patterns"].shape[-1]
     n_rbsp = ((cfg.total_mbs * cfg.rbsp_bits_per_mb
-               + R * C * N_BLOCKS * TAIL_CHUNKS * 4) // 8 + 255) // 4 * 4
+               + R * C * N_BLOCKS * tail_chunks * 4) // 8 + 255) // 4 * 4
     rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
                                                      n_rbsp)
     rbsp_len = total_bits // 8
