@@ -52,6 +52,11 @@ def composer_main(argv=None) -> int:
     ap.add_argument("--pskip", action="store_true",
                     help="Enable spec-correct P_Skip runs (smaller frames; "
                          "not byte-compatible with the C reference)")
+    ap.add_argument("--safe-mv", action="store_true",
+                    help="Pre-provision the waypoint chain so every MV "
+                         "stays within the 496px hardware budget (fixes "
+                         "the reference's low-offset violation; not "
+                         "byte-compatible)")
     args = ap.parse_args(argv)
 
     if args.frames <= 0 or args.speed <= 0:
@@ -71,6 +76,8 @@ def composer_main(argv=None) -> int:
 
     session.write_parameter_sets()
     session.write_donor_atlases(session._donor_a_rbsp, session._donor_b_rbsp)
+    if args.safe_mv:
+        session.preprovision_waypoints()
 
     for offset in triangle_offsets(args.frames, args.speed, cfg.height):
         session.write_scroll_frame(offset)

@@ -169,6 +169,22 @@ class ComposerSession:
         self._emit(self._waypoint_fn, offset_px)
         self.waypoints.register(offset_px)
 
+    def preprovision_waypoints(self) -> None:
+        """Emit the full waypoint chain up front (offsets 496, 992, ...).
+
+        Fixes the reference's low-offset MV-limit violation
+        (docs/KNOWN_ISSUES_ANALYSIS.md): with the chain in place, the
+        existing B-region waypoint selection (src/h264_writer.c:573-588)
+        keeps every frame's vectors within the 496 px budget — the C
+        design only creates waypoints lazily at offset multiples, leaving
+        the first height-496 px of a from-zero scroll uncovered.
+        Costs one small reference P-frame per 496 px of height, once per
+        session; scroll output is NOT byte-compatible with the C
+        reference (which lacks the early waypoints)."""
+        for offset in range(MV_LIMIT_PX, self.cfg.height, MV_LIMIT_PX):
+            if self.waypoints.needs_waypoint(offset):
+                self.write_waypoint_frame(offset)
+
     def write_hint_frame(self, hints) -> None:
         """Hint-composed frame: static chrome (P_Skip) + motion regions
         (MASTER_DESIGN §5/§6.1; BASELINE 'composer 720p' config)."""

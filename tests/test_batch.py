@@ -98,6 +98,30 @@ def test_run_frames_scan():
     assert int(final.wp_count[0]) == 2
 
 
+def test_preprovisioned_waypoints_fix_mv_limit():
+    """With the waypoint chain pre-provisioned, every frame of a full
+    from-zero scroll cycle stays within the hardware MV budget — the
+    reference's low-offset violation (docs/KNOWN_ISSUES_ANALYSIS.md)."""
+    from h264_scroll_encoder_tpu.verify import verify_stream
+
+    def run(safe):
+        s = ComposerSession(ComposerConfig(64, 720))
+        s.write_parameter_sets()
+        s.write_test_atlases(striped=True)
+        if safe:
+            s.preprovision_waypoints()
+        for off in range(0, 720, 48):
+            s.write_scroll_frame(off)
+        return verify_stream(s.getvalue(), strict_mv=True,
+                             mv_limit_px=496)
+
+    unsafe = run(False)
+    assert not unsafe.ok and any("mv_y" in e for e in unsafe.errors)
+    safe = run(True)
+    assert safe.ok, safe.errors
+    assert safe.max_abs_mv_y_px <= 496
+
+
 def test_snapshot_roundtrip(tmp_path):
     # Host session.
     s = ComposerSession(CFG)
