@@ -52,6 +52,7 @@ def main() -> None:
     # trustworthy completion barrier, so all timing ends with one.
     s1, out = run(state, offsets)
     _ = np.asarray(out[3])
+    assert not bool(np.asarray(out[4]).any()), "RBSP budget overflow"
 
     # Timed: several scan invocations chained through state; the final
     # host fetch of a value depending on every rep closes the region.
