@@ -177,7 +177,8 @@ def write_transcoded_slice_header(bw: BitWriter, h: SliceHeaderInfo,
 
 def transcode_pad_stream(data: bytes, out_width: int, out_height: int, *,
                          edge_y: int = 235, level_idc: int = 30,
-                         bug_compat: bool = False) -> bytes:
+                         bug_compat: bool = False,
+                         engine: str = "auto") -> bytes:
     """Widen a CAVLC stream by appending padding MBs at each row's end.
 
     Behavior-parity with the reference trans_resizer at its hardwired
@@ -187,7 +188,18 @@ def transcode_pad_stream(data: bytes, out_width: int, out_height: int, *,
     bug_compat=True reproduces the reference's duplicated final skip run
     (see mb_transcode.emit_p_slice_mbs) for byte-level differential
     testing; the default emits the corrected stream.
+
+    engine: "python" (reference implementation), "native" (C++ parse +
+    re-emit, zero Python per-MB work), or "auto" (native when built).
+    Both engines are byte-identical (tests/test_native.py).
     """
+    from .. import native_bridge
+
+    use_native = (engine == "native"
+                  or (engine == "auto" and native_bridge.native_available()))
+    if engine == "native" and not native_bridge.native_available():
+        raise RuntimeError("native engine requested but library not built "
+                           "(make -C native)")
     sps = pps = None
     for unit in parse.iter_nal_units(data):
         if unit.nal_unit_type == 7 and sps is None:
@@ -231,22 +243,46 @@ def transcode_pad_stream(data: bytes, out_width: int, out_height: int, *,
         bw = BitWriter()
         write_transcoded_slice_header(bw, hdr)
 
-        if hdr.is_i:
+        if not hdr.is_i and not hdr.is_p:
+            raise ValueError(f"unsupported slice type {hdr.slice_type}")
+
+        if use_native:
+            recs, _ = native_bridge.parse_slice_raw(
+                unit.rbsp, br.bit_position, in_mbw, in_mbh, hdr.is_p,
+                hdr.num_ref_idx_l0)
+            out_recs, aux, last_skip = native_bridge.pad_grid_raw(
+                recs, in_mbw, in_mbh, out_mbw, hdr.is_p, edge_y=edge_y)
+            phase = bw.bit_position % 8
+            payload, nbits = native_bridge.emit_slice_raw(
+                out_recs, out_mbw, in_mbh, hdr.is_p, hdr.num_ref_idx_l0,
+                unit.rbsp, aux,
+                duplicate_final_skip=bug_compat and last_skip,
+                start_phase=phase)
+            # Bit-splice the payload after the (unaligned) header.
+            hdr_bits = np.unpackbits(
+                np.frombuffer(bw.getvalue(), np.uint8))[: bw.bit_position]
+            pay_bits = np.unpackbits(
+                np.frombuffer(payload, np.uint8))[phase:nbits]
+            merged = np.concatenate([hdr_bits, pay_bits])
+            whole = merged.size // 8 * 8
+            bw = BitWriter()
+            bw.write_bytes_aligned(np.packbits(merged[:whole]).tobytes())
+            for b in merged[whole:]:
+                bw.write_bit(int(b))
+        elif hdr.is_i:
             grid = mbt.parse_i_slice_mbs(br, in_mbw, in_mbh)
             out_grid = [
                 row + [ipcm_padding_mb(edge_y, first_padding=(p == 0))
                        for p in range(pad)]
                 for row in grid]
             mbt.emit_i_slice_mbs(bw, out_grid)
-        elif hdr.is_p:
+        else:
             grid = mbt.parse_p_slice_mbs(br, in_mbw, in_mbh,
                                          hdr.num_ref_idx_l0)
             out_grid = [row + [mbt.SKIP] * pad for row in grid]
             dup = bug_compat and grid[-1][-1] is mbt.SKIP
             mbt.emit_p_slice_mbs(bw, out_grid, hdr.num_ref_idx_l0,
                                  duplicate_final_skip=dup)
-        else:
-            raise ValueError(f"unsupported slice type {hdr.slice_type}")
 
         bw.write_trailing_bits()
         out.write_nal_unit(bw.getvalue(), unit.nal_ref_idc,

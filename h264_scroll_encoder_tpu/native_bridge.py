@@ -75,6 +75,15 @@ def load_library(build: bool = True):
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(_MBRec), ctypes.POINTER(ctypes.c_long),
     ]
+    lib.cavlc_emit_slice.restype = ctypes.c_int
+    lib.cavlc_emit_slice.argtypes = [
+        ctypes.POINTER(_MBRec), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long),
+    ]
     if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
         raise RuntimeError("native MBRec layout mismatch")
     return lib
@@ -96,6 +105,90 @@ def _decode_tail(blk: _BlockRec, bits: np.ndarray) -> cavlc.ResidualBlock:
     # tail); parity with the Python parser is asserted on those fields.
     return cavlc.ResidualBlock(int(blk.tc), int(blk.t1), tail, (),
                                int(blk.total_zeros), ())
+
+
+def parse_slice_raw(rbsp: bytes, start_bit: int, mb_width: int,
+                    mb_height: int, is_p: bool, num_ref_idx_l0: int):
+    """Raw-record parse: -> (ctypes MBRec array, end_bit) with NO Python
+    conversion — the zero-copy handle for native re-emission."""
+    lib = load_library()
+    if lib is None:
+        return None
+    data = np.frombuffer(rbsp, np.uint8)
+    total = mb_width * mb_height
+    recs = (_MBRec * total)()
+    end_bit = ctypes.c_long(0)
+    err = lib.cavlc_parse_slice(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(rbsp), start_bit, mb_width, mb_height, int(is_p),
+        num_ref_idx_l0, recs, ctypes.byref(end_bit))
+    if err:
+        raise cavlc.CAVLCError(f"native CAVLC parse failed: code {err}")
+    return recs, int(end_bit.value)
+
+
+def emit_slice_raw(recs, mb_width: int, mb_height: int, is_p: bool,
+                   num_ref_idx_l0: int, src_rbsp: bytes,
+                   aux: bytes = b"", *, duplicate_final_skip: bool = False,
+                   start_phase: int = 0, capacity: int | None = None):
+    """Native re-emission of an MBRec grid -> (payload_bytes, nbits).
+
+    The payload is the MB data only (no slice header / trailing bits).
+    `start_phase` is the bit phase (mod 8) of the payload's position in
+    the final stream (I_PCM alignment depends on it); the returned bytes
+    carry `start_phase` leading zero bits and nbits counts them."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if capacity is None:
+        capacity = len(src_rbsp) + mb_width * mb_height * 400 + 4096
+    out = np.zeros(capacity, np.uint8)
+    src = np.frombuffer(src_rbsp, np.uint8)
+    aux_arr = np.frombuffer(aux, np.uint8) if aux else np.zeros(1, np.uint8)
+    nbits = ctypes.c_long(0)
+    err = lib.cavlc_emit_slice(
+        recs, mb_width, mb_height, int(is_p), num_ref_idx_l0,
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        aux_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(duplicate_final_skip), start_phase,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        capacity, ctypes.byref(nbits))
+    if err:
+        raise cavlc.CAVLCError(f"native CAVLC emit failed: code {err}")
+    n = int(nbits.value)
+    return out[: (n + 7) // 8].tobytes(), n
+
+
+def pad_grid_raw(recs, in_w: int, in_h: int, out_w: int, is_p: bool, *,
+                 edge_y: int = 235):
+    """Widen a raw MBRec grid with padding records (P slices: skip;
+    I slices: I_PCM with aux payloads, first one edge-compatible).
+    -> (out_recs, aux_bytes, last_input_is_skip)."""
+    from .models.splice import ipcm_padding_mb
+
+    total = out_w * in_h
+    out_recs = (_MBRec * total)()
+    pad = out_w - in_w
+    rec_size = ctypes.sizeof(_MBRec)
+
+    # Aux payloads: [0] = first-padding edge MB, [384] = plain black MB.
+    aux = (ipcm_padding_mb(edge_y, first_padding=True).ipcm_samples
+           + ipcm_padding_mb().ipcm_samples)
+
+    for row in range(in_h):
+        ctypes.memmove(
+            ctypes.byref(out_recs, row * out_w * rec_size),
+            ctypes.byref(recs, row * in_w * rec_size),
+            in_w * rec_size)
+        if not is_p:
+            for p in range(pad):
+                dst = out_recs[row * out_w + in_w + p]
+                dst.kind = 4
+                dst.mb_type = 25
+                dst.ipcm_byte_start = -((0 if p == 0 else 384) + 1)
+        # P slices: zero-initialized records are already P_Skip (kind 0).
+    last_in_skip = recs[in_w * in_h - 1].kind == 0
+    return out_recs, aux, last_in_skip
 
 
 def parse_slice_native(rbsp: bytes, start_bit: int, mb_width: int,

@@ -424,7 +424,248 @@ int parse_inter(BitReader& br, MBRec* mb, int mb_type, int num_ref,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Emission: re-emit MBRec grids at (possibly new) geometry with nC repair.
+// Mirrors models/mb_transcode.emit_* (Python reference implementation).
+// ---------------------------------------------------------------------------
+
+class BitWriter {
+ public:
+  BitWriter(uint8_t* out, long capacity)
+      : out_(out), cap_bits_(capacity * 8), pos_(0) {}
+
+  long pos() const { return pos_; }
+  bool overflowed() const { return pos_ > cap_bits_; }
+
+  void bit(int b) {
+    if (pos_ < cap_bits_) {
+      long byte = pos_ >> 3;
+      int sh = 7 - (pos_ & 7);
+      out_[byte] = (uint8_t)((out_[byte] & ~(1 << sh)) | ((b & 1) << sh));
+    }
+    ++pos_;
+  }
+
+  void bits(uint32_t v, int n) {
+    for (int i = n - 1; i >= 0; --i) bit((v >> i) & 1);
+  }
+
+  void ue(uint32_t v) {
+    uint64_t vp1 = (uint64_t)v + 1;
+    int m = 0;
+    while ((vp1 >> (m + 1)) != 0) ++m;
+    for (int i = 0; i < m; ++i) bit(0);
+    bits((uint32_t)vp1, m + 1);
+  }
+
+  void se(int32_t v) { ue(v > 0 ? 2 * (uint32_t)v - 1 : (uint32_t)(-2 * v)); }
+
+  void align_zero() { while (pos_ & 7) bit(0); }
+
+  void copy_bits(const uint8_t* src, long src_start_bit, long nbits) {
+    for (long i = 0; i < nbits; ++i) {
+      long p = src_start_bit + i;
+      bit((src[p >> 3] >> (7 - (p & 7))) & 1);
+    }
+  }
+
+  void copy_bytes(const uint8_t* src, long n) {
+    // caller guarantees alignment
+    for (long i = 0; i < n; ++i) bits(src[i], 8);
+  }
+
+ private:
+  uint8_t* out_;
+  long cap_bits_;
+  long pos_;
+};
+
+namespace {
+
+int token_class(int nC) {
+  if (nC == -1) return 4;
+  if (nC < 2) return 0;
+  if (nC < 4) return 1;
+  if (nC < 8) return 2;
+  return 3;
+}
+
+void emit_token(BitWriter& bw, int nC, int tc, int t1) {
+  const VlcRow& r = kCoeffTokenEnc[token_class(nC)][tc][t1];
+  bw.bits(r.code, r.len);
+}
+
+void emit_block(BitWriter& bw, const BlockRec& blk, int nC,
+                const uint8_t* src) {
+  emit_token(bw, nC, blk.tc, blk.t1);
+  if (blk.tc > 0) bw.copy_bits(src, blk.tail_start, blk.tail_len);
+}
+
+void emit_luma_inter(BitWriter& bw, const MBRec* mb, CoeffCtx* ctx,
+                     const CoeffCtx* left, const CoeffCtx* top,
+                     const uint8_t* src) {
+  int cbp_luma = mb->cbp & 0xF;
+  for (int i8 = 0; i8 < 4; ++i8) {
+    if (!(cbp_luma & (1 << i8))) continue;
+    for (int i4 = 0; i4 < 4; ++i4) {
+      int raster = kScanToRaster[i8 * 4 + i4];
+      int nC = luma_nc(raster, ctx, left, top);
+      emit_block(bw, mb->blocks[1 + raster], nC, src);
+      ctx->luma[raster] = (int8_t)mb->blocks[1 + raster].tc;
+    }
+  }
+}
+
+void emit_chroma(BitWriter& bw, const MBRec* mb, CoeffCtx* ctx,
+                 const CoeffCtx* left, const CoeffCtx* top,
+                 const uint8_t* src) {
+  int cbp_chroma = (mb->cbp >> 4) & 3;
+  if (cbp_chroma <= 0) return;
+  emit_block(bw, mb->blocks[17], -1, src);
+  emit_block(bw, mb->blocks[18], -1, src);
+  if (cbp_chroma == 2) {
+    for (int c = 0; c < 2; ++c) {
+      for (int i = 0; i < 4; ++i) {
+        int nC = chroma_nc(c, i, ctx, left, top);
+        emit_block(bw, mb->blocks[19 + c * 4 + i], nC, src);
+        ctx->chroma[c][i] = (int8_t)mb->blocks[19 + c * 4 + i].tc;
+      }
+    }
+  }
+}
+
+void emit_mb(BitWriter& bw, const MBRec* mb, Tracker& trk, int col,
+             int num_ref, const uint8_t* src, const uint8_t* aux) {
+  const CoeffCtx* left = trk.left_of(col);
+  const CoeffCtx* top = trk.top_of(col);
+  CoeffCtx ctx;
+  std::memset(&ctx, 0, sizeof(ctx));
+  bw.ue((uint32_t)mb->mb_type);
+
+  if (mb->kind == 4) {  // I_PCM
+    bw.align_zero();
+    if (mb->ipcm_byte_start >= 0) {
+      bw.copy_bytes(src + mb->ipcm_byte_start, 384);
+    } else {
+      bw.copy_bytes(aux + (-(mb->ipcm_byte_start) - 1), 384);
+    }
+    trk.push(col, ctx);
+    return;
+  }
+
+  if (mb->kind == 1) {  // inter
+    if (mb->mb_type >= 3) {
+      for (int i = 0; i < 4; ++i) bw.ue((uint32_t)mb->sub_mb_types[i]);
+    }
+    if (num_ref > 1 && mb->mb_type != 4 && mb->n_ref > 0) {
+      for (int i = 0; i < mb->n_ref; ++i) {
+        if (num_ref == 2) bw.bit(1 - (mb->ref_idx[i] & 1));
+        else bw.ue((uint32_t)mb->ref_idx[i]);
+      }
+    }
+    for (int i = 0; i < mb->n_mvds; ++i) {
+      bw.se(mb->mvds[i][0]);
+      bw.se(mb->mvds[i][1]);
+    }
+    bw.ue(kCbpInterInv[mb->cbp]);
+    if (mb->cbp > 0) {
+      bw.se(mb->qp_delta);
+      emit_luma_inter(bw, mb, &ctx, left, top, src);
+      emit_chroma(bw, mb, &ctx, left, top, src);
+    }
+    trk.push(col, ctx);
+    return;
+  }
+
+  if (mb->kind == 2) {  // I_4x4
+    bw.copy_bits(src, mb->pred_bits_start, mb->pred_bits_len);
+    bw.ue((uint32_t)mb->chroma_pred);
+    bw.ue(kCbpIntraInv[mb->cbp]);
+    if (mb->cbp > 0) {
+      bw.se(mb->qp_delta);
+      emit_luma_inter(bw, mb, &ctx, left, top, src);
+      emit_chroma(bw, mb, &ctx, left, top, src);
+    }
+    trk.push(col, ctx);
+    return;
+  }
+
+  // kind == 3: I_16x16
+  int cbp_luma = (mb->i16_idx / 12) ? 15 : 0;
+  bw.ue((uint32_t)mb->chroma_pred);
+  bw.se(mb->qp_delta);
+  int dc_nc = luma_nc(0, &ctx, left, top);
+  emit_block(bw, mb->blocks[0], dc_nc, src);
+  for (int i8 = 0; i8 < 4; ++i8) {
+    for (int i4 = 0; i4 < 4; ++i4) {
+      int raster = kScanToRaster[i8 * 4 + i4];
+      if (cbp_luma & (1 << i8)) {
+        int nC = luma_nc(raster, &ctx, left, top);
+        emit_block(bw, mb->blocks[1 + raster], nC, src);
+        ctx.luma[raster] = (int8_t)mb->blocks[1 + raster].tc;
+      }
+    }
+  }
+  emit_chroma(bw, mb, &ctx, left, top, src);
+  trk.push(col, ctx);
+}
+
+}  // namespace
+
 extern "C" {
+
+// Emit an MBRec grid (mb_width x mb_height, row-major) as slice MB data.
+// kind==0 records are P_Skip.  src supplies tail/pred/ipcm spans recorded
+// by cavlc_parse_slice; aux supplies synthesized I_PCM payloads for
+// records with ipcm_byte_start < 0 (offset -(v+1)).  start_phase is the
+// bit position (mod 8) at which the payload will sit in the final stream
+// — I_PCM pcm_alignment_zero_bits depend on it; the first start_phase
+// bits of `out` are left zero and included in *out_bits.  Returns 0 on
+// success, -100 on output overflow.
+int cavlc_emit_slice(const MBRec* mbs, int mb_width, int mb_height,
+                     int is_p, int num_ref_idx_l0, const uint8_t* src,
+                     const uint8_t* aux, int duplicate_final_skip,
+                     long start_phase, uint8_t* out, long out_capacity,
+                     long* out_bits) {
+  BitWriter bw(out, out_capacity);
+  for (long i = 0; i < start_phase; ++i) bw.bit(0);
+  CoeffCtx* top = new CoeffCtx[mb_width];
+  CoeffCtx* cur = new CoeffCtx[mb_width];
+  bool* top_set = new bool[mb_width]();
+  bool* cur_set = new bool[mb_width]();
+  Tracker trk{mb_width, top, cur, top_set, cur_set};
+  long pending = 0;
+
+  for (int row = 0; row < mb_height; ++row) {
+    for (int col = 0; col < mb_width; ++col) {
+      const MBRec* mb = &mbs[row * mb_width + col];
+      if (mb->kind == 0) {
+        ++pending;
+        CoeffCtx z;
+        std::memset(&z, 0, sizeof(z));
+        trk.push(col, z);
+        continue;
+      }
+      if (is_p) {
+        bw.ue((uint32_t)pending);
+        pending = 0;
+      }
+      emit_mb(bw, mb, trk, col, num_ref_idx_l0, src, aux);
+    }
+    trk.end_row();
+  }
+  if (is_p && pending > 0) {
+    bw.ue((uint32_t)pending);
+    if (duplicate_final_skip) bw.ue((uint32_t)pending);
+  }
+
+  delete[] top;
+  delete[] cur;
+  delete[] top_set;
+  delete[] cur_set;
+  *out_bits = bw.pos();
+  return bw.overflowed() ? -100 : 0;
+}
 
 // Returns 0 on success, negative error code otherwise.  `end_bit`
 // receives the bit position after the last macroblock.

@@ -74,6 +74,24 @@ def test_native_matches_python(seed, is_p, num_ref):
             _assert_mb_equal(py_grid[r][c], nat_grid[r][c], (r, c))
 
 
+def test_native_transcode_engine_equivalence():
+    """The full native transcode path (raw parse -> pad -> native emit)
+    must be byte-identical to the Python engine, across ref counts and
+    bug-compat modes (I_PCM alignment depends on the header bit phase —
+    the case that catches phase bugs)."""
+    from h264_scroll_encoder_tpu.models.splice import transcode_pad_stream
+
+    for seed, nref in ((3, 1), (11, 2)):
+        stream = fixtures.synthetic_cavlc_stream(
+            320, 320, n_p_frames=2, seed=seed, num_ref_idx_l0=nref)
+        for bc in (False, True):
+            py = transcode_pad_stream(stream, 720, 320, bug_compat=bc,
+                                      engine="python")
+            nat = transcode_pad_stream(stream, 720, 320, bug_compat=bc,
+                                       engine="native")
+            assert py == nat, (seed, nref, bc)
+
+
 def test_native_reemission_byte_identical():
     """Native-parsed grids must re-emit byte-identically."""
     rng = np.random.default_rng(9)
