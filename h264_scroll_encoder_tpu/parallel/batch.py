@@ -130,6 +130,29 @@ def make_sharded_step(cfg: ComposerConfig, mesh: Mesh, axis: str = "sessions",
                    out_shardings=out_sharding)
 
 
+@functools.lru_cache(maxsize=None)
+def make_batched_splice_step(cfg: ComposerConfig, rect_mb_x: int,
+                             rect_mb_y: int, rect_w: int, rect_h: int,
+                             num_refs: int = 2):
+    """jit(vmap) of the device dynamic-rect splice kernel.
+
+    Per session: header symbols, background fields/coded mask, donor
+    symbol arrays (models/splice_device.prepare_donor_symbols ->
+    donor_device_arrays) and the donor MB-level motion approximation.
+    Returns (nal, nal_len, rbsp_bits, overflow) batched.
+    """
+    from ..models import splice_device
+
+    def one(hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, ds_dev,
+            d_ref, d_mvx, d_mvy):
+        return splice_device.emit_spliced_frame(
+            cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
+            hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded,
+            ds_dev, d_ref, d_mvx, d_mvy)
+
+    return jax.jit(jax.vmap(one))
+
+
 def run_frames(cfg: ComposerConfig, state: SessionState, offsets,
                *, enable_pskip: bool = False, emit_waypoints: bool = True):
     """lax.scan over a [T, B] offset schedule, fully on-device.
