@@ -154,8 +154,16 @@ def make_batched_splice_step(cfg: ComposerConfig, rect_mb_x: int,
 
 
 def run_frames(cfg: ComposerConfig, state: SessionState, offsets,
-               *, enable_pskip: bool = False, emit_waypoints: bool = True):
+               *, enable_pskip: bool = False, emit_waypoints: bool = True,
+               composer_semantics: bool = False):
     """lax.scan over a [T, B] offset schedule, fully on-device.
+
+    With composer_semantics=True each session follows the composer CLI's
+    two-NAL behavior (src/composer.c:255-264): a step that emits a
+    waypoint does NOT consume the session's schedule entry — the session
+    keeps its own schedule pointer and re-presents the same offset next
+    step for the scroll frame (sessions drift independently; trailing
+    steps past the schedule replay its last entry).
 
     Returns final state and stacked per-frame outputs; used by the
     benchmark so the host never touches per-frame data inside the timed
@@ -163,15 +171,37 @@ def run_frames(cfg: ComposerConfig, state: SessionState, offsets,
     """
     step = functools.partial(_session_step, cfg, enable_pskip, emit_waypoints)
     vstep = jax.vmap(step)
+    offsets = jnp.asarray(offsets, jnp.int32)
 
-    def body(carry, offs):
-        new_state, outs = vstep(carry, offs)
-        # Keep only sizes in the scan output; NAL bytes are consumed via
-        # the per-step API in production (egress), sizes suffice to time
-        # the compose+pack pipeline end-to-end.
+    if not composer_semantics:
+        def body(carry, offs):
+            new_state, outs = vstep(carry, offs)
+            # Keep only sizes in the scan output; NAL bytes are consumed
+            # via the per-step API in production (egress), sizes suffice
+            # to time the compose+pack pipeline end-to-end.
+            nal, nal_len, emitted_wp, rbsp_bits, overflow = outs
+            checksum = jnp.sum(nal.astype(jnp.uint32), axis=-1,
+                               dtype=jnp.uint32)
+            return new_state, (nal_len, emitted_wp, rbsp_bits, checksum,
+                               overflow)
+
+        return jax.lax.scan(body, state, offsets)
+
+    T, B = offsets.shape
+    cols = jnp.arange(B, dtype=jnp.int32)
+
+    def body(carry, _):
+        st, ptr = carry
+        offs = offsets[jnp.clip(ptr, 0, T - 1), cols]
+        new_state, outs = vstep(st, offs)
         nal, nal_len, emitted_wp, rbsp_bits, overflow = outs
-        checksum = jnp.sum(nal.astype(jnp.uint32), axis=-1, dtype=jnp.uint32)
-        return new_state, (nal_len, emitted_wp, rbsp_bits, checksum,
-                           overflow)
+        checksum = jnp.sum(nal.astype(jnp.uint32), axis=-1,
+                           dtype=jnp.uint32)
+        ptr = ptr + jnp.where(emitted_wp, 0, 1)
+        return (new_state, ptr), (nal_len, emitted_wp, rbsp_bits, checksum,
+                                  overflow)
 
-    return jax.lax.scan(body, state, jnp.asarray(offsets, jnp.int32))
+    ptr0 = jnp.zeros((B,), jnp.int32)
+    (final_state, _), outs = jax.lax.scan(body, (state, ptr0), None,
+                                          length=T)
+    return final_state, outs

@@ -98,6 +98,34 @@ def test_run_frames_scan():
     assert int(final.wp_count[0]) == 2
 
 
+def test_run_frames_composer_semantics():
+    """composer_semantics: a waypoint step stalls the session's schedule
+    pointer so the scroll frame of the same offset follows (the composer
+    CLI's two-NAL behavior) — checked against the host session."""
+    sched = [40, 496, 600, 992, 1000]   # waypoints fire at 496 and 992
+    T = len(sched) + 2                  # room for the two stalls
+    offsets = np.tile(np.asarray(
+        sched + [sched[-1]] * 2)[:, None], (1, 1))
+    state = batch.SessionState.create(1, frame_num=2)
+    final, (nal_len, wp, bits, checksum, ovf) = jax.jit(
+        lambda s, o: batch.run_frames(CFG, s, o,
+                                      composer_semantics=True))(
+        state, offsets)
+    assert not bool(jnp.any(ovf))
+    assert int(final.wp_count[0]) == 2
+    # Host equivalent: composer-style write_scroll_frame (2 NALs on
+    # waypoint steps) over the raw schedule.
+    s = ComposerSession(CFG)
+    s.frame_num = 2
+    for off in sched:
+        s.write_scroll_frame(off)
+    from h264_scroll_encoder_tpu.syntax import parse
+    host_lens = [len(u.data) + 5
+                 for u in parse.iter_nal_units(s.getvalue())]
+    got_lens = [int(x) for x in np.asarray(nal_len)[:, 0]]
+    assert got_lens == host_lens
+
+
 def test_preprovisioned_waypoints_fix_mv_limit():
     """With the waypoint chain pre-provisioned, every frame of a full
     from-zero scroll cycle stays within the hardware MV budget — the
