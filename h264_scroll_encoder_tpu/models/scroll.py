@@ -267,11 +267,16 @@ def pskip_mv_grid(ref, mv_x, mv_y):
 def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
                  ref, mv_x, mv_y, num_refs, nal_ref_idc,
                  *, enable_pskip: bool):
-    """Symbols -> packed Annex-B NAL bytes for one P frame.
+    """Symbols -> packed Annex-B NAL bytes for one P slice.
 
-    Returns (nal uint8[max_nal_bytes], nal_len int32, rbsp_bits int32).
+    The field grids may cover the full frame or one horizontal slice band
+    (multi-slice frames, MASTER_DESIGN §10 "MB-row-aligned slices"):
+    buffers scale with the grid, and a band's top row having no 'above'
+    inside the grid is exactly H.264's slice-boundary prediction rule.
+
+    Returns (nal uint8, nal_len int32, rbsp_bits int32, overflow bool).
     """
-    h, w = cfg.mb_height, cfg.mb_width
+    h, w = ref.shape
     n_mbs = h * w
 
     pred_x, pred_y = mv_pred_grid(ref, mv_x, mv_y)
@@ -335,13 +340,13 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
-    n_rbsp = max_rbsp_bytes(cfg)
+    n_rbsp = (n_mbs * cfg.rbsp_bits_per_mb // 8 + 96 + 3) // 4 * 4
     rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
                                                      n_rbsp)
     rbsp_len = total_bits // 8  # trailing bits guarantee alignment
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
-    n_nal = max_nal_bytes(cfg)
+    n_nal = (5 + n_rbsp * 3 // 2 + 8 + 3) // 4 * 4
     ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(rbsp_bytes, rbsp_len,
                                                   n_nal - 8)
 
@@ -385,6 +390,47 @@ def unified_frame(cfg: ComposerConfig, frame_num, offset_px,
                         num_refs=2 + num_waypoints,
                         nal_ref_idc=nal_ref_idc,
                         enable_pskip=enable_pskip)
+
+
+def scroll_frame_sliced(cfg: ComposerConfig, frame_num, offset_px,
+                        wp_offsets, wp_ltidx, wp_valid, num_waypoints,
+                        *, rows_per_slice: int,
+                        enable_pskip: bool = False,
+                        boundary_policy: str = "floor"):
+    """One scroll frame emitted as multiple MB-row-aligned slices.
+
+    Each band is an independent slice (first_mb_in_slice = band start):
+    consumers can decode bands in parallel and packet loss is contained.
+    Spatial prediction does not cross slice boundaries in H.264, which
+    the band-local stencils reproduce exactly.  The reference is strictly
+    one slice per frame; this is an extension (MASTER_DESIGN §10 notes
+    the layout).  Returns stacked (nals u8[K, n], lens i32[K],
+    bits i32[K], overflow bool[K]).
+    """
+    if cfg.mb_height % rows_per_slice:
+        raise ValueError("mb_height must divide by rows_per_slice")
+    n_bands = cfg.mb_height // rows_per_slice
+    max_fn = 1 << cfg.log2_max_frame_num
+    fn = frame_num % max_fn
+    ref, mv_y = mb_fields(cfg, offset_px, wp_offsets, wp_valid,
+                          num_waypoints, is_waypoint_frame=False,
+                          boundary_policy=boundary_policy)
+    mv_x = jnp.zeros_like(mv_y)
+
+    def one_band(band_ref, band_mvx, band_mvy, first_mb):
+        hp, hn = p_slice_header_symbols(
+            cfg, fn, fn * 2, is_reference=False, long_term_idx=-1,
+            num_waypoints=num_waypoints, wp_long_term_idx=wp_ltidx,
+            wp_valid=wp_valid, first_mb=first_mb)
+        return emit_p_frame(cfg, hp, hn, band_ref, band_mvx,
+                            band_mvy, num_refs=2 + num_waypoints,
+                            nal_ref_idc=0, enable_pskip=enable_pskip)
+
+    bands = lambda a: a.reshape(n_bands, rows_per_slice, cfg.mb_width)
+    first_mbs = (jnp.arange(n_bands, dtype=jnp.uint32)
+                 * (rows_per_slice * cfg.mb_width))
+    return jax.vmap(one_band)(bands(ref), bands(mv_x), bands(mv_y),
+                              first_mbs)
 
 
 def needs_waypoint(offset_px, wp_offsets, wp_valid, num_waypoints):

@@ -169,6 +169,26 @@ class ComposerSession:
         self._emit(self._waypoint_fn, offset_px)
         self.waypoints.register(offset_px)
 
+    def write_scroll_frame_sliced(self, offset_px: int,
+                                  rows_per_slice: int) -> None:
+        """Scroll frame as multiple MB-row-aligned slices (parallel-decode
+        friendly; extension over the reference's one-slice frames).
+        Waypoint frames, when needed, are still emitted single-slice."""
+        if self.waypoints.needs_waypoint(offset_px):
+            self.write_waypoint_frame(offset_px)
+        wp_off, wp_lt, wp_valid, count = self.waypoints.as_arrays()
+        nals, lens, _, ovf = scroll.scroll_frame_sliced(
+            self.cfg, jnp.int32(self.frame_num), jnp.int32(offset_px),
+            wp_off, wp_lt, wp_valid, count,
+            rows_per_slice=rows_per_slice, enable_pskip=self.enable_pskip)
+        if bool(np.asarray(ovf).any()):
+            raise OverflowError("sliced frame exceeds the RBSP budget")
+        nals = np.asarray(nals)
+        for k in range(nals.shape[0]):
+            self.writer.append_raw(nals[k][: int(lens[k])].tobytes())
+        self.frame_num += 1
+        self.frames_written += 1
+
     def preprovision_waypoints(self) -> None:
         """Emit the full waypoint chain up front (offsets 496, 992, ...).
 

@@ -26,7 +26,8 @@ P_HEADER_SLOTS = 14 + 2 * MAX_WAYPOINTS + 7
 
 def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
                            is_reference, long_term_idx,
-                           num_waypoints, wp_long_term_idx, wp_valid):
+                           num_waypoints, wp_long_term_idx, wp_valid,
+                           first_mb=0):
     """P slice header as (patterns[P_HEADER_SLOTS], nbits[P_HEADER_SLOTS]).
 
     Args (traced unless noted):
@@ -64,7 +65,7 @@ def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
 
     one = jnp.uint32(1)
 
-    sym_ue(0)                      # first_mb_in_slice
+    sym_ue(first_mb)               # first_mb_in_slice
     sym_ue(SLICE_TYPE_P)           # slice_type
     sym_ue(0)                      # pps_id
     fn_bits = cfg.log2_max_frame_num

@@ -58,6 +58,7 @@ def verify_stream(data: bytes, *, mv_limit_px: int = 512,
     rep = VerifyReport(ok=True)
     sps = pps = None
     mbw = mbh = 0
+    pending: list = []
 
     for unit in parse.iter_nal_units(data):
         rep.nal_count += 1
@@ -77,67 +78,101 @@ def verify_stream(data: bytes, *, mv_limit_px: int = 512,
             if sps is None or pps is None:
                 rep.error(f"slice NAL #{rep.nal_count} before SPS/PPS")
                 continue
-            rep.frame_count += 1
-            rep.bytes_per_frame.append(len(unit.data) + 5)
+            # Group MB-row-aligned slices into frames: first_mb == 0
+            # starts a frame, further slices extend it.
+            br = BitReader(unit.rbsp)
             try:
-                _verify_slice(unit, sps, pps, mbw, mbh, rep,
-                              mv_limit_px, strict_trailing, strict_mv)
+                hdr = parse_slice_header(
+                    br, is_idr=(t == 5), nal_ref_idc=unit.nal_ref_idc,
+                    log2_max_frame_num=sps.log2_max_frame_num,
+                    pps_num_ref_idx_l0_default=(
+                        pps.num_ref_idx_l0_default_active_minus1 + 1))
             except Exception as e:  # noqa: BLE001
-                rep.error(f"frame {rep.frame_count}: {e}")
+                rep.error(f"slice header parse failed: {e}")
+                continue
+            if hdr.first_mb == 0:
+                _flush_frame(pending, mbw, mbh, rep, mv_limit_px,
+                             strict_trailing, strict_mv)
+                pending.clear()
+            elif not pending:
+                rep.error(f"slice with first_mb {hdr.first_mb} without a "
+                          f"frame start")
+                continue
+            pending.append((unit, hdr, br.bit_position))
         elif t in (6, 9):
             pass  # SEI / AUD: tolerated
         else:
             rep.error(f"unexpected NAL type {t}")
 
+    _flush_frame(pending, mbw, mbh, rep, mv_limit_px, strict_trailing,
+                 strict_mv)
     if rep.frame_count == 0:
         rep.error("no frames")
     return rep
 
 
-def _verify_slice(unit, sps, pps, mbw, mbh, rep, mv_limit_px,
-                  strict_trailing, strict_mv):
-    br = BitReader(unit.rbsp)
-    hdr = parse_slice_header(
-        br, is_idr=(unit.nal_unit_type == 5),
-        nal_ref_idc=unit.nal_ref_idc,
-        log2_max_frame_num=sps.log2_max_frame_num,
-        pps_num_ref_idx_l0_default=(
-            pps.num_ref_idx_l0_default_active_minus1 + 1))
-
-    if hdr.is_i:
-        rep.i_slices += 1
-        grid = mbt.parse_i_slice_mbs(br, mbw, mbh)
-        rep.coded_mbs += mbw * mbh
-    elif hdr.is_p:
-        rep.p_slices += 1
-        grid = mbt.parse_p_slice_mbs(br, mbw, mbh, hdr.num_ref_idx_l0)
-        skips = sum(1 for row in grid for mb in row if mb is mbt.SKIP)
-        rep.skipped_mbs += skips
-        rep.coded_mbs += mbw * mbh - skips
-        field = mv_field.decode_p_slice_mv_field(grid, mbw, mbh)
-        inter = field.ref >= 0
-        if inter.any():
-            max_y = np.abs(field.mvy[inter]).max() / 4.0
-            rep.max_abs_mv_y_px = max(rep.max_abs_mv_y_px, float(max_y))
-            if max_y > mv_limit_px:
-                # Streams stay grammar-valid but hardware decoders glitch;
-                # the C composer itself emits these for the B region at
-                # scroll offsets below height-496 (the first ~224 px of
-                # every 720p cycle) — reference defect documented in
-                # docs/KNOWN_ISSUES_ANALYSIS.md.
-                report = (rep.error if strict_mv else rep.warn)
-                report(f"frame {rep.frame_count}: |mv_y| {max_y:.0f}px "
-                       f"exceeds the {mv_limit_px}px hardware decoder limit")
-    else:
-        rep.error(f"frame {rep.frame_count}: unsupported slice type "
-                  f"{hdr.slice_type}")
+def _flush_frame(slices, mbw, mbh, rep, mv_limit_px, strict_trailing,
+                 strict_mv):
+    if not slices:
         return
+    rep.frame_count += 1
+    rep.bytes_per_frame.append(sum(len(u.data) + 5 for u, _, _ in slices))
+    try:
+        _verify_frame(slices, mbw, mbh, rep, mv_limit_px, strict_trailing,
+                      strict_mv)
+    except Exception as e:  # noqa: BLE001
+        rep.error(f"frame {rep.frame_count}: {e}")
 
-    remaining = len(unit.rbsp) * 8 - br.bit_position
-    if strict_trailing and not 0 < remaining <= 8:
-        rep.error(
-            f"frame {rep.frame_count}: {remaining} bits after last MB "
-            f"(expected 1..8 for rbsp_trailing_bits)")
+
+def _verify_frame(slices, mbw, mbh, rep, mv_limit_px, strict_trailing,
+                  strict_mv):
+    starts = [hdr.first_mb for _, hdr, _ in slices]
+    ends = starts[1:] + [mbw * mbh]
+    for (unit, hdr, data_bit), start, end in zip(slices, starts, ends):
+        rows = (end - start) // mbw
+        if rows <= 0 or start % mbw or (end - start) % mbw:
+            rep.error(f"frame {rep.frame_count}: slice at first_mb "
+                      f"{start} is not MB-row aligned")
+            return
+        br = BitReader(unit.rbsp)
+        br.skip_bits(data_bit)
+
+        if hdr.is_i:
+            rep.i_slices += 1
+            mbt.parse_i_slice_mbs(br, mbw, rows)
+            rep.coded_mbs += mbw * rows
+        elif hdr.is_p:
+            rep.p_slices += 1
+            grid = mbt.parse_p_slice_mbs(br, mbw, rows, hdr.num_ref_idx_l0)
+            skips = sum(1 for row in grid for mb in row if mb is mbt.SKIP)
+            rep.skipped_mbs += skips
+            rep.coded_mbs += mbw * rows - skips
+            # Spatial prediction never crosses slice boundaries, so the
+            # MV field reconstructs per slice band.
+            field = mv_field.decode_p_slice_mv_field(grid, mbw, rows)
+            inter = field.ref >= 0
+            if inter.any():
+                max_y = np.abs(field.mvy[inter]).max() / 4.0
+                rep.max_abs_mv_y_px = max(rep.max_abs_mv_y_px, float(max_y))
+                if max_y > mv_limit_px:
+                    # Grammar-valid but hardware decoders glitch; the C
+                    # composer itself emits these for the B region at
+                    # offsets below height-496 (defect documented in
+                    # docs/KNOWN_ISSUES_ANALYSIS.md).
+                    report = (rep.error if strict_mv else rep.warn)
+                    report(f"frame {rep.frame_count}: |mv_y| {max_y:.0f}px "
+                           f"exceeds the {mv_limit_px}px hardware decoder "
+                           f"limit")
+        else:
+            rep.error(f"frame {rep.frame_count}: unsupported slice type "
+                      f"{hdr.slice_type}")
+            return
+
+        remaining = len(unit.rbsp) * 8 - br.bit_position
+        if strict_trailing and not 0 < remaining <= 8:
+            rep.error(
+                f"frame {rep.frame_count}: {remaining} bits after last MB "
+                f"(expected 1..8 for rbsp_trailing_bits)")
 
 
 def nal_diff(ours: bytes, ref: bytes) -> str:

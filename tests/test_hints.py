@@ -55,6 +55,51 @@ def test_hint_frame_chrome_and_regions():
                 assert (ref, mvx, mvy) == (0, 0, 0), (x, y)
 
 
+def test_sliced_scroll_frame():
+    """Multi-slice frames: 4 MB-row-aligned slices per frame verify,
+    carry correct first_mb offsets, and decode to the intended MVs."""
+    cfg = ComposerConfig(96, 256)  # 6x16 MBs
+    s = ComposerSession(cfg, enable_pskip=True)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    for off in (0, 12, 100, 240):
+        s.write_scroll_frame_sliced(off, rows_per_slice=4)
+    stream = s.getvalue()
+
+    rep = verify_stream(stream)
+    assert rep.ok, rep.errors
+    assert rep.frame_count == 2 + 4       # atlases + 4 sliced frames
+    assert rep.p_slices == 16             # 4 bands per frame
+
+    units = [u for u in parse.iter_nal_units(stream)
+             if u.nal_unit_type == 1 and u.nal_ref_idc == 0]
+    firsts = []
+    for u in units[:4]:
+        br = BitReader(u.rbsp)
+        hdr = parse_slice_header(br, is_idr=False, nal_ref_idc=0,
+                                 log2_max_frame_num=4,
+                                 pps_num_ref_idx_l0_default=2)
+        firsts.append(hdr.first_mb)
+    assert firsts == [0, 24, 48, 72]
+
+    # Band 2 of the off=100 frame (frame index 2): decode MVs band-locally.
+    u = units[4 * 2 + 2]
+    br = BitReader(u.rbsp)
+    hdr = parse_slice_header(br, is_idr=False, nal_ref_idc=0,
+                             log2_max_frame_num=4,
+                             pps_num_ref_idx_l0_default=2)
+    grid = mbt.parse_p_slice_mbs(br, 6, 4, hdr.num_ref_idx_l0)
+    field = mv_field.decode_p_slice_mv_field(grid, 6, 4)
+    a_end = (256 - 100) // 16            # global row 9: band rows 8-11
+    for band_row in range(4):
+        g_row = 8 + band_row
+        want_ref = 0 if g_row < a_end else 1
+        want_mv = (100 if g_row < a_end else 100 - 256) * 4
+        for x in range(6):
+            ref, mvx, mvy = mv_field.mb_level_mv(field, x, band_row)
+            assert (ref, mvx, mvy) == (want_ref, 0, want_mv), (x, g_row)
+
+
 def test_hint_frame_occlusion_order():
     """Later regions override earlier ones (z-order)."""
     cfg = ComposerConfig(128, 96)
