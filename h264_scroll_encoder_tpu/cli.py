@@ -106,6 +106,9 @@ def scroll_encoder_main(argv=None) -> int:
     ap.add_argument("--solid", action="store_true",
                     help="Solid colors instead of striped test frames")
     ap.add_argument("--pskip", action="store_true")
+    ap.add_argument("--rows-per-slice", type=int, default=0,
+                    help="Emit each frame as multiple MB-row-aligned "
+                         "slices (0 = single slice, reference-compatible)")
     args = ap.parse_args(argv)
 
     if args.input:
@@ -134,7 +137,10 @@ def scroll_encoder_main(argv=None) -> int:
     start = 496                   # engage waypoints (experiment main.c:400)
     for offset in triangle_offsets(args.frames, args.speed, max_offset,
                                    start_offset=start):
-        session.write_scroll_or_waypoint_frame(offset)
+        if args.rows_per_slice:
+            session.write_scroll_frame_sliced(offset, args.rows_per_slice)
+        else:
+            session.write_scroll_or_waypoint_frame(offset)
 
     size = session.write_to_file(args.output)
     print(f"Output size: {size} bytes\nWritten to {args.output}")
