@@ -131,6 +131,34 @@ def make_sharded_step(cfg: ComposerConfig, mesh: Mesh, axis: str = "sessions",
 
 
 @functools.lru_cache(maxsize=None)
+def make_batched_hint_step(cfg: ComposerConfig, *,
+                           enable_pskip: bool = True):
+    """jit(vmap) of the hint-frame kernel: per-session (frame_num,
+    ref/mv field grids) -> one P-frame NAL each (static chrome collapses
+    to P_Skip runs; BASELINE 'composer 720p' config at serving scale).
+
+    Field grids come from models/hints.hint_fields (or any per-session
+    composition logic); waypoint registries ride along for the reference
+    list.  Returns (nal, nal_len, rbsp_bits, overflow) batched.
+    """
+    from ..models import scroll as scroll_model
+    from ..syntax.slice_headers import p_slice_header_symbols
+
+    def one(frame_num, ref, mv_x, mv_y, wp_count, wp_ltidx, wp_valid):
+        max_fn = 1 << cfg.log2_max_frame_num
+        fn = frame_num % max_fn
+        hp, hn = p_slice_header_symbols(
+            cfg, fn, fn * 2, is_reference=False, long_term_idx=-1,
+            num_waypoints=wp_count, wp_long_term_idx=wp_ltidx,
+            wp_valid=wp_valid)
+        return scroll_model.emit_p_frame(
+            cfg, hp, hn, ref, mv_x, mv_y, num_refs=2 + wp_count,
+            nal_ref_idc=0, enable_pskip=enable_pskip)
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=None)
 def make_batched_splice_step(cfg: ComposerConfig, rect_mb_x: int,
                              rect_mb_y: int, rect_w: int, rect_h: int,
                              num_refs: int = 2):

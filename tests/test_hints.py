@@ -100,6 +100,42 @@ def test_sliced_scroll_frame():
             assert (ref, mvx, mvy) == (want_ref, 0, want_mv), (x, g_row)
 
 
+def test_batched_hint_step_matches_session():
+    """Batched hint serving emits the same bytes as the host session."""
+    import jax.numpy as jnp
+    import numpy as np
+    from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS
+    from h264_scroll_encoder_tpu.models.hints import hint_fields
+    from h264_scroll_encoder_tpu.parallel import batch
+
+    cfg = ComposerConfig(128, 96)
+    hints = FrameHints(motion_regions=(
+        MotionRegion(1, 1, 6, 4, ref_idx=1, mv_y=-12),))
+    ref, mvx, mvy = hint_fields(cfg, hints)
+
+    step = batch.make_batched_hint_step(cfg)
+    B = 3
+    nal, nal_len, bits, ovf = step(
+        jnp.full((B,), 2, jnp.int32),
+        jnp.broadcast_to(ref, (B,) + ref.shape),
+        jnp.broadcast_to(mvx, (B,) + mvx.shape),
+        jnp.broadcast_to(mvy, (B,) + mvy.shape),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, MAX_WAYPOINTS), jnp.int32),
+        jnp.zeros((B, MAX_WAYPOINTS), bool))
+    assert not bool(ovf.any())
+
+    s = ComposerSession(cfg)
+    s.frame_num = 2
+    s.write_hint_frame(hints)
+    exp = list(parse.iter_nal_units(s.getvalue()))[0]
+    exp_nal = (b"\x00\x00\x00\x01"
+               + bytes([(exp.nal_ref_idc << 5) | exp.nal_unit_type])
+               + exp.data)
+    for b in range(B):
+        assert np.asarray(nal[b])[: int(nal_len[b])].tobytes() == exp_nal
+
+
 def test_hint_frame_occlusion_order():
     """Later regions override earlier ones (z-order)."""
     cfg = ComposerConfig(128, 96)
