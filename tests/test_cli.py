@@ -48,6 +48,51 @@ def test_composer_cli_errors(tmp_path):
                               "-n", "0", "-o", "x"]) == 1
 
 
+def test_cabac_donor_rejected(tmp_path):
+    """CABAC donors must be rejected with a clear error (the C reference
+    silently corrupts them; only its shell scripts guard,
+    netflix_scroll.sh:74-78)."""
+    from h264_scroll_encoder_tpu.config import ComposerConfig
+    from h264_scroll_encoder_tpu.models import ipcm
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.session import ComposerSession
+    from h264_scroll_encoder_tpu.syntax.nal import AnnexBWriter
+    from h264_scroll_encoder_tpu.syntax.params import generate_sps
+
+    # Hand-build a PPS with entropy_coding_mode_flag = 1 (CABAC).
+    bw = BitWriter()
+    bw.write_ue(0)
+    bw.write_ue(0)
+    bw.write_bit(1)   # CABAC
+    bw.write_bit(0)
+    bw.write_ue(0)
+    bw.write_ue(0)
+    bw.write_ue(0)
+    bw.write_bit(0)
+    bw.write_bits(0, 2)
+    bw.write_se(0)
+    bw.write_se(0)
+    bw.write_se(0)
+    bw.write_bit(1)
+    bw.write_bit(0)
+    bw.write_bit(0)
+    bw.write_trailing_bits()
+
+    cfg = ComposerConfig(64, 48)
+    out = AnnexBWriter()
+    out.write_nal_unit(generate_sps(64, 48), 3, 7)
+    out.write_nal_unit(bw.getvalue(), 3, 8)
+    s = ComposerSession(cfg)
+    s.writer = out
+    s.writer.append_raw(ipcm.idr_frame_color(cfg, 81, 90, 240))
+    donor = tmp_path / "cabac.h264"
+    donor.write_bytes(out.getvalue())
+
+    rc = cli.composer_main(["--ref-a", str(donor), "--ref-b", str(donor),
+                            "-n", "2", "-o", str(tmp_path / "x.h264")])
+    assert rc == 1
+
+
 def test_trans_resizer_cli(tmp_path):
     from h264_scroll_encoder_tpu.utils.fixtures import synthetic_cavlc_stream
 
