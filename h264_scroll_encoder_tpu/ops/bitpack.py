@@ -1,16 +1,23 @@
-"""Parallel-prefix bitstream packer.
+"""Parallel bitstream packers.
 
-This is the TPU-native replacement for the reference's serial BitWriter
-(src/bitwriter.c:13-32): instead of one function call per bit, a frame's
-worth of syntax elements is expressed as arrays of (pattern, nbits) symbols,
-bit offsets are an exclusive prefix sum of the lengths, and every symbol is
-scattered into a big-endian 32-bit word array with funnel shifts.  Because
-every output bit belongs to exactly one symbol, scatter-add == scatter-or and
-reproduces the serial MSB-first stream bit-exactly.
+The TPU-native replacement for the reference's serial BitWriter
+(src/bitwriter.c:13-32): a frame's worth of syntax elements is expressed
+as arrays of (pattern, nbits) symbols and packed into the big-endian
+MSB-first stream in parallel, bit-exactly.  Symbols with nbits == 0 are
+"absent" slots, letting frame models emit fixed-shape symbol grids with
+masked-out optional fields (XLA needs static shapes; SURVEY.md §7.3).
 
-Symbols with nbits == 0 are "absent" slots — they contribute nothing, which
-lets frame models emit a fixed-shape symbol grid with masked-out optional
-fields (XLA needs static shapes; SURVEY.md §7.3).
+Three formulations, kept together because their comparison is the round's
+central performance lesson (docs/ARCHITECTURE.md):
+
+  pack_words        — scatter-add of per-symbol word contributions.
+                      Serializes on TPU (non-unique scatter indices).
+  pack_words_gather — per-word contributor windows via searchsorted.
+                      Worse still: TPU has no hardware gather.
+  pack_words_tree   — pairwise merge tree using only dense vector ops and
+                      STATIC rolls.  The hot path (~60x the scatter form).
+
+All three are differentially tested against the serial writer.
 """
 
 from __future__ import annotations
