@@ -86,6 +86,19 @@ def main() -> None:
         lat.append(time.perf_counter() - ta)
     p50_single_ms = sorted(lat)[len(lat) // 2] * 1000.0
 
+    # Dispatch floor: a trivial jitted op's round trip.  On tunneled dev
+    # chips this is ~25 ms of RPC that dominates single-frame latency;
+    # subtract it to estimate co-located hardware latency.
+    tiny = jax.jit(lambda x: x + 1)
+    x0 = jnp.int32(0)
+    _ = int(tiny(x0))
+    floor = []
+    for _ in range(20):
+        ta = time.perf_counter()
+        _ = int(tiny(x0))
+        floor.append(time.perf_counter() - ta)
+    dispatch_floor_ms = sorted(floor)[len(floor) // 2] * 1000.0
+
     baseline = 5000.0  # north-star target, frames/sec/chip
     print(json.dumps({
         "metric": "composed 720p frames/sec/chip",
@@ -96,6 +109,7 @@ def main() -> None:
             "batch_sessions": batch_size,
             "p50_batchstep_ms": round(p50_latency_ms, 3),
             "p50_single_frame_ms": round(p50_single_ms, 3),
+            "dispatch_floor_ms": round(dispatch_floor_ms, 3),
             "device": str(jax.devices()[0]),
         },
     }))
