@@ -58,6 +58,11 @@ N_BLOCKS = 27
 # nC class codes for the token table lookup.
 CLASS_NC0, CLASS_NC2, CLASS_NC4, CLASS_FLC, CLASS_CHROMA = 0, 1, 2, 3, 4
 
+# Sentinel nbits for pcm_alignment_zero_bits slots: the actual width
+# depends on the final stream bit position and is resolved on device by
+# the phase scan in emit_spliced_frame.
+ALIGN_SENTINEL = -1
+
 
 @functools.lru_cache(maxsize=1)
 def token_tables():
@@ -80,7 +85,9 @@ def token_tables():
     for (tc, t1), code in T._TOKEN_TABLES["chroma_dc"].items():
         pat[CLASS_CHROMA, tc, t1] = int(code, 2)
         ln[CLASS_CHROMA, tc, t1] = len(code)
-    return jnp.asarray(pat), jnp.asarray(ln)
+    # Cache NUMPY arrays: caching jnp arrays would leak tracers when the
+    # first call happens inside a jit trace.
+    return pat, ln
 
 
 @dataclasses.dataclass
@@ -127,7 +134,7 @@ class _SlotWriter:
             return
         assert self.i < self.patterns.size, "slot budget exceeded"
         self.patterns[self.i] = pattern & 0xFFFFFFFF
-        self.nbits[self.i] = nbits
+        self.nbits[self.i] = nbits  # may be ALIGN_SENTINEL (-1)
         self.i += 1
 
     def put_ue(self, v: int) -> None:
@@ -181,6 +188,10 @@ def _tail_chunk_class(donor_grid: list) -> int:
         for mb in row:
             if mb is mbt.SKIP:
                 continue
+            if mb.kind == "ipcm":
+                # 384 sample bytes = 96 chunks over N_BLOCKS slots.
+                need = max(need, -(-96 // N_BLOCKS))
+                continue
             for _bid, blk, _k in _emission_blocks(mb):
                 if blk is not None and blk.tail:
                     need = max(need, (len(blk.tail) + 31) // 32)
@@ -226,12 +237,31 @@ def prepare_donor_symbols(donor_grid: list, num_ref_idx_l0: int,
                                  num_ref_idx_l0)
             ds.coded[m] = True
             if mb.kind == "ipcm":
-                # I_PCM needs byte alignment — data-dependent padding the
-                # static slot model can't express; donors with I_PCM use
-                # the host splice path instead.
-                raise NotImplementedError(
-                    "I_PCM donor MBs: use models/splice.finalize_spliced_"
-                    "frame (host path)")
+                # I_PCM: mb_type, pcm_alignment_zero_bits (position-
+                # dependent — encoded as an ALIGN slot with sentinel
+                # nbits=-1, resolved on device by the phase scan in
+                # emit_spliced_frame), then 384 sample bytes as 96
+                # 32-bit chunks spread over the tail-chunk slots.
+                ds.ipcm[m] = True
+                w = _SlotWriter(PRE_SLOTS)
+                w.put_ue(mb.mb_type)
+                w.put(0, ALIGN_SENTINEL)
+                ds.pre_patterns[m] = w.patterns
+                ds.pre_nbits[m] = w.nbits
+                words = np.frombuffer(mb.ipcm_samples, np.uint8)
+                words = words.reshape(96, 4)
+                vals = ((words[:, 0].astype(np.uint32) << 24)
+                        | (words[:, 1].astype(np.uint32) << 16)
+                        | (words[:, 2].astype(np.uint32) << 8)
+                        | words[:, 3].astype(np.uint32))
+                tc = ds.tail_patterns.shape[2]
+                for k, v in enumerate(vals):
+                    ds.tail_patterns[m, k // tc, k % tc] = v
+                    ds.tail_nbits[m, k // tc, k % tc] = 32
+                # tok_present stays False: no coeff_tokens — the sample
+                # chunks pass through via the ipcm tail mask in
+                # donor_mb_symbols.
+                continue
 
             w = _SlotWriter(PRE_SLOTS)
             w.put_ue(mb.mb_type)
@@ -357,19 +387,22 @@ def donor_mb_symbols(ds_dev: dict, R: int, C: int,
                   jnp.where(nc < 4, CLASS_NC2,
                             jnp.where(nc < 8, CLASS_NC4, CLASS_FLC))))
 
-    pat_tab, len_tab = token_tables()
+    pat_np, len_np = token_tables()
+    pat_tab, len_tab = jnp.asarray(pat_np), jnp.asarray(len_np)
     tc = jnp.clip(ds_dev["tok_tc"], 0, 16)
     t1 = jnp.clip(ds_dev["tok_t1"], 0, 3)
     tok_pat = pat_tab[cls, tc, t1]
     tok_len = jnp.where(ds_dev["tok_present"], len_tab[cls, tc, t1], 0)
 
-    # Assemble per-MB slots: [pre | per block: token + tails].
+    # Assemble per-MB slots: [pre | per block: token + tails].  I_PCM MBs
+    # carry their 384 sample bytes in the tail chunks with no tokens.
+    ipcm = ds_dev["ipcm"][:, None, None]
+    tail_keep = ds_dev["tok_present"][:, :, None] | ipcm
     blocks_p = jnp.concatenate(
         [tok_pat[:, :, None], ds_dev["tail_patterns"]], axis=2)
     blocks_n = jnp.concatenate(
-        [tok_len[:, :, None],
-         jnp.where(ds_dev["tok_present"][:, :, None],
-                   ds_dev["tail_nbits"], 0)], axis=2)
+        [jnp.where(ds_dev["ipcm"][:, None], 0, tok_len)[:, :, None],
+         jnp.where(tail_keep, ds_dev["tail_nbits"], 0)], axis=2)
     patterns = jnp.concatenate(
         [ds_dev["pre_patterns"], blocks_p.reshape(M, -1)], axis=1)
     nbits = jnp.concatenate(
@@ -482,15 +515,37 @@ def emit_spliced_frame(cfg: ComposerConfig, rect_mb_x: int, rect_mb_y: int,
 
     patterns = jnp.concatenate([header_patterns] + segs_p + [ts_pat[None]])
     nbits = jnp.concatenate([header_nbits] + segs_n + [ts_n[None]])
+
+    # Resolve pcm_alignment_zero_bits: ALIGN_SENTINEL slots pad the
+    # stream to the next byte boundary.  Phase of the stream before each
+    # symbol is an associative scan over affine maps on Z8 — a normal
+    # symbol adds its length, an align slot resets the phase to 0.
+    is_align = nbits < 0
+    keep = jnp.where(is_align, 0, 1).astype(jnp.int32)
+    add = jnp.where(is_align, 0, nbits % 8).astype(jnp.int32)
+
+    def comb(left, right):
+        kl, bl = left
+        kr, br = right
+        return kl * kr, (kr * bl + br) % 8
+
+    k_inc, b_inc = jax.lax.associative_scan(comb, (keep, add))
+    phase_after = b_inc  # initial phase 0 -> composed offset
+    phase_before = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), phase_after[:-1]])
+    align_bits = (8 - phase_before % 8) % 8
+    nbits = jnp.where(is_align, align_bits, nbits)
+
     payload_bits = jnp.sum(nbits)
     tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
-    # Budget: donor residuals can be dense — size on the donor payload.
+    # Budget: donor residuals can be dense — size on the donor payload
+    # (32 bits per tail chunk slot).
     tail_chunks = ds_dev["tail_patterns"].shape[-1]
     n_rbsp = ((cfg.total_mbs * cfg.rbsp_bits_per_mb
-               + R * C * N_BLOCKS * tail_chunks * 4) // 8 + 255) // 4 * 4
+               + R * C * N_BLOCKS * tail_chunks * 32) // 8 + 255) // 4 * 4
     rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
                                                      n_rbsp)
     rbsp_len = total_bits // 8
@@ -545,4 +600,5 @@ def donor_device_arrays(ds: DonorSymbols) -> dict:
         "luma_tc": jnp.asarray(ds.luma_tc),
         "chroma_tc": jnp.asarray(ds.chroma_tc),
         "coded": jnp.asarray(ds.coded),
+        "ipcm": jnp.asarray(ds.ipcm),
     }

@@ -94,6 +94,62 @@ def test_device_splice_matches_host():
         f"{next((i for i, (a, b) in enumerate(zip(dev_bytes, host_nal)) if a != b), -1)}")
 
 
+def test_device_splice_with_ipcm_donors():
+    """I_PCM donor macroblocks: their alignment padding depends on the
+    final stream bit position; the device resolves it with the phase
+    scan (ALIGN_SENTINEL slots) and must match the host path exactly."""
+    rng = np.random.default_rng(77)
+    cfg = ComposerConfig(192, 160)           # 12x10 MBs
+    R = C = 4
+    r0, c0 = 3, 4
+    num_refs = 2
+    frame_num = 5
+
+    donor = fixtures.random_p_slice_grid(rng, C, R, 1)
+    # Force a healthy mix of I_PCM MBs at varied positions.
+    donor[0][1] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+    donor[1][0] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+    donor[2][2] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+    for row in donor:
+        for i, mb in enumerate(row):
+            if mb is not mbt.SKIP and mb.kind == "ipcm" \
+                    and mb.mb_type != 30:
+                row[i] = fixtures.random_inter_mb(rng, 1)
+
+    hints = FrameHints(motion_regions=(), dynamic_mb_x=c0, dynamic_mb_y=r0)
+    grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
+
+    def hdr_writer(bw: BitWriter):
+        write_p_slice_header(bw, cfg, frame_num)
+
+    host_rbsp = splice.finalize_spliced_frame(cfg, grid, num_refs,
+                                              hdr_writer)
+
+    ds = splice_device.prepare_donor_symbols(donor, num_refs)
+    ds_dev = splice_device.donor_device_arrays(ds)
+    d_ref, d_mvx, d_mvy = splice_device.donor_mb_motion(donor)
+
+    H, W = cfg.mb_height, cfg.mb_width
+    z = jnp.zeros((H, W), jnp.int32)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    emit = jax.jit(lambda *a: splice_device.emit_spliced_frame(
+        cfg, c0, r0, R, C, num_refs, *a))
+    nal, nal_len, bits, ovf = emit(hp, hn, z, z, z,
+                                   jnp.zeros((H, W), bool), ds_dev,
+                                   d_ref, d_mvx, d_mvy)
+    assert not bool(ovf)
+
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+    host_nal = write_nal_unit(host_rbsp, 0, 1)
+    dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
+    assert dev_bytes == host_nal, (
+        f"lens {len(dev_bytes)} vs {len(host_nal)}")
+
+
 def test_device_splice_nc_repair_matters():
     """A donor whose left-column blocks carry coefficients must get
     *different* coeff_token bits at the composite boundary than in its
