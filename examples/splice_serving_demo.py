@@ -49,6 +49,9 @@ def main() -> None:
                 row[i] = fixtures.random_inter_mb(rng, 1)
 
     t0 = time.perf_counter()
+    # Reject configurations where the device kernel's MB-level motion
+    # approximation could diverge from the exact host path.
+    splice_device.validate_splice_hints(c0, r0, donor)
     ds = splice_device.prepare_donor_symbols(donor, num_ref_idx_l0=2)
     ds_dev = splice_device.donor_device_arrays(ds)
     d_ref, d_mvx, d_mvy = splice_device.donor_mb_motion(donor)

@@ -586,6 +586,60 @@ def donor_mb_motion(donor_grid: list):
     return jnp.asarray(ref), jnp.asarray(mvx), jnp.asarray(mvy)
 
 
+def validate_splice_hints(rect_mb_x: int, rect_mb_y: int,
+                          donor_grid: list, motion_regions=()) -> None:
+    """Host-side guard for the device kernel's documented contract.
+
+    The device path predicts background MVs next to the donor rect from
+    MB-level donor motion (donor_mb_motion takes each MB's top-left 4x4
+    field value).  That is exact when the donor MBs along the rect's
+    right column and bottom row move uniformly (P_16x16 / P_Skip /
+    intra / partitions with equal sub-MVs); with genuinely non-uniform
+    edge partitions, a *coded* hint region touching the 1-MB ring beside
+    those edges can get a different MV prediction than the exact host
+    path (models/splice.splice_p_frame).  Raise early instead of
+    silently composing a stream that diverges from the host oracle.
+    """
+    from .mv_field import decode_p_slice_mv_field
+
+    rows, cols = len(donor_grid), len(donor_grid[0])
+    field = decode_p_slice_mv_field([list(r) for r in donor_grid],
+                                    cols, rows)
+
+    def _uniform(r, c):
+        br, bc = r * 4, c * 4
+        tile = (field.ref[br:br + 4, bc:bc + 4],
+                field.mvx[br:br + 4, bc:bc + 4],
+                field.mvy[br:br + 4, bc:bc + 4])
+        return all((t == t.flat[0]).all() for t in tile)
+
+    ragged_right = [r for r in range(rows) if not _uniform(r, cols - 1)]
+    ragged_bottom = [c for c in range(cols) if not _uniform(rows - 1, c)]
+    if not ragged_right and not ragged_bottom:
+        return
+
+    # 1-MB ring where donor MBs act as A/B/C/D prediction neighbors of
+    # later-in-decode-order background MBs.
+    for reg in motion_regions:
+        right_col = rect_mb_x + cols            # MBs with a donor A-neighbor
+        below_row = rect_mb_y + rows            # MBs with donor B/C/D above
+        touches_right = (reg.mb_x0 <= right_col < reg.mb_x1 and
+                         reg.mb_y0 < rect_mb_y + rows and
+                         reg.mb_y1 > rect_mb_y)
+        touches_below = (reg.mb_y0 <= below_row < reg.mb_y1 and
+                         reg.mb_x0 < rect_mb_x + cols + 1 and
+                         reg.mb_x1 > rect_mb_x - 1)
+        if (touches_right and ragged_right) or \
+                (touches_below and ragged_bottom):
+            raise ValueError(
+                "device splice: a motion region touches the 1-MB ring "
+                f"next to donor edge MBs with non-uniform partitions "
+                f"(right rows {ragged_right}, bottom cols {ragged_bottom})"
+                "; the MB-level motion approximation may mispredict there."
+                " Keep coded hint regions >=1 MB away from those edges or"
+                " use the exact host path (models/splice.splice_p_frame).")
+
+
 def donor_device_arrays(ds: DonorSymbols) -> dict:
     """DonorSymbols -> jnp arrays dict (one host->device transfer set)."""
     return {

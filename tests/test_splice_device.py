@@ -150,6 +150,48 @@ def test_device_splice_with_ipcm_donors():
         f"lens {len(dev_bytes)} vs {len(host_nal)}")
 
 
+def test_validate_splice_hints_guard():
+    """The margin-ring contract: coded hint regions beside non-uniform
+    donor edge MBs must be rejected; uniform edges and distant regions
+    pass."""
+    import pytest
+
+    rng = np.random.default_rng(9)
+    R = C = 3
+    r0, c0 = 2, 4
+
+    # All-P_16x16 donor: uniform motion everywhere -> anything goes.
+    donor = [[fixtures.random_inter_mb(rng, 1) for _ in range(C)]
+             for _ in range(R)]
+    for row in donor:
+        for i, mb in enumerate(row):
+            while mb.mb_type != 0:
+                mb = fixtures.random_inter_mb(rng, 1)
+            row[i] = mb
+    ring = (MotionRegion(c0 + C, r0, c0 + C + 1, r0 + R,
+                         ref_idx=0, mv_x=0, mv_y=8),)
+    splice_device.validate_splice_hints(c0, r0, donor, ring)
+
+    # Make the rightmost-column MBs P_8x8 with distinct sub-MVs (but keep
+    # the corner MB uniform so the bottom row stays clean).
+    for r in range(R - 1):
+        donor[r][C - 1] = mbt.Macroblock(
+            kind="inter", mb_type=3, sub_mb_types=(0, 0, 0, 0),
+            ref_idx=(), mvds=((4, 0), (0, 4), (-4, 0), (0, -4)), cbp=0)
+    with pytest.raises(ValueError, match="non-uniform"):
+        splice_device.validate_splice_hints(c0, r0, donor, ring)
+
+    # Same donor, region kept one MB away from the ring -> fine.
+    far = (MotionRegion(c0 + C + 1, r0, c0 + C + 2, r0 + R,
+                        ref_idx=0, mv_x=0, mv_y=8),)
+    splice_device.validate_splice_hints(c0, r0, donor, far)
+
+    # Region under the rect only matters if the *bottom* row is ragged.
+    below = (MotionRegion(c0, r0 + R, c0 + C, r0 + R + 1,
+                          ref_idx=0, mv_x=0, mv_y=8),)
+    splice_device.validate_splice_hints(c0, r0, donor, below)
+
+
 def test_device_splice_nc_repair_matters():
     """A donor whose left-column blocks carry coefficients must get
     *different* coeff_token bits at the composite boundary than in its
