@@ -380,6 +380,11 @@ def splice_p_frame(cfg: ComposerConfig, hints: FrameHints,
     grid = [[mbt.SKIP] * mbw for _ in range(mbh)]
 
     for region in hints.motion_regions:
+        if not 0 <= region.ref_idx < num_ref_idx_l0:
+            # te(v) coding would silently wrap an out-of-range index.
+            raise ValueError(
+                f"motion region ref_idx {region.ref_idx} outside the "
+                f"active reference list (size {num_ref_idx_l0})")
         for y in range(region.mb_y0, min(region.mb_y1, mbh)):
             for x in range(region.mb_x0, min(region.mb_x1, mbw)):
                 grid[y][x] = mbt.Macroblock(

@@ -211,6 +211,12 @@ class ComposerSession:
         from .models.hints import emit_hint_frame
 
         _, wp_lt, wp_valid, count = self.waypoints.as_arrays()
+        for region in hints.motion_regions:
+            if not 0 <= region.ref_idx < int(count) + 2:
+                # te(v) coding would silently wrap an out-of-range index.
+                raise ValueError(
+                    f"motion region ref_idx {region.ref_idx} outside the "
+                    f"active reference list (size {int(count) + 2})")
         # Hint frames are a new capability (no C equivalent to byte-match),
         # so they always use the validated P_Skip path — that is the point
         # of static chrome.
@@ -220,6 +226,30 @@ class ComposerSession:
         if bool(overflow):
             raise OverflowError("hint frame exceeds the RBSP budget")
         self.writer.append_raw(np.asarray(nal)[: int(nal_len)].tobytes())
+        self.frame_num += 1
+        self.frames_written += 1
+
+    def write_spliced_frame(self, hints, donor_grid) -> None:
+        """Dynamic-rect composite frame: hint-composed background with the
+        donor rect's pre-encoded CAVLC macroblocks spliced in under
+        nC-context repair (MASTER_DESIGN §7; host path — exact hint-mvd
+        resolution next to the rect).  Donor ref indices are remapped into
+        this session's active list (atlases + registered waypoints)."""
+        from .models.splice import finalize_spliced_frame, splice_p_frame
+        from .syntax.slice_headers import write_p_slice_header
+
+        _, wp_lt, _, count = self.waypoints.as_arrays()
+        n_wp = int(count)
+        num_refs = n_wp + 2
+        grid = splice_p_frame(self.cfg, hints, donor_grid, num_refs)
+
+        def hdr(bw):
+            write_p_slice_header(
+                bw, self.cfg, self.frame_num, num_waypoints=n_wp,
+                wp_long_term_idx=[int(x) for x in np.asarray(wp_lt)[:n_wp]])
+
+        rbsp = finalize_spliced_frame(self.cfg, grid, num_refs, hdr)
+        self.writer.append_raw(write_nal_unit(rbsp, 0, 1))
         self.frame_num += 1
         self.frames_written += 1
 

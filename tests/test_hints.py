@@ -147,3 +147,62 @@ def test_hint_frame_occlusion_order():
     ref, mvx, mvy = hint_fields(cfg, hints)
     assert int(ref[3, 3]) == 1 and int(mvy[3, 3]) == -16
     assert int(ref[1, 1]) == 0 and int(mvy[1, 1]) == 40
+
+
+def test_session_mixed_generators_one_stream():
+    """Every frame generator in ONE session: scroll + hint + spliced +
+    scroll again, with pre-provisioned waypoints — frame_num continuity
+    and ref-list consistency across generators, checked by the oracle.
+    Also locks the session splice API against the hand-assembled path."""
+    from h264_scroll_encoder_tpu.models.splice import (
+        finalize_spliced_frame, splice_p_frame)
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+    from h264_scroll_encoder_tpu.syntax.slice_headers import (
+        write_p_slice_header)
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    cfg = ComposerConfig(320, 640)           # 20x40 MBs; 1 waypoint chain
+    s = ComposerSession(cfg)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    s.preprovision_waypoints()
+    assert s.waypoints.count == 1
+
+    for off in (0, 8):
+        s.write_scroll_or_waypoint_frame(off)
+    s.write_hint_frame(FrameHints(motion_regions=(
+        MotionRegion(0, 1, 20, 5, ref_idx=0, mv_x=0, mv_y=24),)))
+
+    rng = np.random.default_rng(5)
+    donor = fixtures.random_p_slice_grid(rng, 4, 4, 1)
+    for row in donor:
+        for i, mb in enumerate(row):
+            if mb is not mbt.SKIP and mb.kind == "ipcm":
+                row[i] = fixtures.random_inter_mb(rng, 1)
+    sh = FrameHints(motion_regions=(
+        MotionRegion(0, 1, 20, 5, ref_idx=0, mv_x=0, mv_y=32),),
+        dynamic_mb_x=8, dynamic_mb_y=20)
+
+    frame_num_before = s.frame_num
+    s.write_spliced_frame(sh, donor)
+
+    for off in (16, 24):
+        s.write_scroll_or_waypoint_frame(off)
+
+    rep = verify_stream(s.getvalue())
+    assert rep.ok, rep.errors
+    assert not rep.warnings, rep.warnings
+
+    # The session splice frame == hand-assembled host path, byte for byte.
+    num_refs = s.waypoints.count + 2
+    grid = splice_p_frame(cfg, sh, donor, num_refs)
+
+    def hdr(bw: BitWriter):
+        write_p_slice_header(bw, cfg, frame_num_before,
+                             num_waypoints=s.waypoints.count,
+                             wp_long_term_idx=s.waypoints.long_term_idx)
+
+    manual = write_nal_unit(
+        finalize_spliced_frame(cfg, grid, num_refs, hdr), 0, 1)
+    assert manual in s.getvalue()
