@@ -315,8 +315,11 @@ def pack_words_tree(patterns, nbits, num_words: int):
     patterns = patterns & mask
     total = jnp.sum(nbits)
 
-    patterns, _ = _monotone_compact(patterns, nbits > 0)
-    nbits, _ = _monotone_compact(nbits, nbits > 0)
+    # Zero-length symbols need no compaction: they enter the tree as
+    # (word=0, len=0) and merge as exact no-ops (y shifts by 0 and ORs
+    # nothing; x contributes nothing) — fuzz-proven bit-equal to the
+    # compacting variant, and skipping the ~log2(n) masked-roll passes
+    # saves a large slice of the packer's HBM traffic.
 
     # Pad symbol count to a power of two.
     p2 = 1 << max(1, (n - 1)).bit_length()
