@@ -299,11 +299,13 @@ def _shift_words_right(y, sw, width: int):
 
 
 def pack_words_tree(patterns, nbits, num_words: int):
-    """Gather-free packer: bit-exact equivalent of pack_words.
+    """Gather-free packer: bit-exact equivalent of pack_words for every
+    stream that fits the num_words budget (oversized streams are
+    truncated mid-merge rather than at the end; callers discard them via
+    the returned total anyway).
 
-    Accepts zero-length symbols anywhere (compacted internally).
-    num_words must be >= total_bits/32 and is rounded up internally to a
-    power of two for the merge tree.
+    Accepts zero-length symbols anywhere (they merge as exact no-ops).
+    num_words must be >= total_bits/32.
     """
     patterns = jnp.asarray(patterns, jnp.uint32).reshape(-1)
     nbits = jnp.asarray(nbits, jnp.int32).reshape(-1)
@@ -331,13 +333,21 @@ def pack_words_tree(patterns, nbits, num_words: int):
     words = jnp.where(nbits > 0, patterns << sh, 0)[:, None]  # [p2, 1]
     lens = nbits
 
+    # Cap segment width at the output budget (lane-aligned): any segment
+    # is a contiguous subrange of the stream, so whenever the stream fits
+    # in num_words every intermediate segment does too — wider late-round
+    # buffers only carry bits the caller truncates anyway (and streams
+    # that genuinely exceed the budget are discarded via the total-bits
+    # overflow check).  This caps the dominant rounds' HBM traffic.
+    cap = ((num_words + 127) // 128) * 128
+
     width = 1
     while words.shape[0] > 1:
         x = words[0::2]
         y = words[1::2]
         xl = lens[0::2]
         yl = lens[1::2]
-        new_width = width * 2
+        new_width = min(width * 2, max(cap, width))
         x = jnp.pad(x, ((0, 0), (0, new_width - width)))
         y = jnp.pad(y, ((0, 0), (0, new_width - width)))
         #
