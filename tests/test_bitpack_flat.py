@@ -1,0 +1,50 @@
+"""Flat-formulation packer (experimental, Pallas-ready) vs references."""
+
+import jax
+import numpy as np
+
+from h264_scroll_encoder_tpu.ops import bitpack, bitpack_flat
+
+
+def _cases(rng, n, nw, trials):
+    for _ in range(trials):
+        nb = rng.integers(0, 33, n).astype(np.int32)
+        nb[rng.random(n) < 0.6] = 0
+        while int(nb.sum()) > nw * 32:
+            nb[rng.random(n) < 0.5] = 0
+        pat = rng.integers(0, 2 ** 32, n, dtype=np.uint64).astype(np.uint32)
+        yield pat, nb
+
+
+def test_flat_matches_scatter_reference():
+    rng = np.random.default_rng(17)
+    for n, nw in ((1024, 300), (64, 80), (200, 64), (4096, 1300)):
+        f = jax.jit(lambda p, b, nw=nw: bitpack_flat.pack_words_flat(
+            p, b, nw))
+        for pat, nb in _cases(rng, n, nw, 5):
+            a, ta = bitpack.pack_words(pat, nb, nw)
+            b2, tb = f(pat, nb)
+            assert int(ta) == int(tb)
+            assert np.array_equal(np.asarray(a), np.asarray(b2)), (n, nw)
+
+
+def test_pallas_interpret_matches():
+    """Off-TPU the wrapper runs in interpret mode; on TPU this exercises
+    the real Mosaic kernel (verified bit-equal on v5e)."""
+    rng = np.random.default_rng(23)
+    for pat, nb in _cases(rng, 1024, 300, 3):
+        a, ta = bitpack.pack_words(pat, nb, 300)
+        b2, tb = bitpack_flat.pack_words_pallas(pat, nb, 300)
+        assert int(ta) == int(tb)
+        assert np.array_equal(np.asarray(a), np.asarray(b2))
+
+
+def test_flat_roll_equals_flat_reference():
+    rng = np.random.default_rng(5)
+    import jax.numpy as jnp
+    a = jnp.asarray(rng.integers(0, 2 ** 31, (16, 128), dtype=np.int64),
+                    jnp.int32)
+    for s in (0, 1, 5, 127, 128, 129, 1000, -1, -128, -1000, 2047):
+        got = np.asarray(bitpack_flat._flat_roll(a, s)).reshape(-1)
+        want = np.roll(np.asarray(a).reshape(-1), s)
+        assert np.array_equal(got, want), s
