@@ -23,6 +23,11 @@ MV_LIMIT_PX = 496
 # Maximum number of waypoint long-term references (include/h264_writer.h:27).
 MAX_WAYPOINTS = 8
 
+# Static bound on emulation-prevention insertions per frame (halves the
+# EBSP expansion's log-step passes; composed streams have ~0-5).  Frames
+# exceeding it are flagged as overflow like the RBSP bit budget.
+MAX_EBSP_INSERTIONS = 128
+
 # Slice types (H.264 Table 7-6; include/h264_writer.h:19-21).
 SLICE_TYPE_P = 0
 SLICE_TYPE_I = 2

@@ -32,7 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..config import ComposerConfig, MAX_WAYPOINTS, MV_LIMIT_PX
+from ..config import (ComposerConfig, MAX_EBSP_INSERTIONS, MAX_WAYPOINTS,
+                      MV_LIMIT_PX)
 from ..ops import bitpack, ebsp, expgolomb
 from ..syntax.slice_headers import P_HEADER_SLOTS, p_slice_header_symbols
 
@@ -347,8 +348,10 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
     n_nal = (5 + n_rbsp * 3 // 2 + 8 + 3) // 4 * 4
-    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(rbsp_bytes, rbsp_len,
-                                                  n_nal - 8)
+    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+        rbsp_bytes, rbsp_len, n_nal - 8,
+        max_insertions=MAX_EBSP_INSERTIONS)
+    overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
 
     header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01  # NAL_TYPE_SLICE
     prefix = jnp.concatenate([

@@ -552,8 +552,11 @@ def emit_spliced_frame(cfg: ComposerConfig, rect_mb_x: int, rect_mb_y: int,
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
     n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
-    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(rbsp_bytes, rbsp_len,
-                                                  n_nal - 8)
+    from ..config import MAX_EBSP_INSERTIONS
+    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+        rbsp_bytes, rbsp_len, n_nal - 8,
+        max_insertions=MAX_EBSP_INSERTIONS)
+    overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
     header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
     prefix = jnp.concatenate([
         jnp.asarray([0, 0, 0, 1], jnp.uint8),

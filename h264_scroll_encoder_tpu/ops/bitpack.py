@@ -221,7 +221,8 @@ def pack_bytes_gather(patterns, nbits, num_bytes: int, *,
 # ---------------------------------------------------------------------------
 
 
-def monotone_expand(values, shifts, valid, out_size: int, fill):
+def monotone_expand(values, shifts, valid, out_size: int, fill,
+                    max_shift: int | None = None):
     """out[j + shifts[j]] = values[j] for non-decreasing shifts over the
     valid elements.  Positions not hit by any source get `fill`.
 
@@ -230,16 +231,22 @@ def monotone_expand(values, shifts, valid, out_size: int, fill):
     distinct positions throughout (current_j = target_j - remaining_j and
     remaining gaps never exceed target gaps), so moves never collide.
     Returns (out, landed_mask).
+
+    max_shift statically bounds the largest shift, halving the pass
+    count when the caller can bound it (e.g. emulation-prevention
+    insertion counts); shifts above the bound produce garbage, so the
+    caller MUST detect and discard those cases.
     """
     n = values.shape[0]
     pad = out_size - n
+    bound = out_size if max_shift is None else min(max_shift + 1, out_size)
     vals = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
     rem = jnp.concatenate(
         [jnp.where(valid, shifts.astype(jnp.int32), 0),
          jnp.zeros((pad,), jnp.int32)])
     live = jnp.concatenate([jnp.asarray(valid, bool),
                             jnp.zeros((pad,), bool)])
-    for b in reversed(range(max(1, out_size).bit_length())):
+    for b in reversed(range(max(1, bound).bit_length())):
         step = 1 << b
         if step >= out_size:
             continue

@@ -124,13 +124,20 @@ def rbsp_to_ebsp_gather(rbsp, n, max_out: int):
     return out, out_len
 
 
-def rbsp_to_ebsp_tree(rbsp, n, max_out: int):
+def rbsp_to_ebsp_tree(rbsp, n, max_out: int,
+                      max_insertions: int | None = None):
     """Gather-free emulation prevention via monotone log-step expansion.
 
     TPU has no hardware gather; instead each byte's output position is
     input position + (#insertions before it) — a non-decreasing shift —
     so the whole stream moves with log2(max_out) masked static rolls
     (ops/bitpack.monotone_expand) and the vacated holes become 0x03.
+
+    max_insertions statically bounds the insertion count, halving the
+    expansion passes (real composed streams have ~0-5 insertions per
+    frame).  Streams exceeding the bound come back CORRUPT — the caller
+    must treat (out_len - n) > max_insertions as an overflow, exactly
+    like the RBSP bit budget.
     """
     from .bitpack import monotone_expand
 
@@ -146,7 +153,7 @@ def rbsp_to_ebsp_tree(rbsp, n, max_out: int):
     out_len = n + total_ins
 
     out, live = monotone_expand(b, shifts, valid, max_out,
-                                jnp.uint8(3))
+                                jnp.uint8(3), max_shift=max_insertions)
     out_idx = jnp.arange(max_out, dtype=jnp.int32)
     out = jnp.where(out_idx < out_len, out, jnp.uint8(0))
     return out, out_len

@@ -141,3 +141,36 @@ def test_jit_versions_match_numpy():
         exp2 = ebsp.ebsp_to_rbsp_np(raw)
         assert int(out2_len) == exp2.size
         assert np.asarray(out2)[: exp2.size].tobytes() == exp2.tobytes()
+
+
+def test_bounded_expansion_matches_and_flags():
+    """max_insertions: bit-equal to the unbounded path in contract; the
+    insertion count (out_len - n) exposes out-of-contract streams so
+    emitters can flag overflow (models/scroll.py, splice_device.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(41)
+    size, mo = 1024, 2048
+    fa = jax.jit(lambda b, n: ebsp.rbsp_to_ebsp_tree(b, n, mo))
+    fb = jax.jit(lambda b, n: ebsp.rbsp_to_ebsp_tree(
+        b, n, mo, max_insertions=128))
+    checked = 0
+    for _ in range(40):
+        b = rng.integers(0, 256, size).astype(np.uint8)
+        # sprinkle zero runs to force insertions
+        for _ in range(int(rng.integers(0, 40))):
+            p = int(rng.integers(0, size - 4))
+            b[p:p + int(rng.integers(2, 5))] = 0
+        n = int(rng.integers(64, size))
+        a, la = fa(jnp.asarray(b), n)
+        c, lc = fb(jnp.asarray(b), n)
+        ins = int(la) - n
+        if ins > 128:
+            # out of contract: emitters flag via (out_len - n) > bound
+            assert int(lc) - n > 128
+            continue
+        checked += 1
+        assert int(la) == int(lc)
+        assert np.array_equal(np.asarray(a), np.asarray(c))
+    assert checked >= 10, "fuzz produced too few in-contract cases"
