@@ -36,6 +36,39 @@ def _zero_run_before(b, valid):
     return idx - 1 - last_nz_before
 
 
+# Static window for the bounded zero-run tracker: composed CAVLC payloads
+# never carry anywhere near 64 consecutive zero bytes (the longest legal
+# zero-bit runs are ~25-bit ue/se prefixes), so positions whose window
+# holds no nonzero byte are treated as out of contract and flagged via
+# the same overflow path as the insertion budget.
+ZERO_RUN_WINDOW = 64
+
+
+def _zero_run_windowed(b, valid):
+    """(t_i, saturated): zero-run length via a windowed max — log2(W)+1
+    static-shift passes instead of a full associative scan.  Exact while
+    the run fits ZERO_RUN_WINDOW (or reaches the stream start);
+    `saturated` marks any valid position where it cannot be resolved."""
+    n = b.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    none = jnp.int32(-(2 ** 30))
+    nz = jnp.where(valid & (b != 0), idx, none)
+
+    def shifted(a, s):
+        return jnp.concatenate([jnp.full((s,), none, jnp.int32), a[:-s]]) \
+            if s < n else jnp.full((n,), none, jnp.int32)
+
+    acc = shifted(nz, 1)                       # last nonzero strictly before
+    w = 1
+    while w < ZERO_RUN_WINDOW:
+        acc = jnp.maximum(acc, shifted(acc, w))
+        w *= 2
+    found = acc >= 0
+    t = jnp.where(found, idx - 1 - acc, idx)   # no nonzero -> run from start
+    saturated = valid & ~found & (idx > ZERO_RUN_WINDOW)
+    return t, saturated
+
+
 def rbsp_to_ebsp(rbsp, n, max_out: int):
     """Insert emulation-prevention 0x03 bytes (jit-able).
 
@@ -134,10 +167,11 @@ def rbsp_to_ebsp_tree(rbsp, n, max_out: int,
     (ops/bitpack.monotone_expand) and the vacated holes become 0x03.
 
     max_insertions statically bounds the insertion count, halving the
-    expansion passes (real composed streams have ~0-5 insertions per
-    frame).  Streams exceeding the bound come back CORRUPT — the caller
-    must treat (out_len - n) > max_insertions as an overflow, exactly
-    like the RBSP bit budget.
+    expansion passes, and switches the zero-run tracker to the windowed
+    form (real composed streams have ~0-5 insertions per frame and
+    zero-byte runs of a couple bytes).  Streams exceeding either bound
+    come back CORRUPT with (out_len - n) > max_insertions — the caller
+    must treat that as an overflow, exactly like the RBSP bit budget.
     """
     from .bitpack import monotone_expand
 
@@ -146,10 +180,15 @@ def rbsp_to_ebsp_tree(rbsp, n, max_out: int,
     idx = jnp.arange(size, dtype=jnp.int32)
     valid = idx < n
 
-    t = _zero_run_before(b, valid)
+    if max_insertions is None:
+        t = _zero_run_before(b, valid)
+        sat = jnp.int32(0)
+    else:
+        t, saturated = _zero_run_windowed(b, valid)
+        sat = jnp.any(saturated).astype(jnp.int32) * (max_insertions + 1)
     ins = valid & (b <= 3) & (t >= 2) & (t % 2 == 0)
     shifts = jnp.cumsum(ins.astype(jnp.int32))
-    total_ins = shifts[-1] if size else jnp.int32(0)
+    total_ins = (shifts[-1] if size else jnp.int32(0)) + sat
     out_len = n + total_ins
 
     out, live = monotone_expand(b, shifts, valid, max_out,
