@@ -228,6 +228,10 @@ def _parse_inter_mb(br, mb_type: int, num_ref_idx_l0: int, tracker, col):
     sub_mb_types = ()
     if mb_type >= 3:
         sub_mb_types = tuple(br.read_ue() for _ in range(4))
+        if any(smt > 3 for smt in sub_mb_types):
+            # P-slice sub_mb_type is 0..3 (Table 7-17); mirror the native
+            # parser's rejection (native/cavlc_decode.cpp parse_inter).
+            raise cavlc.CAVLCError(f"invalid P sub_mb_type {sub_mb_types}")
 
     ref_idx = ()
     if num_ref_idx_l0 > 1 and mb_type != 4:
@@ -245,7 +249,7 @@ def _parse_inter_mb(br, mb_type: int, num_ref_idx_l0: int, tracker, col):
             mvds.append((br.read_se(), br.read_se()))
     else:
         for smt in sub_mb_types:
-            n = SUB_MB_MVS[smt] if smt < 4 else 1
+            n = SUB_MB_MVS[smt]
             for _ in range(n):
                 mvds.append((br.read_se(), br.read_se()))
 

@@ -267,7 +267,7 @@ def pskip_mv_grid(ref, mv_x, mv_y):
 
 def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
                  ref, mv_x, mv_y, num_refs, nal_ref_idc,
-                 *, enable_pskip: bool):
+                 *, enable_pskip: bool, ebsp_exact: bool = False):
     """Symbols -> packed Annex-B NAL bytes for one P slice.
 
     The field grids may cover the full frame or one horizontal slice band
@@ -348,10 +348,17 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
     n_nal = (5 + n_rbsp * 3 // 2 + 8 + 3) // 4 * 4
-    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
-        rbsp_bytes, rbsp_len, n_nal - 8,
-        max_insertions=MAX_EBSP_INSERTIONS)
-    overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
+    if ebsp_exact:
+        # Exact unbounded emulation prevention: the slow-path fallback a
+        # caller retries with after the bounded fast path flags overflow
+        # (output capacity already covers the 1.5x worst case).
+        ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+            rbsp_bytes, rbsp_len, n_nal - 8)
+    else:
+        ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+            rbsp_bytes, rbsp_len, n_nal - 8,
+            max_insertions=MAX_EBSP_INSERTIONS)
+        overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
 
     header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01  # NAL_TYPE_SLICE
     prefix = jnp.concatenate([
@@ -399,7 +406,8 @@ def scroll_frame_sliced(cfg: ComposerConfig, frame_num, offset_px,
                         wp_offsets, wp_ltidx, wp_valid, num_waypoints,
                         *, rows_per_slice: int,
                         enable_pskip: bool = False,
-                        boundary_policy: str = "floor"):
+                        boundary_policy: str = "floor",
+                        ebsp_exact: bool = False):
     """One scroll frame emitted as multiple MB-row-aligned slices.
 
     Each band is an independent slice (first_mb_in_slice = band start):
@@ -427,7 +435,8 @@ def scroll_frame_sliced(cfg: ComposerConfig, frame_num, offset_px,
             wp_valid=wp_valid, first_mb=first_mb)
         return emit_p_frame(cfg, hp, hn, band_ref, band_mvx,
                             band_mvy, num_refs=2 + num_waypoints,
-                            nal_ref_idc=0, enable_pskip=enable_pskip)
+                            nal_ref_idc=0, enable_pskip=enable_pskip,
+                            ebsp_exact=ebsp_exact)
 
     bands = lambda a: a.reshape(n_bands, rows_per_slice, cfg.mb_width)
     first_mbs = (jnp.arange(n_bands, dtype=jnp.uint32)
@@ -448,7 +457,7 @@ def needs_waypoint(offset_px, wp_offsets, wp_valid, num_waypoints):
 def scroll_frame(cfg: ComposerConfig, frame_num, offset_px,
                  wp_offsets, wp_ltidx, wp_valid, num_waypoints,
                  *, enable_pskip: bool = False,
-                 boundary_policy: str = "floor"):
+                 boundary_policy: str = "floor", ebsp_exact: bool = False):
     """One non-reference scroll P-frame (nal_ref_idc=0)."""
     max_fn = 1 << cfg.log2_max_frame_num
     fn = frame_num % max_fn
@@ -462,13 +471,13 @@ def scroll_frame(cfg: ComposerConfig, frame_num, offset_px,
     mv_x = jnp.zeros_like(mv_y)
     return emit_p_frame(cfg, hp, hn, ref, mv_x, mv_y,
                         num_refs=2 + num_waypoints, nal_ref_idc=0,
-                        enable_pskip=enable_pskip)
+                        enable_pskip=enable_pskip, ebsp_exact=ebsp_exact)
 
 
 def waypoint_frame(cfg: ComposerConfig, frame_num, offset_px,
                    wp_offsets, wp_ltidx, wp_valid, num_waypoints,
                    *, enable_pskip: bool = False,
-                   boundary_policy: str = "floor"):
+                   boundary_policy: str = "floor", ebsp_exact: bool = False):
     """One reference waypoint P-frame (nal_ref_idc=2) that MMCO-marks
     itself long-term idx 2+num_waypoints (src/h264_writer.c:678-782)."""
     max_fn = 1 << cfg.log2_max_frame_num
@@ -484,4 +493,4 @@ def waypoint_frame(cfg: ComposerConfig, frame_num, offset_px,
     mv_x = jnp.zeros_like(mv_y)
     return emit_p_frame(cfg, hp, hn, ref, mv_x, mv_y,
                         num_refs=2 + num_waypoints, nal_ref_idc=2,
-                        enable_pskip=enable_pskip)
+                        enable_pskip=enable_pskip, ebsp_exact=ebsp_exact)

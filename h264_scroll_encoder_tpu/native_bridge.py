@@ -269,6 +269,14 @@ def _convert(rec: _MBRec, bits: np.ndarray, rbsp: bytes):
             cb_dc=cb_dc, cr_dc=cr_dc, chroma_ac=chroma_ac)
     if rec.kind == 4:
         start = int(rec.ipcm_byte_start)
+        samples = rbsp[start:start + 384]
+        if len(samples) != 384:
+            # The native parser rejects payloads past the RBSP end
+            # (kErrEof), so a short slice here means a stale library or a
+            # corrupted record — never silently truncate I_PCM samples.
+            raise cavlc.CAVLCError(
+                f"I_PCM payload truncated ({len(samples)}/384 bytes at "
+                f"byte {start})")
         return mbt.Macroblock(kind="ipcm", mb_type=int(rec.mb_type),
-                              ipcm_samples=rbsp[start:start + 384])
+                              ipcm_samples=samples)
     raise cavlc.CAVLCError(f"native parser returned bad kind {rec.kind}")

@@ -46,9 +46,11 @@ ZERO_RUN_WINDOW = 64
 
 def _zero_run_windowed(b, valid):
     """(t_i, saturated): zero-run length via a windowed max — log2(W)+1
-    static-shift passes instead of a full associative scan.  Exact while
-    the run fits ZERO_RUN_WINDOW (or reaches the stream start);
-    `saturated` marks any valid position where it cannot be resolved."""
+    static-shift passes instead of a full associative scan.  Exact for
+    runs <= ZERO_RUN_WINDOW - 1 (a ZERO_RUN_WINDOW-byte run already
+    saturates: the preceding nonzero byte falls outside the window) or
+    when the run reaches the stream start; `saturated` marks any valid
+    position where it cannot be resolved."""
     n = b.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     none = jnp.int32(-(2 ** 30))
@@ -171,7 +173,9 @@ def rbsp_to_ebsp_tree(rbsp, n, max_out: int,
     form (real composed streams have ~0-5 insertions per frame and
     zero-byte runs of a couple bytes).  Streams exceeding either bound
     come back CORRUPT with (out_len - n) > max_insertions — the caller
-    must treat that as an overflow, exactly like the RBSP bit budget.
+    must treat that as an overflow and re-emit through the exact
+    unbounded path (max_insertions=None), as ComposerSession does; the
+    bounds are a fast-path contract, not a capability limit.
     """
     from .bitpack import monotone_expand
 

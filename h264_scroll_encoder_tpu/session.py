@@ -66,18 +66,20 @@ class WaypointRegistry:
 
 @functools.lru_cache(maxsize=None)
 def _jitted_scroll(cfg: ComposerConfig, enable_pskip: bool,
-                   boundary_policy: str = "floor"):
+                   boundary_policy: str = "floor",
+                   ebsp_exact: bool = False):
     return jax.jit(functools.partial(
         scroll.scroll_frame, cfg, enable_pskip=enable_pskip,
-        boundary_policy=boundary_policy))
+        boundary_policy=boundary_policy, ebsp_exact=ebsp_exact))
 
 
 @functools.lru_cache(maxsize=None)
 def _jitted_waypoint(cfg: ComposerConfig, enable_pskip: bool,
-                     boundary_policy: str = "floor"):
+                     boundary_policy: str = "floor",
+                     ebsp_exact: bool = False):
     return jax.jit(functools.partial(
         scroll.waypoint_frame, cfg, enable_pskip=enable_pskip,
-        boundary_policy=boundary_policy))
+        boundary_policy=boundary_policy, ebsp_exact=ebsp_exact))
 
 
 class ComposerSession:
@@ -90,6 +92,7 @@ class ComposerSession:
         self.cfg = cfg
         self.parse_cfg = parse_cfg or cfg
         self.enable_pskip = enable_pskip
+        self.boundary_policy = boundary_policy
         self.writer = AnnexBWriter()
         self.frame_num = 0
         self.waypoints = WaypointRegistry.empty()
@@ -166,7 +169,7 @@ class ComposerSession:
 
     def write_waypoint_frame(self, offset_px: int) -> None:
         """Emit one waypoint reference P-frame and register it."""
-        self._emit(self._waypoint_fn, offset_px)
+        self._emit(self._waypoint_fn, offset_px, waypoint=True)
         self.waypoints.register(offset_px)
 
     def write_scroll_frame_sliced(self, offset_px: int,
@@ -181,6 +184,13 @@ class ComposerSession:
             self.cfg, jnp.int32(self.frame_num), jnp.int32(offset_px),
             wp_off, wp_lt, wp_valid, count,
             rows_per_slice=rows_per_slice, enable_pskip=self.enable_pskip)
+        if bool(np.asarray(ovf).any()):
+            # Retry with exact unbounded emulation prevention (see _emit).
+            nals, lens, _, ovf = scroll.scroll_frame_sliced(
+                self.cfg, jnp.int32(self.frame_num), jnp.int32(offset_px),
+                wp_off, wp_lt, wp_valid, count,
+                rows_per_slice=rows_per_slice,
+                enable_pskip=self.enable_pskip, ebsp_exact=True)
         if bool(np.asarray(ovf).any()):
             raise OverflowError("sliced frame exceeds the RBSP budget")
         nals = np.asarray(nals)
@@ -253,11 +263,20 @@ class ComposerSession:
         self.frame_num += 1
         self.frames_written += 1
 
-    def _emit(self, fn, offset_px: int) -> None:
+    def _emit(self, fn, offset_px: int, *, waypoint: bool = False) -> None:
         wp_off, wp_lt, wp_valid, count = self.waypoints.as_arrays()
-        nal, nal_len, _, overflow = fn(
-            jnp.int32(self.frame_num), jnp.int32(offset_px),
-            wp_off, wp_lt, wp_valid, count)
+        args = (jnp.int32(self.frame_num), jnp.int32(offset_px),
+                wp_off, wp_lt, wp_valid, count)
+        nal, nal_len, _, overflow = fn(*args)
+        if bool(overflow):
+            # The fast path statically bounds emulation-prevention work
+            # (MAX_EBSP_INSERTIONS / ZERO_RUN_WINDOW); legal payloads past
+            # those bounds re-emit through the exact unbounded EBSP path
+            # before concluding the RBSP bit budget itself was exceeded.
+            exact = (_jitted_waypoint if waypoint else _jitted_scroll)(
+                self.cfg, self.enable_pskip, self.boundary_policy,
+                ebsp_exact=True)
+            nal, nal_len, _, overflow = exact(*args)
         if bool(overflow):
             raise OverflowError(
                 f"frame at offset {offset_px} exceeds the RBSP budget of "

@@ -31,6 +31,7 @@ constexpr int kErrRunBefore = -4;
 constexpr int kErrMbType = -5;
 constexpr int kErrChromaPred = -6;
 constexpr int kErrLevel = -7;
+constexpr int kErrEof = -8;
 
 class BitReader {
  public:
@@ -64,6 +65,10 @@ class BitReader {
     int lz = 0;
     while (bit() == 0 && lz < 32) ++lz;
     if (lz == 0) return 0;
+    // 32+ leading zeros cannot encode a value that is legal anywhere in
+    // this grammar (and 1u<<32 is UB); return an out-of-range sentinel
+    // that every caller's range check rejects.
+    if (lz >= 32) return 0xFFFFFFFFu;
     return (1u << lz) - 1 + bits(lz);
   }
 
@@ -73,6 +78,10 @@ class BitReader {
   }
 
   void align() { pos_ = (pos_ + 7) & ~7L; }
+
+  // True once any read (or seek) has gone past the buffer end; the
+  // recorded bit spans would then reference memory outside the RBSP.
+  bool past_end() const { return pos_ > nbits_; }
 
  private:
   const uint8_t* data_;
@@ -200,6 +209,9 @@ int read_block(BitReader& br, int nC, int max_coeff, BlockRec* out) {
     zeros_left -= run;
   }
   out->tail_len = (int32_t)(br.pos() - out->tail_start);
+  // The recorded tail span is copied verbatim from the source buffer at
+  // emit time; a span past the RBSP end would leak adjacent memory.
+  if (br.past_end()) return kErrEof;
   return 0;
 }
 
@@ -370,6 +382,7 @@ int parse_ipcm(BitReader& br, MBRec* mb, Tracker& trk, int col) {
   br.align();
   mb->ipcm_byte_start = br.pos() / 8;
   br.seek(br.pos() + 384 * 8);
+  if (br.past_end()) return kErrEof;  // payload would read past the RBSP
   CoeffCtx ctx;
   std::memset(&ctx, 0, sizeof(ctx));
   trk.push(col, ctx);
@@ -389,13 +402,16 @@ int parse_inter(BitReader& br, MBRec* mb, int mb_type, int num_ref,
   if (mb_type >= 3) {
     total_mvs = 0;
     for (int i = 0; i < 4; ++i) {
-      mb->sub_mb_types[i] = (int32_t)br.ue();
-      if (mb->sub_mb_types[i] < 4)
-        total_mvs += sub_mvs[mb->sub_mb_types[i]];
-      else
-        total_mvs += 1;
+      // P-slice sub_mb_type is 0..3 (Table 7-17); range-check as uint32
+      // before the int32 store — a hostile donor can encode >= 2^31,
+      // which would otherwise index sub_mvs[] out of bounds.
+      uint32_t smt = br.ue();
+      if (smt > 3) return kErrMbType;
+      mb->sub_mb_types[i] = (int32_t)smt;
+      total_mvs += sub_mvs[smt];
     }
   }
+  if (total_mvs > 16) return kErrMbType;  // mvds[16] capacity invariant
   if (num_ref > 1 && mb_type != 4) {
     int n_refs = mb_type == 3 ? 4 : n_parts;
     mb->n_ref = n_refs;
@@ -700,6 +716,7 @@ int cavlc_parse_slice(const uint8_t* rbsp, long nbytes, long start_bit,
         else if (t <= 24) err = parse_i16x16(br, mb, (int)t - 1, trk, col);
         else if (t == 25) err = parse_ipcm(br, mb, trk, col);
         else err = kErrMbType;
+        if (!err && br.past_end()) err = kErrEof;
       }
       trk.end_row();
     }
@@ -729,6 +746,7 @@ int cavlc_parse_slice(const uint8_t* rbsp, long nbytes, long start_bit,
       else if (t <= 29) err = parse_i16x16(br, mb, (int)t - 6, trk, col);
       else if (t == 30) err = parse_ipcm(br, mb, trk, col);
       else err = kErrMbType;
+      if (!err && br.past_end()) err = kErrEof;
       ++count;
     }
   }

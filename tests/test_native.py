@@ -107,3 +107,80 @@ def test_native_reemission_byte_identical():
     mbt.emit_p_slice_mbs(bw2, nat_grid, 2)
     bw2.write_trailing_bits()
     assert bw2.getvalue() == rbsp
+
+
+# ---------------------------------------------------------------------------
+# Hostile / malformed donor bitstreams (ADVICE round-1 findings): the parse
+# must fail with an error code — never read or write out of bounds.
+# ---------------------------------------------------------------------------
+
+from h264_scroll_encoder_tpu.ops import cavlc
+
+
+def _parse_native_raw(rbsp, w, h, is_p, num_ref):
+    return native_bridge.parse_slice_native(rbsp, 0, w, h, is_p, num_ref)
+
+
+def test_native_rejects_huge_sub_mb_type():
+    """sub_mb_type >= 2^31 must error (kErrMbType), not index sub_mvs[]
+    with a negative int32 (previously a SIGSEGV / heap corruption)."""
+    bw = BitWriter()
+    bw.write_ue(0)        # skip_run
+    bw.write_ue(3)        # mb_type P_8x8
+    bw.write_ue(2 ** 31)  # sub_mb_type[0]: 31 leading zeros, cast-negative
+    bw.write_trailing_bits()
+    rbsp = bw.getvalue() + b"\x00" * 64
+    with pytest.raises(cavlc.CAVLCError):
+        _parse_native_raw(rbsp, 1, 1, True, 1)
+    # The Python parser must agree (differential parity on rejection).
+    with pytest.raises(cavlc.CAVLCError):
+        mbt.parse_p_slice_mbs(BitReader(rbsp), 1, 1, 1)
+
+
+def test_native_rejects_sub_mb_type_4_to_small():
+    """Any P sub_mb_type > 3 is out of Table 7-17 range."""
+    bw = BitWriter()
+    bw.write_ue(0)
+    bw.write_ue(3)
+    bw.write_ue(4)
+    bw.write_trailing_bits()
+    rbsp = bw.getvalue() + b"\x00" * 16
+    with pytest.raises(cavlc.CAVLCError):
+        _parse_native_raw(rbsp, 1, 1, True, 1)
+    with pytest.raises(cavlc.CAVLCError):
+        mbt.parse_p_slice_mbs(BitReader(rbsp), 1, 1, 1)
+
+
+def test_native_rejects_all_zero_ue():
+    """32+ leading zeros in a ue(v) field (only reachable in a corrupt
+    stream) previously evaluated 1u<<32 (UB); now an out-of-range
+    sentinel that the mb_type range check rejects."""
+    rbsp = b"\x00" * 12  # mb_type ue() never terminates within the buffer
+    with pytest.raises(cavlc.CAVLCError):
+        _parse_native_raw(rbsp, 1, 1, False, 1)
+
+
+def test_native_rejects_truncated_ipcm():
+    """An I_PCM macroblock whose 384-byte payload runs past the RBSP end
+    must fail the parse (kErrEof), not record an out-of-bounds span that
+    emission would later copy from adjacent heap memory."""
+    bw = BitWriter()
+    bw.write_ue(25)  # I_PCM in an I slice
+    rbsp = bw.getvalue() + b"\xAB" * 100  # payload needs 384 bytes
+    with pytest.raises(cavlc.CAVLCError):
+        _parse_native_raw(rbsp, 1, 1, False, 1)
+
+
+def test_native_rejects_truncated_residual_tail():
+    """Residual blocks parsed off the end of the buffer (EOF-tolerant
+    bit reads) must not record tail spans past the RBSP."""
+    bw = BitWriter()
+    bw.write_ue(0)       # skip_run
+    bw.write_ue(0)       # mb_type P_L0_16x16
+    bw.write_se(1)       # mvd x
+    bw.write_se(1)       # mvd y
+    bw.write_ue(2)       # cbp code -> nonzero cbp, residual expected
+    bw.write_bits(0, 3)  # qp_delta + a sliver, then the stream just ends
+    rbsp = bw.getvalue()
+    with pytest.raises(cavlc.CAVLCError):
+        _parse_native_raw(rbsp, 2, 1, True, 1)

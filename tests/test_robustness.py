@@ -102,3 +102,31 @@ def test_minimal_geometry_parity(ref_binaries, tmp_path):
     for off in triangle_offsets(12, 4, 96 - 16, start_offset=496):
         s.write_scroll_or_waypoint_frame(off)
     assert s.getvalue() == out.read_bytes()
+
+
+def test_session_falls_back_to_exact_ebsp_on_overflow():
+    """When the bounded emulation-prevention fast path flags overflow
+    (MAX_EBSP_INSERTIONS / ZERO_RUN_WINDOW are a fast-path contract, not
+    a capability limit), the session must re-emit through the exact
+    unbounded path and produce the same bytes — never raise."""
+    import jax.numpy as jnp
+
+    reference = _stream()
+
+    cfg = ComposerConfig(64, 128)
+    s = ComposerSession(cfg)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    real_scroll, real_wp = s._scroll_fn, s._waypoint_fn
+
+    def lying(fn):
+        def wrapped(*args):
+            nal, nal_len, bits, _ = fn(*args)
+            return nal, nal_len, bits, jnp.bool_(True)
+        return wrapped
+
+    s._scroll_fn = lying(real_scroll)
+    s._waypoint_fn = lying(real_wp)
+    for off in (0, 9, 23, 40, 100):
+        s.write_scroll_frame(off)
+    assert s.getvalue() == reference
