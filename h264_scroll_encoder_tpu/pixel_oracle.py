@@ -1,0 +1,502 @@
+"""Pixel-level reconstruction oracle — the independent decode check.
+
+The reference's pass/fail oracle is a real third-party decoder
+(trans_resizer.c:2176-2186 shells to ffmpeg; scroll-encoder
+scripts/test_encoder.sh:82-91 decodes and extracts frames for
+inspection).  No decoder exists in this environment, so this module
+implements the missing piece natively: a decoder *model* for the H.264
+subset every composed stream lives in —
+
+  - I_PCM intra frames (atlases decode to exact pixels),
+  - residual-free inter prediction (P_L0 16x16/16x8/8x16/8x8 partitions
+    and P_Skip) with edge-clamped motion compensation: full-pel luma
+    (composed MVs are integer-pel) and 1/8-pel bilinear chroma
+    (H.264 8.4.2.2.2),
+  - exact reference-picture management: IDR long-term flag, MMCO 4/6/0
+    marking, explicit ref-list modification (8.2.4.3), sliding window.
+
+Unlike verify.py (grammar re-parse + MV-field decode), the output here is
+*pixels*, compared by tests against intended compositions computed
+directly from raw atlas content — so a systematic misunderstanding of
+motion-compensation semantics (exactly the class of defect behind the
+reference's KNOWN_ISSUES 16 px seam) fails pixel equality instead of
+passing every structural check.
+
+The slice-header/ref-list parse below is written against the spec,
+independent of syntax/slice_headers.py (the emitter) — shared ancestry is
+limited to the bit reader and the MB grammar parser.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .models import mb_transcode as mbt
+from .models import mv_field
+from .ops.bitio import BitReader
+from .syntax import parse
+
+
+class UnsupportedStream(Exception):
+    """Stream uses syntax outside the residual-free composition subset."""
+
+
+@dataclasses.dataclass
+class Picture:
+    """One decoded picture (YUV420, uint8 planes)."""
+    y: np.ndarray                 # (H, W)
+    cb: np.ndarray                # (H/2, W/2)
+    cr: np.ndarray                # (H/2, W/2)
+    frame_num: int = 0
+    long_term_idx: int | None = None
+    is_ref: bool = False
+
+    @classmethod
+    def blank(cls, width: int, height: int) -> "Picture":
+        return cls(np.zeros((height, width), np.uint8),
+                   np.zeros((height // 2, width // 2), np.uint8),
+                   np.zeros((height // 2, width // 2), np.uint8))
+
+    def copy(self) -> "Picture":
+        return Picture(self.y.copy(), self.cb.copy(), self.cr.copy(),
+                       self.frame_num, self.long_term_idx, self.is_ref)
+
+
+# ---------------------------------------------------------------------------
+# Slice header (independent parse capturing ref-list mod + MMCO verbatim).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _SliceHeader:
+    first_mb: int
+    slice_type: int               # mod 5: 0=P, 2=I
+    frame_num: int
+    num_ref_idx_l0: int
+    reorder_ops: list             # [(idc, value), ...]
+    mmco_ops: list                # [(op, v1, v2), ...]
+    long_term_reference_flag: int
+    adaptive_marking: bool
+    data_bit: int                 # bit position of the first macroblock
+
+
+def _parse_slice_header(rbsp: bytes, *, is_idr: bool, nal_ref_idc: int,
+                        log2_max_frame_num: int,
+                        num_ref_default: int) -> _SliceHeader:
+    br = BitReader(rbsp)
+    first_mb = br.read_ue()
+    slice_type = br.read_ue() % 5
+    br.read_ue()                                  # pps_id
+    frame_num = br.read_bits(log2_max_frame_num)
+    if is_idr:
+        br.read_ue()                              # idr_pic_id
+    # pic_order_cnt_type 2: no POC syntax (all composed streams).
+
+    num_ref = num_ref_default
+    reorder_ops = []
+    if slice_type == 0:
+        if br.read_bit():                         # num_ref_idx override
+            num_ref = br.read_ue() + 1
+        if br.read_bit():                         # ref_pic_list_mod l0
+            while True:
+                idc = br.read_ue()
+                if idc == 3:
+                    break
+                reorder_ops.append((idc, br.read_ue()))
+
+    lt_flag = 0
+    adaptive = False
+    mmco_ops = []
+    if is_idr:
+        br.read_bit()                             # no_output_of_prior_pics
+        lt_flag = br.read_bit()
+    elif nal_ref_idc != 0:
+        adaptive = bool(br.read_bit())
+        if adaptive:
+            while True:
+                op = br.read_ue()
+                if op == 0:
+                    break
+                v1 = br.read_ue() if op in (1, 2, 3, 4, 6) else 0
+                v2 = br.read_ue() if op == 3 else 0
+                mmco_ops.append((op, v1, v2))
+
+    br.read_se()                                  # slice_qp_delta
+    disable_deblock = br.read_ue()
+    if disable_deblock != 1:
+        br.read_se()
+        br.read_se()
+    return _SliceHeader(first_mb, slice_type, frame_num, num_ref,
+                        reorder_ops, mmco_ops, lt_flag, adaptive,
+                        br.bit_position)
+
+
+# ---------------------------------------------------------------------------
+# Reference list construction (8.2.4).
+# ---------------------------------------------------------------------------
+
+def _initial_list(short_term: list, long_term: dict, cur_frame_num: int,
+                  max_frame_num: int) -> list:
+    def pic_num(p: Picture) -> int:
+        return (p.frame_num if p.frame_num <= cur_frame_num
+                else p.frame_num - max_frame_num)
+
+    st = sorted(short_term, key=pic_num, reverse=True)
+    lt = [long_term[k] for k in sorted(long_term)]
+    return st + lt
+
+
+def _reorder_list(lst: list, ops: list, num_active: int, cur_frame_num: int,
+                  max_frame_num: int, short_term: list,
+                  long_term: dict) -> list:
+    """8.2.4.3 explicit reference-list modification."""
+    lst = list(lst)
+    # Pad conceptually: the process may reference entries beyond
+    # num_active during reordering; keep the full list and truncate last.
+    ref_idx = 0
+    pic_num_pred = cur_frame_num
+
+    def pic_num_of(p: Picture) -> int:
+        return (p.frame_num if p.frame_num <= cur_frame_num
+                else p.frame_num - max_frame_num)
+
+    for idc, val in ops:
+        if idc in (0, 1):
+            if idc == 0:
+                no_wrap = pic_num_pred - (val + 1)
+                if no_wrap < 0:
+                    no_wrap += max_frame_num
+            else:
+                no_wrap = pic_num_pred + (val + 1)
+                if no_wrap >= max_frame_num:
+                    no_wrap -= max_frame_num
+            pic_num_pred = no_wrap
+            target = (no_wrap - max_frame_num
+                      if no_wrap > cur_frame_num else no_wrap)
+            match = next((p for p in short_term
+                          if pic_num_of(p) == target), None)
+        elif idc == 2:
+            match = long_term.get(val)
+        else:
+            raise UnsupportedStream(f"reordering_of_pic_nums_idc {idc}")
+        if match is None:
+            raise UnsupportedStream(
+                f"ref-list modification names a missing picture "
+                f"(idc {idc}, value {val})")
+        lst.insert(ref_idx, match)
+        # Remove the later duplicate of the same picture.
+        for j in range(ref_idx + 1, len(lst)):
+            if lst[j] is match:
+                del lst[j]
+                break
+        ref_idx += 1
+    return lst[:num_active]
+
+
+# ---------------------------------------------------------------------------
+# Motion compensation (8.4.2.2) — vectorized over the slice band.
+# ---------------------------------------------------------------------------
+
+def _mc_band(field: mv_field.MVField, ref_list: list, band_y0_mb: int,
+             out: Picture) -> None:
+    """Paint inter-predicted pixels of one slice band into `out`.
+
+    `field` covers the band only (rows 0..band_h); band_y0_mb is the
+    band's first MB row in the frame.  Luma must be full-pel (composed
+    streams are integer-pel by construction); chroma uses the spec's
+    1/8-pel bilinear filter.
+    """
+    h4, w4 = field.ref.shape
+    y0 = band_y0_mb * 16
+    H, W = out.y.shape
+
+    # Expand the 4x4-cell field to per-pixel maps.
+    ref_px = np.repeat(np.repeat(field.ref, 4, 0), 4, 1)
+    mvx_px = np.repeat(np.repeat(field.mvx, 4, 0), 4, 1)
+    mvy_px = np.repeat(np.repeat(field.mvy, 4, 0), 4, 1)
+    rows = np.arange(h4 * 4)[:, None] + y0
+    cols = np.arange(w4 * 4)[None, :]
+
+    inter = ref_px >= 0
+    if inter.any():
+        if ((mvx_px[inter] % 4).any() or (mvy_px[inter] % 4).any()):
+            raise UnsupportedStream(
+                "fractional-pel luma MV (composed streams are integer-pel)")
+    src_y = np.clip(rows + mvy_px // 4, 0, H - 1)
+    src_x = np.clip(cols + mvx_px // 4, 0, W - 1)
+
+    for ridx, ref_pic in enumerate(ref_list):
+        m = ref_px == ridx
+        if not m.any():
+            continue
+        band = out.y[y0:y0 + h4 * 4]
+        band[m] = ref_pic.y[src_y[m], src_x[m]]
+
+    # Chroma: one value per 2x2 luma block; mv in 1/8 chroma-pel units is
+    # numerically the luma qpel value (4:2:0, 8.4.1.4).
+    ref_c = field.ref[::1, ::1]
+    h2, w2 = h4 * 2, w4 * 2
+    refc_px = np.repeat(np.repeat(ref_c, 2, 0), 2, 1)
+    mvxc = np.repeat(np.repeat(field.mvx, 2, 0), 2, 1)
+    mvyc = np.repeat(np.repeat(field.mvy, 2, 0), 2, 1)
+    crows = np.arange(h2)[:, None] + band_y0_mb * 8
+    ccols = np.arange(w2)[None, :]
+    Hc, Wc = out.cb.shape
+
+    x_int = ccols + (mvxc >> 3)
+    y_int = crows + (mvyc >> 3)
+    xf = mvxc & 7
+    yf = mvyc & 7
+    x0 = np.clip(x_int, 0, Wc - 1)
+    x1 = np.clip(x_int + 1, 0, Wc - 1)
+    yy0 = np.clip(y_int, 0, Hc - 1)
+    yy1 = np.clip(y_int + 1, 0, Hc - 1)
+
+    for ridx, ref_pic in enumerate(ref_list):
+        m = refc_px == ridx
+        if not m.any():
+            continue
+        for plane_out, plane_ref in ((out.cb, ref_pic.cb),
+                                     (out.cr, ref_pic.cr)):
+            a = plane_ref[yy0[m], x0[m]].astype(np.int32)
+            b = plane_ref[yy0[m], x1[m]].astype(np.int32)
+            c = plane_ref[yy1[m], x0[m]].astype(np.int32)
+            d = plane_ref[yy1[m], x1[m]].astype(np.int32)
+            fx, fy = xf[m], yf[m]
+            val = ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+                   + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+            band = plane_out[band_y0_mb * 8: band_y0_mb * 8 + h2]
+            band[m] = val.astype(np.uint8)
+
+
+def _paint_ipcm(mb, mb_x: int, mb_y: int, out: Picture) -> None:
+    s = np.frombuffer(mb.ipcm_samples, np.uint8)
+    out.y[mb_y * 16:(mb_y + 1) * 16, mb_x * 16:(mb_x + 1) * 16] = \
+        s[:256].reshape(16, 16)
+    out.cb[mb_y * 8:(mb_y + 1) * 8, mb_x * 8:(mb_x + 1) * 8] = \
+        s[256:320].reshape(8, 8)
+    out.cr[mb_y * 8:(mb_y + 1) * 8, mb_x * 8:(mb_x + 1) * 8] = \
+        s[320:384].reshape(8, 8)
+
+
+# ---------------------------------------------------------------------------
+# The decoder model.
+# ---------------------------------------------------------------------------
+
+class DecoderModel:
+    """Stream-level decode: DPB + per-frame reconstruction."""
+
+    def __init__(self):
+        self.sps = None
+        self.pps = None
+        self.short_term: list = []
+        self.long_term: dict = {}
+        self.max_num_ref_frames = 16
+        self.output: list = []
+        self._pending: list = []      # slices of the current frame
+
+    # -- public API ----------------------------------------------------------
+
+    def decode(self, data: bytes) -> list:
+        """Decode an Annex-B stream -> list of Picture in decode order."""
+        for unit in parse.iter_nal_units(data):
+            t = unit.nal_unit_type
+            if t == 7:
+                self.sps = parse.parse_sps(unit.rbsp)
+            elif t == 8:
+                self.pps = parse.parse_pps(unit.rbsp)
+            elif t in (1, 5):
+                self._slice(unit, is_idr=(t == 5))
+            elif t in (6, 9):
+                continue
+            else:
+                raise UnsupportedStream(f"NAL type {t}")
+        self._flush()
+        return self.output
+
+    # -- frame assembly ------------------------------------------------------
+
+    def _slice(self, unit, *, is_idr: bool) -> None:
+        if self.sps is None or self.pps is None:
+            raise UnsupportedStream("slice before SPS/PPS")
+        hdr = _parse_slice_header(
+            unit.rbsp, is_idr=is_idr, nal_ref_idc=unit.nal_ref_idc,
+            log2_max_frame_num=self.sps.log2_max_frame_num,
+            num_ref_default=(
+                self.pps.num_ref_idx_l0_default_active_minus1 + 1))
+        if hdr.first_mb == 0:
+            self._flush()
+        self._pending.append((unit, hdr, is_idr))
+
+    def _flush(self) -> None:
+        if not self._pending:
+            return
+        slices, self._pending = self._pending, []
+        mbw = self.sps.width // 16
+        mbh = self.sps.height // 16
+        _, hdr0, is_idr = slices[0]
+
+        if is_idr:
+            # 8.2.5.1: IDR clears the DPB before decoding.
+            self.short_term = []
+            self.long_term = {}
+
+        pic = Picture.blank(self.sps.width, self.sps.height)
+        pic.frame_num = hdr0.frame_num
+
+        starts = [h.first_mb for _, h, _ in slices]
+        ends = starts[1:] + [mbw * mbh]
+        for (unit, hdr, _), start, end in zip(slices, starts, ends):
+            if start % mbw or (end - start) % mbw or end <= start:
+                raise UnsupportedStream("slice bands must be MB-row aligned")
+            self._decode_slice(unit, hdr, start // mbw,
+                               (end - start) // mbw, mbw, pic)
+
+        self._mark(pic, slices[0])
+        self.output.append(pic)
+
+    # -- slice decode ---------------------------------------------------------
+
+    def _decode_slice(self, unit, hdr: _SliceHeader, row0: int, rows: int,
+                      mbw: int, pic: Picture) -> None:
+        br = BitReader(unit.rbsp)
+        br.skip_bits(hdr.data_bit)
+
+        if hdr.slice_type == 2:                      # I slice: I_PCM only
+            grid = mbt.parse_i_slice_mbs(br, mbw, rows)
+            for r, row in enumerate(grid):
+                for c, mb in enumerate(row):
+                    if mb.kind != "ipcm":
+                        raise UnsupportedStream(
+                            f"intra {mb.kind} needs a transform decoder")
+                    _paint_ipcm(mb, c, row0 + r, pic)
+            return
+        if hdr.slice_type != 0:
+            raise UnsupportedStream(f"slice_type {hdr.slice_type}")
+
+        max_fn = 1 << self.sps.log2_max_frame_num
+        ref_list = _initial_list(self.short_term, self.long_term,
+                                 hdr.frame_num, max_fn)
+        if hdr.reorder_ops:
+            ref_list = _reorder_list(ref_list, hdr.reorder_ops,
+                                     hdr.num_ref_idx_l0, hdr.frame_num,
+                                     max_fn, self.short_term, self.long_term)
+        else:
+            ref_list = ref_list[:hdr.num_ref_idx_l0]
+        if len(ref_list) < hdr.num_ref_idx_l0:
+            raise UnsupportedStream(
+                f"active refs {hdr.num_ref_idx_l0} > DPB refs "
+                f"{len(ref_list)}")
+
+        grid = mbt.parse_p_slice_mbs(br, mbw, rows, hdr.num_ref_idx_l0)
+        for row in grid:
+            for mb in row:
+                if mb is mbt.SKIP:
+                    continue
+                if mb.kind == "inter":
+                    if mb.cbp != 0:
+                        raise UnsupportedStream(
+                            "inter residual needs a transform decoder")
+                elif mb.kind != "ipcm":
+                    raise UnsupportedStream(
+                        f"intra {mb.kind} inside a P slice")
+
+        field = mv_field.decode_p_slice_mv_field(grid, mbw, rows)
+        _mc_band(field, ref_list, row0, pic)
+        for r, row in enumerate(grid):
+            for c, mb in enumerate(row):
+                if mb is not mbt.SKIP and mb.kind == "ipcm":
+                    _paint_ipcm(mb, c, row0 + r, pic)
+
+    # -- reference marking (8.2.5) --------------------------------------------
+
+    def _mark(self, pic: Picture, first_slice) -> None:
+        unit, hdr, is_idr = first_slice
+        if unit.nal_ref_idc == 0:
+            return
+        stored = pic.copy()
+        stored.is_ref = True
+        if is_idr:
+            if hdr.long_term_reference_flag:
+                stored.long_term_idx = 0
+                self.long_term = {0: stored}
+            else:
+                self.short_term = [stored]
+            return
+        if hdr.adaptive_marking:
+            for op, v1, v2 in hdr.mmco_ops:
+                if op == 4:      # max_long_term_frame_idx_plus1
+                    self.long_term = {k: v for k, v in self.long_term.items()
+                                      if k <= v1 - 1}
+                elif op == 6:    # mark current as long-term v1
+                    stored.long_term_idx = v1
+                    self.long_term[v1] = stored
+                elif op == 1:    # unmark short-term
+                    max_fn = 1 << self.sps.log2_max_frame_num
+                    target = hdr.frame_num - (v1 + 1)
+                    if target < 0:
+                        target += max_fn
+                    self.short_term = [
+                        p for p in self.short_term
+                        if p.frame_num % max_fn != target % max_fn]
+                elif op == 5:    # clear all
+                    self.short_term = []
+                    self.long_term = {}
+                else:
+                    raise UnsupportedStream(f"MMCO op {op}")
+            if stored.long_term_idx is None:
+                self._sliding_window(stored)
+        else:
+            self._sliding_window(stored)
+
+    def _sliding_window(self, stored: Picture) -> None:
+        self.short_term.append(stored)
+        while (len(self.short_term) + len(self.long_term)
+               > self.max_num_ref_frames and self.short_term):
+            self.short_term.pop(0)
+
+
+def decode_stream_pixels(data: bytes) -> list:
+    """Convenience: Annex-B bytes -> [Picture, ...] in decode order."""
+    return DecoderModel().decode(data)
+
+
+# ---------------------------------------------------------------------------
+# Intended-composition helpers (what the pixels *should* be).
+# ---------------------------------------------------------------------------
+
+def scroll_canvas(atlas_a: Picture, atlas_b: Picture) -> Picture:
+    """The virtual 2H-tall scroll surface: atlas A stacked above B."""
+    return Picture(np.vstack([atlas_a.y, atlas_b.y]),
+                   np.vstack([atlas_a.cb, atlas_b.cb]),
+                   np.vstack([atlas_a.cr, atlas_b.cr]))
+
+
+def intended_scroll_luma(canvas: Picture, offset_px: int,
+                         height: int) -> np.ndarray:
+    """Ideal scrolled frame luma: the canvas window at offset."""
+    return canvas.y[offset_px: offset_px + height]
+
+
+def luma_mismatch_rows(decoded: Picture, intended_y: np.ndarray):
+    """Row indices where any luma pixel differs from the intended frame."""
+    diff = decoded.y.astype(np.int32) != intended_y.astype(np.int32)
+    return np.nonzero(diff.any(axis=1))[0]
+
+
+def seam_band(height: int, offset_px: int,
+              boundary_policy: str = "floor") -> tuple:
+    """Predicted seam mismatch band [start_row, end_row) for one scroll
+    hop: MB-granular region split vs per-pixel content motion
+    (KNOWN_ISSUES.md:5-13; docs/KNOWN_ISSUES_ANALYSIS.md).
+
+    floor:   rows [16*((H-d)//16), H-d)          — width (H-d) % 16 <= 15
+    nearest: the band straddles H-d by at most 8 rows either side.
+    """
+    split = height - offset_px
+    if boundary_policy == "floor":
+        start = 16 * (split // 16)
+        return start, split
+    start = 16 * ((split + 8) // 16)
+    return (split, start) if start >= split else (start, split)
