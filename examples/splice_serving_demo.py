@@ -49,12 +49,11 @@ def main() -> None:
                 row[i] = fixtures.random_inter_mb(rng, 1)
 
     t0 = time.perf_counter()
-    # Reject configurations where the device kernel's MB-level motion
-    # approximation could diverge from the exact host path.
-    splice_device.validate_splice_hints(c0, r0, donor)
-    ds = splice_device.prepare_donor_symbols(donor, num_ref_idx_l0=2)
-    ds_dev = splice_device.donor_device_arrays(ds)
-    d_ref, d_mvx, d_mvy = splice_device.donor_mb_motion(donor)
+    # Dense path: composite nC + tokens resolved on host, donor bits
+    # pre-packed to 32-bit chunks, exact composite edge motion (no
+    # hint-placement restrictions — role-based prediction is exact).
+    dd = splice_device.prepare_donor_dense(donor, 2)
+    dn = splice_device.dense_device_arrays(dd)
     t_prep = time.perf_counter() - t0
 
     H, W = cfg.mb_height, cfg.mb_width
@@ -66,11 +65,12 @@ def main() -> None:
         wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
         wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
 
-    step = batch.make_batched_splice_step(cfg, c0, r0, C, R, num_refs=2)
+    step = batch.make_batched_splice_step_dense(
+        cfg, c0, r0, C, R, num_refs=2, has_align=dd.has_align,
+        n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dd.donor_bits))
     bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
     args = (bcast(hp), bcast(hn), bcast(zero), bcast(zero), bcast(zero),
-            bcast(bg_coded), {k: bcast(v) for k, v in ds_dev.items()},
-            bcast(d_ref), bcast(d_mvx), bcast(d_mvy))
+            bcast(bg_coded), {k: bcast(v) for k, v in dn.items()})
 
     nal, nal_len, bits, ovf = step(*args)
     assert not bool(ovf.any())

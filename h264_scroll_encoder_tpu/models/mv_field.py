@@ -115,19 +115,28 @@ _SUB_GEOM = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
 
 
 def decode_p_slice_mv_field(grid: list, mb_width: int,
-                            mb_height: int) -> MVField:
+                            mb_height: int, *, field: MVField | None = None,
+                            origin: tuple = (0, 0)) -> MVField:
     """Walk the MB grid in raster order reconstructing the MV field, and
     resolving hint macroblocks' mvd in place (see resolve note below).
 
     Macroblocks may carry `hint_mv=(x_qpel, y_qpel)` (set by
     splice_p_frame); for those the mvd is *assigned* as desired-minus-pred
     instead of being read, and the field records the desired MV.
+
+    `field`/`origin` let a caller decode the grid inside a larger,
+    partially pre-filled field (e.g. a donor rect whose left/top border
+    cells carry the composite frame's neighboring MB values — see
+    splice_device.donor_edge_motion); origin is the (mb_x, mb_y) of
+    grid[0][0] within that field.
     """
-    field = MVField(mb_width, mb_height)
+    if field is None:
+        field = MVField(mb_width, mb_height)
+    ox, oy = origin
     for mb_y in range(mb_height):
         for mb_x in range(mb_width):
             mb = grid[mb_y][mb_x]
-            bx, by = mb_x * 4, mb_y * 4
+            bx, by = (mb_x + ox) * 4, (mb_y + oy) * 4
             if mb is mbt.SKIP:
                 mvx, mvy = field.skip_mv(bx, by)
                 field.fill(bx, by, 4, 4, 0, mvx, mvy)

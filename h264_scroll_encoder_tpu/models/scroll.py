@@ -188,13 +188,47 @@ def _pred_stencil(ref, mv_x, mv_y, cur_ref):
     unreachable case in its scroll pattern (rows are ref-uniform), so
     byte parity is unaffected.
     """
-    h, w = ref.shape
+    return _pred_stencil_roles(ref, mv_x, mv_y, ref, mv_x, mv_y,
+                               ref, mv_x, mv_y, cur_ref)
+
+
+def _pred_stencil_roles(refA, mvxA, mvyA, refB, mvxB, mvyB,
+                        refD, mvxD, mvyD, cur_ref):
+    """Prediction stencil with role-specific neighbor values.
+
+    A 16x16 partition's neighbors are 4x4 blocks of adjacent MBs: A is
+    the left MB's top-RIGHT 4x4, B the above MB's bottom-LEFT, C the
+    above-right MB's bottom-LEFT, D the above-left MB's bottom-RIGHT.
+    MBs with a uniform inner MV field (P_L0_16x16 / P_Skip / intra — the
+    composer's own output) have all roles equal, but spliced-in donor
+    macroblocks may carry non-uniform partitions; passing their exact
+    per-role 4x4 values (computed by splice_device.donor_edge_motion)
+    makes MB-level prediction exact next to a donor rect.
+
+    *A grids supply each cell's value when it acts as the left neighbor
+    (its top-right 4x4), *B when above or above-right (bottom-left 4x4),
+    *D when above-left (bottom-right 4x4).
+    """
+    h, w = refA.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
 
-    ref_a, ref_b, ref_cr, ref_d = _neighbors(ref)
-    mvx_a, mvx_b, mvx_cr, mvx_d = _neighbors(mv_x)
-    mvy_a, mvy_b, mvy_cr, mvy_d = _neighbors(mv_y)
+    def _shift_a(f):
+        return jnp.pad(f, ((0, 0), (1, 0)))[:, :-1]
+
+    def _shift_b(f):
+        return jnp.pad(f, ((1, 0), (0, 0)))[:-1, :]
+
+    def _shift_c(f):
+        return jnp.pad(f, ((1, 0), (0, 1)))[:-1, 1:]
+
+    def _shift_d(f):
+        return jnp.pad(f, ((1, 0), (1, 0)))[:-1, :-1]
+
+    ref_a, mvx_a, mvy_a = _shift_a(refA), _shift_a(mvxA), _shift_a(mvyA)
+    ref_b, mvx_b, mvy_b = _shift_b(refB), _shift_b(mvxB), _shift_b(mvyB)
+    ref_cr, mvx_cr, mvy_cr = _shift_c(refB), _shift_c(mvxB), _shift_c(mvyB)
+    ref_d, mvx_d, mvy_d = _shift_d(refD), _shift_d(mvxD), _shift_d(mvyD)
 
     avail_a = col > 0
     avail_b = row > 0
@@ -231,6 +265,14 @@ def _pred_stencil(ref, mv_x, mv_y, cur_ref):
 def mv_pred_grid(ref, mv_x, mv_y):
     """Encoder-side prediction: each MB predicts for its own ref."""
     return _pred_stencil(ref, mv_x, mv_y, ref)
+
+
+def mv_pred_grid_roles(cur_ref, refA, mvxA, mvyA, refB, mvxB, mvyB,
+                       refD, mvxD, mvyD):
+    """Encoder-side prediction with role-specific neighbor grids (exact
+    next to non-uniform spliced donor MBs — see _pred_stencil_roles)."""
+    return _pred_stencil_roles(refA, mvxA, mvyA, refB, mvxB, mvyB,
+                               refD, mvxD, mvyD, cur_ref)
 
 
 def pskip_mv_grid(ref, mv_x, mv_y):

@@ -643,6 +643,523 @@ def validate_splice_hints(rect_mb_x: int, rect_mb_y: int,
                 " use the exact host path (models/splice.splice_p_frame).")
 
 
+# ---------------------------------------------------------------------------
+# Dense donor path: host-side nC + token resolution and bit pre-packing.
+#
+# The rect position (hence its frame-edge flags) is static per compiled
+# program, so the composite-geometry nC of every donor residual block is
+# fully determined on the host at prep time: outside-rect neighbors are
+# coded-with-zero-residual macroblocks (tc=0, available) except past frame
+# edges — the same rule _luma_nc_grid/_chroma_nc_grid apply on device.
+# With tokens resolved on host, a donor MB's entire bit-string is constant
+# and pre-packs into dense 32-bit chunks (~8-16 symbols/MB instead of the
+# slotted form's ~130), which shrinks the device merge tree's symbol count
+# and HBM traffic by an order of magnitude.  The slotted device-repair path
+# above is kept for completeness; this is the serving hot path.
+# ---------------------------------------------------------------------------
+
+# Per-MB dense chunk budget classes (jit programs shared per class).
+# 104 covers I_PCM (1 mb_type chunk + align + 96 sample chunks); 352
+# covers the absolute worst legal CAVLC macroblock (~11k bits).
+MB_CHUNK_CLASSES = (4, 8, 16, 32, 64, 104, 352)
+
+
+def _host_luma_nc(luma_tc: np.ndarray, at_left: bool, at_top: bool
+                  ) -> np.ndarray:
+    """Numpy mirror of _luma_nc_grid: [R, C, 16] -> [R, C, 16]."""
+    R, C = luma_tc.shape[:2]
+    g = luma_tc.reshape(R, C, 4, 4).transpose(0, 2, 1, 3).reshape(R * 4,
+                                                                  C * 4)
+    ga = np.pad(g, ((1, 0), (1, 0)))
+    nA, nB = ga[1:, :-1], ga[:-1, 1:]
+    col = np.broadcast_to(np.arange(C * 4)[None, :], g.shape)
+    row = np.broadcast_to(np.arange(R * 4)[:, None], g.shape)
+    availA = ~(at_left & (col == 0))
+    availB = ~(at_top & (row == 0))
+    both = availA & availB
+    nc = np.where(both, (nA + nB + 1) >> 1,
+                  np.where(availA, nA, np.where(availB, nB, 0)))
+    return nc.reshape(R, 4, C, 4).transpose(0, 2, 1, 3).reshape(R, C, 16)
+
+
+def _host_chroma_nc(chroma_tc: np.ndarray, at_left: bool, at_top: bool
+                    ) -> np.ndarray:
+    """Numpy mirror of _chroma_nc_grid: [R, C, 2, 4] -> [R, C, 2, 4]."""
+    R, C = chroma_tc.shape[:2]
+    out = []
+    for plane in range(2):
+        g = chroma_tc[:, :, plane].reshape(R, C, 2, 2)
+        g = g.transpose(0, 2, 1, 3).reshape(R * 2, C * 2)
+        ga = np.pad(g, ((1, 0), (1, 0)))
+        nA, nB = ga[1:, :-1], ga[:-1, 1:]
+        col = np.broadcast_to(np.arange(C * 2)[None, :], g.shape)
+        row = np.broadcast_to(np.arange(R * 2)[:, None], g.shape)
+        availA = ~(at_left & (col == 0))
+        availB = ~(at_top & (row == 0))
+        both = availA & availB
+        nc = np.where(both, (nA + nB + 1) >> 1,
+                      np.where(availA, nA, np.where(availB, nB, 0)))
+        out.append(nc.reshape(R, 2, C, 2).transpose(0, 2, 1, 3)
+                   .reshape(R, C, 4))
+    return np.stack(out, axis=2)
+
+
+@dataclasses.dataclass
+class DonorDense:
+    """Host-prepared dense device arrays for one donor rect.
+
+    patterns/nbits hold each donor MB's final bits as <=32-bit chunks
+    (nbits may be ALIGN_SENTINEL for I_PCM pcm_alignment_zero_bits,
+    resolved on device).  a_*/b_*/d_* are the MB's exact composite-decoded
+    4x4 edge values when acting as a left / above(-right) / above-left
+    prediction neighbor (see scroll._pred_stencil_roles).
+    """
+    patterns: np.ndarray          # u32 [M, S]
+    nbits: np.ndarray             # i32 [M, S]
+    coded: np.ndarray             # bool [M]
+    a_ref: np.ndarray             # i32 [M]  top-right 4x4 (as-left role)
+    a_mvx: np.ndarray
+    a_mvy: np.ndarray
+    b_ref: np.ndarray             # i32 [M]  bottom-left 4x4 (as-above role)
+    b_mvx: np.ndarray
+    b_mvy: np.ndarray
+    d_ref: np.ndarray             # i32 [M]  bottom-right 4x4 (as-above-left)
+    d_mvx: np.ndarray
+    d_mvy: np.ndarray
+    donor_bits: int               # exact payload bits (align pads at max 7)
+    has_align: bool               # any ALIGN sentinel present (I_PCM MBs)
+
+
+class _ChunkFuser:
+    """Accumulate (pattern, nbits) symbols into dense 32-bit chunks."""
+
+    def __init__(self):
+        self.chunks: list = []
+        self._acc = 0
+        self._n = 0
+
+    def put(self, pattern: int, nbits: int) -> None:
+        if nbits == ALIGN_SENTINEL:
+            self.flush()
+            self.chunks.append((0, ALIGN_SENTINEL))
+            return
+        if nbits <= 0:
+            return
+        self._acc = (self._acc << nbits) | (pattern & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 32:
+            top = (self._acc >> (self._n - 32)) & 0xFFFFFFFF
+            self.chunks.append((top, 32))
+            self._n -= 32
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n > 0:
+            self.chunks.append((self._acc, self._n))
+            self._acc = 0
+            self._n = 0
+
+
+def donor_edge_motion(donor_grid: list, *, left_ring=None, top_ring=None,
+                      right_ring=None, rect_at_left_edge=False,
+                      rect_at_top_edge=False, rect_at_right_edge=False):
+    """Exact composite-context 4x4 edge motion per donor MB.
+
+    Decodes the donor MV field (models/mv_field) inside a border of
+    composite neighbor values, so donor-edge prediction chains (including
+    P_Skip derivation at the rect's left column) match the exact host
+    path bit-for-bit.  Rings are MB-level (ref, mvx_qpel, mvy_qpel)
+    tuples, or None entries for unavailable cells:
+
+      top_ring:   C+2 entries, composite row r0-1, cols c0-1 .. c0+C
+                  (above-left corner, above each donor column, above-right)
+      left_ring:  R entries, composite col c0-1, rows r0 .. r0+R-1
+      right_ring: R-1 entries, composite col c0+C, rows r0 .. r0+R-2
+                  (bg MBs right of the rect decode before the next donor
+                  row, so they are available C-neighbors)
+
+    Defaults model the MASTER_DESIGN "static chrome" background: P_Skip
+    (ref 0, MV 0) everywhere, minus frame-edge unavailability.
+
+    Returns ((a_ref, a_mvx, a_mvy), (b_...), (d_...)) with each array
+    [M] over row-major donor MBs: the MB's top-right, bottom-left and
+    bottom-right 4x4 field values (the left / above(-right) / above-left
+    neighbor roles of MB-level prediction).
+    """
+    from .mv_field import MVField, decode_p_slice_mv_field
+
+    rows, cols = len(donor_grid), len(donor_grid[0])
+
+    def _default(n, unavailable):
+        return [None if unavailable else (0, 0, 0) for _ in range(n)]
+
+    if top_ring is None:
+        top_ring = _default(cols + 2, rect_at_top_edge)
+        if rect_at_left_edge:
+            top_ring[0] = None
+        if rect_at_right_edge:
+            top_ring[-1] = None
+    if left_ring is None:
+        left_ring = _default(rows, rect_at_left_edge)
+    if right_ring is None:
+        right_ring = _default(rows - 1, rect_at_right_edge)
+
+    field = MVField(cols + 2, rows + 1)
+
+    def _fill(mb_x, mb_y, entry):
+        if entry is None:
+            return
+        ref, mvx, mvy = entry
+        field.fill(mb_x * 4, mb_y * 4, 4, 4, ref, mvx, mvy)
+
+    for c in range(cols + 2):
+        _fill(c, 0, top_ring[c])
+    for r in range(rows):
+        _fill(0, 1 + r, left_ring[r])
+    for r in range(rows - 1):
+        _fill(cols + 1, 1 + r, right_ring[r])
+
+    decode_p_slice_mv_field(donor_grid, cols, rows, field=field,
+                            origin=(1, 1))
+
+    m = rows * cols
+    a = (np.zeros(m, np.int32), np.zeros(m, np.int32), np.zeros(m, np.int32))
+    b = (np.zeros(m, np.int32), np.zeros(m, np.int32), np.zeros(m, np.int32))
+    d = (np.zeros(m, np.int32), np.zeros(m, np.int32), np.zeros(m, np.int32))
+    for r in range(rows):
+        for c in range(cols):
+            i = r * cols + c
+            by, bx = (1 + r) * 4, (1 + c) * 4
+            for (dst_r, dst_x, dst_y), (yy, xx) in (
+                    (a, (by + 0, bx + 3)), (b, (by + 3, bx + 0)),
+                    (d, (by + 3, bx + 3))):
+                dst_r[i] = field.ref[yy, xx]
+                dst_x[i] = field.mvx[yy, xx]
+                dst_y[i] = field.mvy[yy, xx]
+    return a, b, d
+
+
+def prepare_donor_dense(donor_grid: list, num_ref_idx_l0: int,
+                        donor_ref_map: tuple = (0,), *,
+                        rect_at_left_edge: bool = False,
+                        rect_at_top_edge: bool = False,
+                        rect_at_right_edge: bool = False,
+                        left_ring=None, top_ring=None, right_ring=None
+                        ) -> DonorDense:
+    """Flatten a parsed donor grid to dense pre-packed chunk arrays.
+
+    Tokens are resolved against the composite-geometry nC on the host
+    (rect frame-edge flags are static per compiled program), then each
+    MB's symbols fuse into <=32-bit chunks; chunk-slot count quantizes to
+    MB_CHUNK_CLASSES so compiled programs are shared per class.
+    """
+    rows, cols = len(donor_grid), len(donor_grid[0])
+    m_total = rows * cols
+    ds = prepare_donor_symbols(donor_grid, num_ref_idx_l0, donor_ref_map)
+
+    luma_nc = _host_luma_nc(ds.luma_tc.reshape(rows, cols, 16),
+                            rect_at_left_edge, rect_at_top_edge
+                            ).reshape(m_total, 16)
+    chroma_nc = _host_chroma_nc(ds.chroma_tc.reshape(rows, cols, 2, 4),
+                                rect_at_left_edge, rect_at_top_edge
+                                ).reshape(m_total, 8)
+    pat_tab, len_tab = token_tables()
+
+    fused: list = []
+    tail_chunks = ds.tail_patterns.shape[2]
+    for m in range(m_total):
+        f = _ChunkFuser()
+        if ds.coded[m]:
+            for k in range(PRE_SLOTS):
+                n = int(ds.pre_nbits[m, k])
+                if n == 0 and int(ds.pre_patterns[m, k]) == 0:
+                    # pre slots fill front-to-back; a zero slot ends them.
+                    break
+                f.put(int(ds.pre_patterns[m, k]), n)
+            for pos in range(N_BLOCKS):
+                if ds.tok_present[m, pos]:
+                    bid = int(ds.tok_block_id[m, pos])
+                    if bid in (17, 18):
+                        cls = CLASS_CHROMA
+                    else:
+                        raster = 0 if bid == 0 else bid - 1
+                        nc = (chroma_nc[m, bid - 19] if bid >= 19
+                              else luma_nc[m, raster])
+                        cls = (CLASS_NC0 if nc < 2 else
+                               CLASS_NC2 if nc < 4 else
+                               CLASS_NC4 if nc < 8 else CLASS_FLC)
+                    tc = int(ds.tok_tc[m, pos])
+                    t1 = int(ds.tok_t1[m, pos])
+                    f.put(int(pat_tab[cls, tc, t1]),
+                          int(len_tab[cls, tc, t1]))
+                elif not ds.ipcm[m]:
+                    continue
+                for k in range(tail_chunks):
+                    n = int(ds.tail_nbits[m, pos, k])
+                    if n == 0:
+                        break
+                    f.put(int(ds.tail_patterns[m, pos, k]), n)
+        f.flush()
+        fused.append(f.chunks)
+
+    need = max((len(ch) for ch in fused), default=1)
+    s_class = next((s for s in MB_CHUNK_CLASSES if need <= s),
+                   MB_CHUNK_CLASSES[-1])
+    if need > s_class:
+        raise OverflowError(
+            f"donor MB needs {need} chunk slots > max class {s_class}")
+    patterns = np.zeros((m_total, s_class), np.uint32)
+    nbits = np.zeros((m_total, s_class), np.int32)
+    donor_bits = 0
+    has_align = False
+    for m, chunks in enumerate(fused):
+        for k, (p, n) in enumerate(chunks):
+            patterns[m, k] = p
+            if n == ALIGN_SENTINEL:
+                has_align = True
+                donor_bits += 7
+            else:
+                donor_bits += n
+            nbits[m, k] = n
+
+    # Edge motion must be decoded over the *composite-mapped* grid (refs
+    # re-targeted, intra retyped) — the same MBs the host path feeds to
+    # mv_field (splice.splice_p_frame), else role ref values would be
+    # donor-local indices.
+    from .splice import _map_donor_refs
+    mapped = [[mb if mb is mbt.SKIP else
+               _map_donor_refs(mbt.retype_for_p(mb), donor_ref_map,
+                               num_ref_idx_l0)
+               for mb in row] for row in donor_grid]
+    (a_ref, a_mvx, a_mvy), (b_ref, b_mvx, b_mvy), (d_ref, d_mvx, d_mvy) = \
+        donor_edge_motion(mapped, left_ring=left_ring,
+                          top_ring=top_ring, right_ring=right_ring,
+                          rect_at_left_edge=rect_at_left_edge,
+                          rect_at_top_edge=rect_at_top_edge,
+                          rect_at_right_edge=rect_at_right_edge)
+    return DonorDense(patterns, nbits, np.asarray(ds.coded),
+                      a_ref, a_mvx, a_mvy, b_ref, b_mvx, b_mvy,
+                      d_ref, d_mvx, d_mvy, donor_bits, has_align)
+
+
+def dense_device_arrays(dd: DonorDense) -> dict:
+    """DonorDense -> jnp arrays dict (one host->device transfer set)."""
+    return {
+        "patterns": jnp.asarray(dd.patterns),
+        "nbits": jnp.asarray(dd.nbits),
+        "coded": jnp.asarray(dd.coded),
+        "a_ref": jnp.asarray(dd.a_ref), "a_mvx": jnp.asarray(dd.a_mvx),
+        "a_mvy": jnp.asarray(dd.a_mvy),
+        "b_ref": jnp.asarray(dd.b_ref), "b_mvx": jnp.asarray(dd.b_mvx),
+        "b_mvy": jnp.asarray(dd.b_mvy),
+        "d_ref": jnp.asarray(dd.d_ref), "d_mvx": jnp.asarray(dd.d_mvx),
+        "d_mvy": jnp.asarray(dd.d_mvy),
+    }
+
+
+def rings_from_bg(bg_ref, bg_mvx, bg_mvy, rect_mb_x: int, rect_mb_y: int,
+                  R: int, C: int):
+    """Extract the donor-decode border rings from host bg field grids.
+
+    bg grids are [H, W] numpy MB-level (ref, mv qpel) values whose skip
+    cells hold the decode-true derived values (the same contract the
+    device kernel's bg inputs carry).  Cells past frame edges become
+    None (unavailable)."""
+    H, W = bg_ref.shape
+    r0, c0 = rect_mb_y, rect_mb_x
+
+    def cell(r, c):
+        if r < 0 or c < 0 or r >= H or c >= W:
+            return None
+        return (int(bg_ref[r, c]), int(bg_mvx[r, c]), int(bg_mvy[r, c]))
+
+    top = [cell(r0 - 1, c) for c in range(c0 - 1, c0 + C + 1)]
+    left = [cell(r, c0 - 1) for r in range(r0, r0 + R)]
+    right = [cell(r, c0 + C) for r in range(r0, r0 + R - 1)]
+    return left, top, right
+
+
+def splice_rbsp_budget(cfg: ComposerConfig, m_donor: int, donor_bits: int,
+                       *, quantum: int = 8192) -> int:
+    """Static RBSP byte budget for a dense spliced frame.
+
+    Background MBs at the scroll budget + the donor's *exact* payload
+    bits (DonorDense.donor_bits) + per-donor-MB skip-run slack, rounded
+    up to `quantum` bytes so compiled programs are shared across donors
+    of similar size.  The packer/EBSP cost scales with this buffer
+    (measured 7.5x step-time difference vs the chunk-class worst case on
+    v5e), so keep it honest; overflow is detected, not truncated."""
+    bg_bits = (cfg.total_mbs - m_donor) * cfg.rbsp_bits_per_mb
+    total = (bg_bits + donor_bits + m_donor * 32 + 2048) // 8
+    return (total + quantum - 1) // quantum * quantum
+
+
+def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
+                             rect_mb_y: int, R: int, C: int, num_refs: int,
+                             header_patterns, header_nbits,
+                             bg_ref, bg_mv_x, bg_mv_y, bg_coded,
+                             dn: dict, nal_ref_idc: int = 0, *,
+                             has_align: bool = False,
+                             n_rbsp: int | None = None):
+    """Device splice, dense-donor hot path.
+
+    Donor macroblock bits arrive fully resolved as dense chunk arrays
+    (prepare_donor_dense); the device computes exact MV prediction for
+    coded background MBs via the role stencil (donor edge 4x4 values in
+    dn), derives composite skip runs, lays the frame out as three
+    statically-shaped bands (above / rect rows / below) and runs the
+    standard pack -> emulation prevention -> NAL pipeline.
+
+    `has_align` (static) enables the I_PCM alignment phase scan.
+    `n_rbsp` overrides the working-buffer budget (static; defaults to
+    splice_rbsp_budget of the donor's chunk class).
+    """
+    H, W = cfg.mb_height, cfg.mb_width
+    r0, c0 = rect_mb_y, rect_mb_x
+    assert r0 + R <= H and c0 + C <= W
+    M = R * C
+    S = dn["patterns"].shape[1]
+
+    donor_coded = dn["coded"].reshape(R, C)
+    in_rect = jnp.zeros((H, W), bool).at[r0:r0 + R, c0:c0 + C].set(True)
+
+    def _scatter(bg, vals):
+        return bg.at[r0:r0 + R, c0:c0 + C].set(vals.reshape(R, C))
+
+    refA = _scatter(bg_ref, dn["a_ref"])
+    mvxA = _scatter(bg_mv_x, dn["a_mvx"])
+    mvyA = _scatter(bg_mv_y, dn["a_mvy"])
+    refB = _scatter(bg_ref, dn["b_ref"])
+    mvxB = _scatter(bg_mv_x, dn["b_mvx"])
+    mvyB = _scatter(bg_mv_y, dn["b_mvy"])
+    refD = _scatter(bg_ref, dn["d_ref"])
+    mvxD = _scatter(bg_mv_x, dn["d_mvx"])
+    mvyD = _scatter(bg_mv_y, dn["d_mvy"])
+
+    coded = jnp.where(in_rect, False, bg_coded)
+    coded = coded.at[r0:r0 + R, c0:c0 + C].set(donor_coded)
+
+    pred_x, pred_y = scroll_model.mv_pred_grid_roles(
+        refA, refA, mvxA, mvyA, refB, mvxB, mvyB, refD, mvxD, mvyD)
+    mvd_x = bg_mv_x - pred_x
+    mvd_y = bg_mv_y - pred_y
+
+    # Composite skip runs.
+    n_mbs = H * W
+    coded_f = coded.reshape(-1)
+    idx = jnp.arange(n_mbs, dtype=jnp.int32)
+    coded_idx = jnp.where(coded_f, idx, -1)
+    last_incl = jax.lax.associative_scan(jnp.maximum, coded_idx)
+    last_before = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_incl[:-1]])
+    skip_run = idx - last_before - 1
+    sr_pat, sr_n = expgolomb.ue(skip_run.astype(jnp.uint32))
+
+    # Background MB symbols: [sr||mb_type||ref, mvd_x, mvd_y||cbp].
+    mbt_pat, mbt_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
+    ref_pat, ref_n = expgolomb.te(bg_ref.reshape(-1).astype(jnp.uint32),
+                                  num_refs)
+    mvx_pat, mvx_n = expgolomb.se(mvd_x.reshape(-1))
+    mvy_pat, mvy_n = expgolomb.se(mvd_y.reshape(-1))
+    cbp_pat, cbp_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
+    a_pat, a_n = bitpack.merge_symbol_pairs(sr_pat, sr_n, mbt_pat, mbt_n)
+    a_pat, a_n = bitpack.merge_symbol_pairs(a_pat, a_n, ref_pat, ref_n)
+    c_pat, c_n = bitpack.merge_symbol_pairs(mvy_pat, mvy_n, cbp_pat, cbp_n)
+
+    bg_active = coded_f & ~in_rect.reshape(-1)
+    bg_i = bg_active.astype(jnp.int32)
+    zero = jnp.uint32(0)
+    bg_p = jnp.stack([jnp.where(bg_active, a_pat, zero),
+                      jnp.where(bg_active, mvx_pat, zero),
+                      jnp.where(bg_active, c_pat, zero)],
+                     axis=1).reshape(H, W, 3)
+    bg_n = jnp.stack([a_n * bg_i, mvx_n * bg_i, c_n * bg_i],
+                     axis=1).reshape(H, W, 3)
+
+    # Donor MB slots: [skip_run | S dense chunks].
+    d_active = coded_f & in_rect.reshape(-1)
+    d_sr_p = jnp.where(d_active, sr_pat, zero).reshape(H, W)
+    d_sr_n = (sr_n * d_active.astype(jnp.int32)).reshape(H, W)
+    donor_p = jnp.concatenate(
+        [d_sr_p[r0:r0 + R, c0:c0 + C].reshape(R, C, 1),
+         dn["patterns"].reshape(R, C, S)], axis=2)
+    donor_n = jnp.concatenate(
+        [d_sr_n[r0:r0 + R, c0:c0 + C].reshape(R, C, 1),
+         jnp.where(donor_coded[:, :, None], dn["nbits"].reshape(R, C, S),
+                   0)], axis=2)
+
+    # Three statically-shaped bands in raster order.
+    rect_p = jnp.concatenate(
+        [bg_p[r0:r0 + R, :c0].reshape(R, c0 * 3),
+         donor_p.reshape(R, C * (1 + S)),
+         bg_p[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+        axis=1).reshape(-1)
+    rect_n = jnp.concatenate(
+        [bg_n[r0:r0 + R, :c0].reshape(R, c0 * 3),
+         donor_n.reshape(R, C * (1 + S)),
+         bg_n[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+        axis=1).reshape(-1)
+
+    tail_skips = jnp.int32(n_mbs) - 1 - last_incl[-1]
+    ts_pat, ts_n = expgolomb.ue(tail_skips.astype(jnp.uint32))
+    ts_n = jnp.where(tail_skips > 0, ts_n, 0)
+
+    patterns = jnp.concatenate(
+        [header_patterns, bg_p[:r0].reshape(-1), rect_p,
+         bg_p[r0 + R:].reshape(-1), ts_pat[None]])
+    nbits = jnp.concatenate(
+        [header_nbits, bg_n[:r0].reshape(-1), rect_n,
+         bg_n[r0 + R:].reshape(-1), ts_n[None]])
+
+    if has_align:
+        # Resolve pcm_alignment_zero_bits via the affine phase scan on Z8
+        # (see emit_spliced_frame).
+        is_align = nbits < 0
+        keep = jnp.where(is_align, 0, 1).astype(jnp.int32)
+        add = jnp.where(is_align, 0, nbits % 8).astype(jnp.int32)
+
+        def comb(left, right):
+            kl, bl = left
+            kr, br = right
+            return kl * kr, (kr * bl + br) % 8
+
+        _, phase_after = jax.lax.associative_scan(comb, (keep, add))
+        phase_before = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), phase_after[:-1]])
+        align_bits = (8 - phase_before % 8) % 8
+        nbits = jnp.where(is_align, align_bits, nbits)
+
+    payload_bits = jnp.sum(nbits)
+    tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
+    patterns = jnp.concatenate([patterns, tb_pat[None]])
+    nbits = jnp.concatenate([nbits, tb_n[None]])
+
+    if n_rbsp is None:
+        # Conservative default: the donor chunk-class capacity.  Callers
+        # on the serving path pass splice_rbsp_budget(cfg, M,
+        # dd.donor_bits) — the measured 7.5x cheaper honest budget.
+        n_rbsp = splice_rbsp_budget(cfg, M, M * S * 32)
+    rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
+                                                     n_rbsp)
+    rbsp_len = total_bits // 8
+    overflow = total_bits > jnp.int32(n_rbsp * 8)
+
+    n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
+    from ..config import MAX_EBSP_INSERTIONS
+    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+        rbsp_bytes, rbsp_len, n_nal - 8,
+        max_insertions=MAX_EBSP_INSERTIONS)
+    overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
+    header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
+    prefix = jnp.concatenate([
+        jnp.asarray([0, 0, 0, 1], jnp.uint8),
+        jnp.asarray(header_byte, jnp.uint8).reshape(1).astype(jnp.uint8)])
+    out = jnp.zeros((n_nal,), jnp.uint8)
+    out = jax.lax.dynamic_update_slice(out, ebsp_bytes, (5,))
+    out = jax.lax.dynamic_update_slice(out, prefix, (0,))
+    return out, 5 + ebsp_len, total_bits, overflow
+
+
 def donor_device_arrays(ds: DonorSymbols) -> dict:
     """DonorSymbols -> jnp arrays dict (one host->device transfer set)."""
     return {

@@ -77,9 +77,14 @@ def _session_step(cfg: ComposerConfig, enable_pskip: bool, emit_waypoints: bool,
         cfg, state.frame_num, offset_px, state.wp_offsets, state.wp_ltidx,
         state.wp_valid, state.wp_count, needs, enable_pskip=enable_pskip)
 
-    # Register the waypoint (no-op when `needs` is False).
+    # Register the waypoint (no-op when `needs` is False).  A step that
+    # needs a 9th slot raises `exhausted` instead of silently emitting
+    # illegal >496 px MVs downstream (the C's src/h264_writer.c:771-777
+    # drops it with no diagnostic); callers must evict or stop the
+    # session.  OR-ed into `overflow`: both mean "frame not servable".
     slot = jnp.minimum(state.wp_count, MAX_WAYPOINTS - 1)
-    can_reg = needs & (state.wp_count < MAX_WAYPOINTS)
+    exhausted = needs & (state.wp_count >= MAX_WAYPOINTS)
+    can_reg = needs & ~exhausted
     new_offsets = jnp.where(can_reg,
                             state.wp_offsets.at[slot].set(offset_px),
                             state.wp_offsets)
@@ -91,7 +96,7 @@ def _session_step(cfg: ComposerConfig, enable_pskip: bool, emit_waypoints: bool,
     new_count = state.wp_count + can_reg.astype(jnp.int32)
     state = SessionState(state.frame_num + 1, new_offsets, new_ltidx,
                          new_valid, new_count)
-    return state, (nal, nal_len, needs, rbsp_bits, overflow)
+    return state, (nal, nal_len, needs, rbsp_bits, overflow | exhausted)
 
 
 @functools.lru_cache(maxsize=None)
@@ -177,6 +182,29 @@ def make_batched_splice_step(cfg: ComposerConfig, rect_mb_x: int,
             cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
             hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded,
             ds_dev, d_ref, d_mvx, d_mvy)
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=None)
+def make_batched_splice_step_dense(cfg: ComposerConfig, rect_mb_x: int,
+                                   rect_mb_y: int, rect_w: int, rect_h: int,
+                                   num_refs: int = 2, *,
+                                   has_align: bool = False,
+                                   n_rbsp: int | None = None):
+    """jit(vmap) of the dense-donor splice kernel (the serving hot path).
+
+    Per session: header symbols, background fields/coded mask, and the
+    dense donor arrays (models/splice_device.prepare_donor_dense ->
+    dense_device_arrays).  Returns (nal, nal_len, rbsp_bits, overflow)
+    batched."""
+    from ..models import splice_device
+
+    def one(hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn):
+        return splice_device.emit_spliced_frame_dense(
+            cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
+            hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn,
+            has_align=has_align, n_rbsp=n_rbsp)
 
     return jax.jit(jax.vmap(one))
 

@@ -48,11 +48,20 @@ class WaypointRegistry:
         return offset_px not in self.offsets[: self.count]
 
     def register(self, offset_px: int) -> int:
+        if self.count >= MAX_WAYPOINTS:
+            # The C reference silently drops the 9th+ waypoint
+            # (src/h264_writer.c:771-777), after which scroll offsets past
+            # MAX_WAYPOINTS*496 px emit motion vectors beyond the +-496 px
+            # vertical MV budget — an illegal stream with no diagnostic.
+            # Raising here turns that silent corruption into an error.
+            raise OverflowError(
+                f"waypoint registry full ({MAX_WAYPOINTS} slots = "
+                f"{MAX_WAYPOINTS * MV_LIMIT_PX} px of scroll range); "
+                "composing past this would exceed the 496 px MV limit")
         long_term_idx = 2 + self.count
-        if self.count < MAX_WAYPOINTS:
-            self.offsets[self.count] = offset_px
-            self.long_term_idx[self.count] = long_term_idx
-            self.count += 1
+        self.offsets[self.count] = offset_px
+        self.long_term_idx[self.count] = long_term_idx
+        self.count += 1
         return long_term_idx
 
     def as_arrays(self):

@@ -174,3 +174,32 @@ def test_snapshot_roundtrip(tmp_path):
     state2 = snapshot.load_batch_state(tmp_path / "batch.npz")
     assert int(state2.frame_num[0]) == 5
     assert state2.wp_offsets.shape == state.wp_offsets.shape
+
+
+def test_waypoint_exhaustion_flagged():
+    """A schedule needing a 9th waypoint must be flagged (device) and
+    raise (host session) instead of silently emitting >496 px MVs —
+    the C reference drops the registration with no diagnostic
+    (src/h264_writer.c:771-777)."""
+    from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS, MV_LIMIT_PX
+
+    step = batch.make_batched_step(CFG)
+    state = batch.SessionState.create(1, frame_num=2)
+    for k in range(1, MAX_WAYPOINTS + 1):
+        state, (nal, nal_len, wp, bits, ovf) = step(
+            state, jnp.asarray([k * MV_LIMIT_PX], jnp.int32))
+        assert bool(wp[0]) and not bool(ovf[0])
+    assert int(state.wp_count[0]) == MAX_WAYPOINTS
+    # 9th waypoint: flagged through the not-servable output.
+    state, (nal, nal_len, wp, bits, ovf) = step(
+        state, jnp.asarray([(MAX_WAYPOINTS + 1) * MV_LIMIT_PX], jnp.int32))
+    assert bool(ovf[0])
+    assert int(state.wp_count[0]) == MAX_WAYPOINTS
+
+    s = ComposerSession(CFG)
+    s.write_parameter_sets()
+    s.write_test_atlases()
+    for k in range(1, MAX_WAYPOINTS + 1):
+        s.write_scroll_frame(k * MV_LIMIT_PX)
+    with pytest.raises(OverflowError, match="waypoint registry full"):
+        s.write_scroll_frame((MAX_WAYPOINTS + 1) * MV_LIMIT_PX)

@@ -192,6 +192,147 @@ def test_validate_splice_hints_guard():
     splice_device.validate_splice_hints(c0, r0, donor, below)
 
 
+def _bg_fields_from_host_grid(cfg, grid):
+    """Decode-true MB-level bg fields (the dense kernel's input contract):
+    skip cells carry their derived MVs, hint cells their desired MVs."""
+    import copy
+    from h264_scroll_encoder_tpu.models.mv_field import (
+        decode_p_slice_mv_field)
+    field = decode_p_slice_mv_field([list(r) for r in copy.deepcopy(grid)],
+                                    cfg.mb_width, cfg.mb_height)
+    H, W = cfg.mb_height, cfg.mb_width
+    bg_ref = np.zeros((H, W), np.int32)
+    bg_mvx = np.zeros((H, W), np.int32)
+    bg_mvy = np.zeros((H, W), np.int32)
+    bg_coded = np.zeros((H, W), bool)
+    for r in range(H):
+        for c in range(W):
+            bg_ref[r, c] = max(field.ref[r * 4, c * 4], 0)
+            bg_mvx[r, c] = field.mvx[r * 4, c * 4]
+            bg_mvy[r, c] = field.mvy[r * 4, c * 4]
+            mb = grid[r][c]
+            bg_coded[r, c] = mb is not mbt.SKIP
+    return bg_ref, bg_mvx, bg_mvy, bg_coded
+
+
+def _run_dense_case(cfg, donor, r0, c0, num_refs, frame_num, regions):
+    """Host path vs dense device path on one configuration."""
+    R, C = len(donor), len(donor[0])
+    hints = FrameHints(motion_regions=regions,
+                       dynamic_mb_x=c0, dynamic_mb_y=r0)
+    grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
+
+    def hdr_writer(bw: BitWriter):
+        write_p_slice_header(bw, cfg, frame_num)
+
+    import copy
+    host_rbsp = splice.finalize_spliced_frame(
+        cfg, [list(r) for r in copy.deepcopy(grid)], num_refs, hdr_writer)
+
+    bg_ref, bg_mvx, bg_mvy, bg_coded = _bg_fields_from_host_grid(cfg, grid)
+    # Donor cells in bg grids are ignored by the kernel (roles overwrite);
+    # bg_coded must exclude the rect (the kernel masks it anyway).
+    bg_coded[r0:r0 + R, c0:c0 + C] = False
+
+    left, top, right = splice_device.rings_from_bg(
+        bg_ref, bg_mvx, bg_mvy, c0, r0, R, C)
+    dd = splice_device.prepare_donor_dense(
+        donor, num_refs, rect_at_left_edge=(c0 == 0),
+        rect_at_top_edge=(r0 == 0),
+        rect_at_right_edge=(c0 + C == cfg.mb_width),
+        left_ring=left, top_ring=top, right_ring=right)
+    dn = splice_device.dense_device_arrays(dd)
+
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    emit = jax.jit(lambda *a: splice_device.emit_spliced_frame_dense(
+        cfg, c0, r0, R, C, num_refs, *a, has_align=dd.has_align))
+    nal, nal_len, bits, ovf = emit(hp, hn, jnp.asarray(bg_ref),
+                                   jnp.asarray(bg_mvx), jnp.asarray(bg_mvy),
+                                   jnp.asarray(bg_coded), dn)
+    assert not bool(ovf)
+
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+    host_nal = write_nal_unit(host_rbsp, 0, 1)
+    dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
+    assert dev_bytes == host_nal, (
+        f"lens {len(dev_bytes)} vs {len(host_nal)}; first diff "
+        f"{next((i for i, (a, b) in enumerate(zip(dev_bytes, host_nal)) if a != b), -1)}")
+    return dd
+
+
+def test_dense_splice_matches_host():
+    """Dense-donor path byte parity, incl. the config the slotted path's
+    guard rejects: a coded hint region directly beside donor edge MBs
+    with non-uniform partitions (exact role-based edge prediction)."""
+    rng = np.random.default_rng(123)
+    cfg = ComposerConfig(256, 192)
+    R = C = 5
+    r0, c0 = 4, 6
+    donor = _make_donor(rng, C, R)
+    # Non-uniform partitions along the right column and bottom row.
+    donor[1][C - 1] = mbt.Macroblock(
+        kind="inter", mb_type=3, sub_mb_types=(0, 0, 0, 0), ref_idx=(),
+        mvds=((4, 0), (0, 4), (-4, 0), (0, -4)), cbp=0)
+    donor[R - 1][2] = mbt.Macroblock(
+        kind="inter", mb_type=1, ref_idx=(), mvds=((8, 4), (-8, -4)), cbp=0)
+    regions = (
+        MotionRegion(0, 0, 16, 2, ref_idx=0, mv_x=0, mv_y=20),
+        # Directly right of the rect AND directly below: the configs
+        # validate_splice_hints refuses for the slotted path.
+        MotionRegion(c0 + C, r0, c0 + C + 2, r0 + R, ref_idx=0, mv_y=8),
+        MotionRegion(c0 - 1, r0 + R, c0 + C + 1, r0 + R + 1,
+                     ref_idx=1, mv_y=-12),
+    )
+    dd = _run_dense_case(cfg, donor, r0, c0, 2, 3, regions)
+    assert not dd.has_align
+
+
+def test_dense_splice_ipcm_and_edges():
+    """Dense path with I_PCM donor MBs (align sentinels) and the rect
+    touching the frame's top-left corner (edge availability rules)."""
+    rng = np.random.default_rng(77)
+    cfg = ComposerConfig(192, 160)
+    R = C = 4
+    donor = fixtures.random_p_slice_grid(rng, C, R, 1)
+    donor[0][1] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+    donor[1][0] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+    donor[2][2] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+    for row in donor:
+        for i, mb in enumerate(row):
+            if mb is not mbt.SKIP and mb.kind == "ipcm" \
+                    and mb.mb_type != 30:
+                row[i] = fixtures.random_inter_mb(rng, 1)
+    dd = _run_dense_case(cfg, donor, 0, 0, 2, 5, ())
+    assert dd.has_align
+
+    # Same donor at an interior position with a hint region above it.
+    regions = (MotionRegion(2, 1, 10, 2, ref_idx=1, mv_y=16),)
+    _run_dense_case(cfg, donor, 2, 4, 2, 6, regions)
+
+
+def test_dense_splice_fuzz_geometries():
+    """Random donors x rect positions x hint layouts, byte parity."""
+    rng = np.random.default_rng(2024)
+    cfg = ComposerConfig(192, 128)
+    for case in range(6):
+        R = int(rng.integers(2, 5))
+        C = int(rng.integers(2, 6))
+        r0 = int(rng.integers(0, cfg.mb_height - R + 1))
+        c0 = int(rng.integers(0, cfg.mb_width - C + 1))
+        donor = fixtures.random_p_slice_grid(rng, C, R, 1)
+        regions = []
+        if case % 2:
+            # A full-width band above or below, possibly touching.
+            y0 = 0 if r0 > 2 else min(cfg.mb_height - 1, r0 + R)
+            regions.append(MotionRegion(0, y0, cfg.mb_width, y0 + 1,
+                                        ref_idx=0, mv_y=4 * case))
+        _run_dense_case(cfg, donor, r0, c0, 2, 3 + case, tuple(regions))
+
+
 def test_device_splice_nc_repair_matters():
     """A donor whose left-column blocks carry coefficients must get
     *different* coeff_token bits at the composite boundary than in its
