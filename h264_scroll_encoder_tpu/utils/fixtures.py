@@ -192,11 +192,14 @@ def random_p_slice_grid(rng, mb_width, mb_height, num_ref_idx_l0):
 
 
 def synthetic_cavlc_stream(width: int, height: int, n_p_frames: int = 2,
-                           seed: int = 0, num_ref_idx_l0: int = 1) -> bytes:
+                           seed: int = 0, num_ref_idx_l0: int = 1,
+                           i_grid=None, p_grids=None) -> bytes:
     """SPS + PPS + random IDR I-slice + N random P-slices.
 
     Grammar-valid (parsable by any conformant CAVLC parser) though not
     visually meaningful — transcoders never look at pixel semantics.
+    i_grid / p_grids (list of grids, cycled over n_p_frames) override the
+    random macroblock content — the hook adversarial donor families use.
     """
     rng = np.random.default_rng(seed)
     cfg = ComposerConfig(width, height)
@@ -219,7 +222,8 @@ def synthetic_cavlc_stream(width: int, height: int, n_p_frames: int = 2,
     bw.write_bit(0)          # long_term_reference_flag
     bw.write_se(0)           # slice_qp_delta
     bw.write_ue(1)           # disable deblocking
-    grid = random_i_slice_grid(rng, cfg.mb_width, cfg.mb_height)
+    grid = (i_grid if i_grid is not None
+            else random_i_slice_grid(rng, cfg.mb_width, cfg.mb_height))
     mbt.emit_i_slice_mbs(bw, grid)
     bw.write_trailing_bits()
     out.write_nal_unit(bw.getvalue(), 3, 5)
@@ -239,10 +243,75 @@ def synthetic_cavlc_stream(width: int, height: int, n_p_frames: int = 2,
         bw.write_bit(0)      # sliding window (ref picture)
         bw.write_se(0)
         bw.write_ue(1)
-        pgrid = random_p_slice_grid(rng, cfg.mb_width, cfg.mb_height,
-                                    num_ref_idx_l0)
+        pgrid = (p_grids[n % len(p_grids)] if p_grids
+                 else random_p_slice_grid(rng, cfg.mb_width, cfg.mb_height,
+                                          num_ref_idx_l0))
         mbt.emit_p_slice_mbs(bw, pgrid, num_ref_idx_l0)
         bw.write_trailing_bits()
         out.write_nal_unit(bw.getvalue(), 2, 1)
 
     return out.getvalue()
+
+
+def representative_inter_mb(rng: np.random.Generator,
+                            num_ref_idx_l0: int) -> mbt.Macroblock:
+    """A donor MB modeling a real encoder's moderate-QP dynamic content:
+    P_L0_16x16, small MVs, sparse small-level residuals (the BASELINE
+    'dynamic-rect splice' representative class)."""
+    mvds = ((int(rng.integers(-16, 17)), int(rng.integers(-16, 17))),)
+    cbp = int(rng.choice([0, 1, 2, 4, 8, 15, 16 + 15, 32 + 3]))
+    mb = mbt.Macroblock(kind="inter", mb_type=0,
+                        ref_idx=(0,) if num_ref_idx_l0 > 1 else (),
+                        mvds=mvds, cbp=cbp)
+    if cbp > 0:
+        mb.qp_delta = int(rng.integers(-2, 3))
+        from ..ops.cavlc_tables import SCAN_TO_RASTER
+        luma = [cavlc.EMPTY_BLOCK] * 16
+        for i8x8 in range(4):
+            if cbp & (1 << i8x8):
+                for i4x4 in range(4):
+                    if rng.random() < 0.5:
+                        continue
+                    raster = SCAN_TO_RASTER[i8x8 * 4 + i4x4]
+                    tc = int(rng.integers(1, 5))
+                    t1 = min(tc, int(rng.integers(0, 4)))
+                    levels = [int(rng.choice([-1, 1])) for _ in range(t1)]
+                    for i in range(tc - t1):
+                        lo = 2 if (i == 0 and t1 < 3) else 1
+                        mag = int(rng.integers(lo, lo + 4))
+                        levels.append(mag if rng.random() < 0.5 else -mag)
+                    total_zeros = int(rng.integers(0, 16 - tc + 1))
+                    runs = []
+                    zeros_left = total_zeros
+                    for _ in range(tc - 1):
+                        if zeros_left <= 0:
+                            break
+                        run = int(rng.integers(0, min(zeros_left, 7) + 1))
+                        runs.append(run)
+                        zeros_left -= run
+                    luma[raster] = cavlc.encode_residual_block(
+                        levels, total_zeros, runs, 16, 0)
+        mb.luma = tuple(luma)
+        if (cbp >> 4) & 3:
+            mb.cb_dc = random_residual_block(rng, 4, density=0.6)
+            mb.cr_dc = random_residual_block(rng, 4, density=0.6)
+    return mb
+
+
+def representative_donor_grid(rng, mb_width, mb_height,
+                              num_ref_idx_l0: int = 1):
+    """~25% P_Skip + representative inter MBs (see representative_inter_mb)."""
+    return [[mbt.SKIP if rng.random() < 0.25
+             else representative_inter_mb(rng, num_ref_idx_l0)
+             for _ in range(mb_width)] for _ in range(mb_height)]
+
+
+def dense_donor_grid(rng, mb_width, mb_height, num_ref_idx_l0: int = 1):
+    """Worst-case dense random CAVLC donor (no I_PCM): the adversarial
+    residual-density class the splice bench's 'dense' config times."""
+    grid = random_p_slice_grid(rng, mb_width, mb_height, num_ref_idx_l0)
+    for row in grid:
+        for i, mb in enumerate(row):
+            if mb is not mbt.SKIP and mb.kind == "ipcm":
+                row[i] = random_inter_mb(rng, num_ref_idx_l0)
+    return grid
