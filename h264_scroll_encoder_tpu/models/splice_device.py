@@ -415,7 +415,7 @@ def emit_spliced_frame(cfg: ComposerConfig, rect_mb_x: int, rect_mb_y: int,
                        header_patterns, header_nbits,
                        bg_ref, bg_mv_x, bg_mv_y, bg_coded,
                        ds_dev: dict, donor_ref, donor_mv_x, donor_mv_y,
-                       nal_ref_idc: int = 0):
+                       nal_ref_idc: int = 0, *, ebsp_exact: bool = False):
     """Device splice: one P-frame with the donor rect embedded.
 
     bg_* are full-frame [H, W] fields for background/motion-region MBs
@@ -553,10 +553,14 @@ def emit_spliced_frame(cfg: ComposerConfig, rect_mb_x: int, rect_mb_y: int,
 
     n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
     from ..config import MAX_EBSP_INSERTIONS
-    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
-        rbsp_bytes, rbsp_len, n_nal - 8,
-        max_insertions=MAX_EBSP_INSERTIONS)
-    overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
+    if ebsp_exact:
+        ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+            rbsp_bytes, rbsp_len, n_nal - 8)
+    else:
+        ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+            rbsp_bytes, rbsp_len, n_nal - 8,
+            max_insertions=MAX_EBSP_INSERTIONS)
+        overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
     header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
     prefix = jnp.concatenate([
         jnp.asarray([0, 0, 0, 1], jnp.uint8),
@@ -1000,7 +1004,8 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
                              bg_ref, bg_mv_x, bg_mv_y, bg_coded,
                              dn: dict, nal_ref_idc: int = 0, *,
                              has_align: bool = False,
-                             n_rbsp: int | None = None):
+                             n_rbsp: int | None = None,
+                             ebsp_exact: bool = False):
     """Device splice, dense-donor hot path.
 
     Donor macroblock bits arrive fully resolved as dense chunk arrays
@@ -1012,7 +1017,11 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
 
     `has_align` (static) enables the I_PCM alignment phase scan.
     `n_rbsp` overrides the working-buffer budget (static; defaults to
-    splice_rbsp_budget of the donor's chunk class).
+    splice_rbsp_budget of the donor's chunk class).  `ebsp_exact` selects
+    the unbounded emulation-prevention path — the retry a caller uses
+    when the bounded fast path flags overflow (e.g. donors with long
+    zero runs: all-zero I_PCM payloads insert one 03 per 2 zero bytes,
+    far past MAX_EBSP_INSERTIONS).
     """
     H, W = cfg.mb_height, cfg.mb_width
     r0, c0 = rect_mb_y, rect_mb_x
@@ -1146,10 +1155,14 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
 
     n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
     from ..config import MAX_EBSP_INSERTIONS
-    ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
-        rbsp_bytes, rbsp_len, n_nal - 8,
-        max_insertions=MAX_EBSP_INSERTIONS)
-    overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
+    if ebsp_exact:
+        ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+            rbsp_bytes, rbsp_len, n_nal - 8)
+    else:
+        ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
+            rbsp_bytes, rbsp_len, n_nal - 8,
+            max_insertions=MAX_EBSP_INSERTIONS)
+        overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
     header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
     prefix = jnp.concatenate([
         jnp.asarray([0, 0, 0, 1], jnp.uint8),

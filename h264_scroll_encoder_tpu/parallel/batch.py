@@ -191,7 +191,8 @@ def make_batched_splice_step_dense(cfg: ComposerConfig, rect_mb_x: int,
                                    rect_mb_y: int, rect_w: int, rect_h: int,
                                    num_refs: int = 2, *,
                                    has_align: bool = False,
-                                   n_rbsp: int | None = None):
+                                   n_rbsp: int | None = None,
+                                   ebsp_exact: bool = False):
     """jit(vmap) of the dense-donor splice kernel (the serving hot path).
 
     Per session: header symbols, background fields/coded mask, and the
@@ -204,7 +205,7 @@ def make_batched_splice_step_dense(cfg: ComposerConfig, rect_mb_x: int,
         return splice_device.emit_spliced_frame_dense(
             cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
             hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn,
-            has_align=has_align, n_rbsp=n_rbsp)
+            has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact)
 
     return jax.jit(jax.vmap(one))
 

@@ -253,6 +253,16 @@ def _run_dense_case(cfg, donor, r0, c0, num_refs, frame_num, regions):
     nal, nal_len, bits, ovf = emit(hp, hn, jnp.asarray(bg_ref),
                                    jnp.asarray(bg_mvx), jnp.asarray(bg_mvy),
                                    jnp.asarray(bg_coded), dn)
+    if bool(ovf):
+        # Bounded emulation-prevention fast path exceeded (e.g. long zero
+        # runs): retry through the exact unbounded path, the same
+        # fallback the session uses.
+        emit = jax.jit(lambda *a: splice_device.emit_spliced_frame_dense(
+            cfg, c0, r0, R, C, num_refs, *a, has_align=dd.has_align,
+            ebsp_exact=True))
+        nal, nal_len, bits, ovf = emit(
+            hp, hn, jnp.asarray(bg_ref), jnp.asarray(bg_mvx),
+            jnp.asarray(bg_mvy), jnp.asarray(bg_coded), dn)
     assert not bool(ovf)
 
     from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
