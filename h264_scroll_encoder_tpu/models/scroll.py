@@ -118,6 +118,21 @@ def mb_fields_traced(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
     else:
         raise ValueError(f"unknown boundary_policy {boundary_policy!r}")
 
+    a_ref, a_mv, b_ref, b_mv = region_params(
+        cfg, offset_px, wp_offsets, wp_valid, num_waypoints,
+        is_waypoint_frame)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    in_a = row < a_region_end
+    ref = jnp.where(in_a, a_ref, b_ref)
+    mv_y = jnp.where(in_a, a_mv, b_mv) * 4
+    return ref, mv_y
+
+
+def region_params(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
+                  num_waypoints, is_waypoint_frame):
+    """(a_ref, a_mv_px, b_ref, b_mv_px) after waypoint redirection — the
+    raw two-region assignment mb_fields selects from per MB row."""
     wp_a, wp_a_off = _best_waypoint_a(offset_px, wp_offsets, wp_valid,
                                       num_waypoints)
     wp_b, wp_b_off = _best_waypoint_b(offset_px, cfg.height, wp_offsets,
@@ -128,12 +143,7 @@ def mb_fields_traced(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
     a_mv = jnp.where(wp_a >= 0, offset_px - wp_a_off, offset_px)
     b_ref = jnp.where(wp_b >= 0, 2 + wp_b, 1)
     b_mv = jnp.where(wp_b >= 0, offset_px - wp_b_off, offset_px - cfg.height)
-
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    in_a = row < a_region_end
-    ref = jnp.where(in_a, a_ref, b_ref)
-    mv_y = jnp.where(in_a, a_mv, b_mv) * 4
-    return ref, mv_y
+    return a_ref, a_mv, b_ref, b_mv
 
 
 def mb_fields(cfg: ComposerConfig, offset_px, wp_offsets, wp_valid,
@@ -378,12 +388,20 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     nbits = jnp.concatenate(
         [header_nbits, mb_nbits.reshape(-1), ts_n[None]])
 
+    n_rbsp = (n_mbs * cfg.rbsp_bits_per_mb // 8 + 96 + 3) // 4 * 4
+    return finish_slice(patterns, nbits, n_rbsp, nal_ref_idc,
+                        ebsp_exact=ebsp_exact)
+
+
+def finish_slice(patterns, nbits, n_rbsp: int, nal_ref_idc,
+                 *, ebsp_exact: bool = False):
+    """Shared slice tail: trailing bits -> pack -> emulation prevention ->
+    Annex-B framing.  Returns (nal u8, nal_len, rbsp_bits, overflow)."""
     payload_bits = jnp.sum(nbits)
     tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
-    n_rbsp = (n_mbs * cfg.rbsp_bits_per_mb // 8 + 96 + 3) // 4 * 4
     rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
                                                      n_rbsp)
     rbsp_len = total_bits // 8  # trailing bits guarantee alignment
@@ -413,6 +431,137 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     return out, 5 + ebsp_len, total_bits, overflow
 
 
+def emit_partitioned_scroll_frame(cfg: ComposerConfig, header_patterns,
+                                  header_nbits, offset_px,
+                                  a_ref, a_mv_px, b_ref, b_mv_px,
+                                  num_refs, nal_ref_idc, *,
+                                  enable_pskip: bool,
+                                  ebsp_exact: bool = False):
+    """Scroll P-frame with an 8 px-granular A/B seam (KNOWN_ISSUES fix).
+
+    The reference floors the A/B boundary to MB rows while content moves
+    per-pixel, so up to 15 pixel rows at the seam fetch past their atlas
+    (KNOWN_ISSUES.md:5-13 "scroll jumps in ~16px increments").  Here the
+    straddled MB row is coded P_L0_L0_16x8 — two 16x8 partitions with
+    separate (ref, mv) — which is the finest legal split across the seam:
+    the two regions reference *different* pictures and a P_8x8 quadrant
+    carries a single ref_idx, so 16x8 (8 px granularity, <=4 px residual
+    error, quantified by the pixel oracle) is the limit without changing
+    references.
+
+    Seam-row mvds collapse to closed forms: the row above is uniformly
+    region A, so part 0's directional B-neighbor rule predicts exactly
+    a_mv (mvd 0 except the frame's top-left corner), and part 1's
+    A-neighbor rule predicts b_mv along the row (mvd b_mv only at column
+    0, where the median over {0, a_mv-with-mismatched-ref, 0} is 0).
+    The emission layout is 4 fixed slots per MB (uniform MBs use 3).
+    """
+    h, w = cfg.mb_height, cfg.mb_width
+    n_mbs = h * w
+    offset_px = jnp.asarray(offset_px, jnp.int32)
+    y_seam = cfg.height - offset_px
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    cov = jnp.clip(y_seam - 16 * rows, 0, 16)
+    c_r = ((cov + 4) // 8) * 8           # rounded A-coverage: 0 | 8 | 16
+    seam = c_r == 8
+    in_full_a = c_r == 16
+
+    a_mvq = a_mv_px * 4
+    b_mvq = b_mv_px * 4
+    ref_full = jnp.where(in_full_a, a_ref, b_ref)
+    mv_full = jnp.where(in_full_a, a_mvq, b_mvq)
+    zeros = jnp.zeros((h, w), jnp.int32)
+
+    # Role grids: a seam MB's top-right 4x4 (as-left role) is region A;
+    # its bottom-left/bottom-right (as-above/above-left roles) region B —
+    # which equals the full-value grid, since seam cells select B there.
+    refA_role = jnp.where(seam, a_ref, ref_full)
+    mvA_role = jnp.where(seam, a_mvq, mv_full)
+    pred_x, pred_y = _pred_stencil_roles(
+        refA_role, zeros, mvA_role, ref_full, zeros, mv_full,
+        ref_full, zeros, mv_full, ref_full)
+    mvd_y = (mv_full - pred_y).reshape(-1)
+    mvd_x = (-pred_x).reshape(-1)
+
+    if enable_pskip:
+        skip_x, skip_y = pskip_mv_grid(ref_full, zeros, mv_full)
+        can_skip = ((ref_full == 0) & (skip_x == 0)
+                    & (mv_full == skip_y) & ~seam)
+    else:
+        can_skip = jnp.zeros((h, w), bool)
+    coded = (~can_skip).reshape(-1)
+
+    idx = jnp.arange(n_mbs, dtype=jnp.int32)
+    coded_idx = jnp.where(coded, idx, -1)
+    last_coded_incl = jax.lax.associative_scan(jnp.maximum, coded_idx)
+    last_coded_before = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), last_coded_incl[:-1]])
+    skip_run = idx - last_coded_before - 1
+    sr_pat, sr_n = expgolomb.ue(skip_run.astype(jnp.uint32))
+
+    seam_f = seam.reshape(-1)
+    u32z = jnp.zeros((n_mbs,), jnp.uint32)
+
+    # Uniform-MB slots: [sr||mb_type(0)||ref, mvd_x, mvd_y||cbp, 0].
+    mbt0_pat, mbt0_n = expgolomb.ue(u32z)
+    ref_pat, ref_n = expgolomb.te(ref_full.reshape(-1).astype(jnp.uint32),
+                                  num_refs)
+    mvx_pat, mvx_n = expgolomb.se(mvd_x)
+    mvy_pat, mvy_n = expgolomb.se(mvd_y)
+    cbp_pat, cbp_n = expgolomb.ue(u32z)
+    u_a = bitpack.merge_symbol_pairs(sr_pat, sr_n, mbt0_pat, mbt0_n)
+    u_a = bitpack.merge_symbol_pairs(*u_a, ref_pat, ref_n)
+    u_c = bitpack.merge_symbol_pairs(mvy_pat, mvy_n, cbp_pat, cbp_n)
+
+    # Seam-MB slots: [sr||mb_type(1), ref0||ref1||mvd0x(0),
+    #                 mvd0y, mvd1x(0)||mvd1y||cbp(0)].
+    mbt1_pat, mbt1_n = expgolomb.ue(jnp.full((n_mbs,), 1, jnp.uint32))
+    ref0_pat, ref0_n = expgolomb.te(
+        jnp.broadcast_to(jnp.asarray(a_ref, jnp.uint32), (n_mbs,)),
+        num_refs)
+    ref1_pat, ref1_n = expgolomb.te(
+        jnp.broadcast_to(jnp.asarray(b_ref, jnp.uint32), (n_mbs,)),
+        num_refs)
+    se0_pat, se0_n = expgolomb.se(jnp.zeros((n_mbs,), jnp.int32))
+    mvd0y = jnp.where((rows == 0) & (cols == 0), a_mvq, 0).reshape(-1)
+    mvd1y = jnp.where(cols == 0, b_mvq, 0).reshape(-1)
+    mvd0y_pat, mvd0y_n = expgolomb.se(mvd0y)
+    mvd1y_pat, mvd1y_n = expgolomb.se(mvd1y)
+    s_a = bitpack.merge_symbol_pairs(sr_pat, sr_n, mbt1_pat, mbt1_n)
+    s_b = bitpack.merge_symbol_pairs(ref0_pat, ref0_n, ref1_pat, ref1_n)
+    s_b = bitpack.merge_symbol_pairs(*s_b, se0_pat, se0_n)
+    s_d = bitpack.merge_symbol_pairs(se0_pat, se0_n, mvd1y_pat, mvd1y_n)
+    s_d = bitpack.merge_symbol_pairs(*s_d, cbp_pat, cbp_n)
+
+    coded_i = coded.astype(jnp.int32)
+
+    def sel(u_pat, u_n, s_pat, s_n):
+        pat = jnp.where(seam_f, s_pat, u_pat)
+        n = jnp.where(seam_f, s_n, u_n)
+        return jnp.where(coded, pat, u32z), n * coded_i
+
+    p0, n0 = sel(*u_a, *s_a)
+    p1, n1 = sel(mvx_pat, mvx_n, *s_b)
+    p2, n2 = sel(*u_c, mvd0y_pat, mvd0y_n)
+    p3, n3 = sel(u32z, jnp.zeros((n_mbs,), jnp.int32), *s_d)
+    mb_patterns = jnp.stack([p0, p1, p2, p3], axis=1)
+    mb_nbits = jnp.stack([n0, n1, n2, n3], axis=1)
+
+    tail_skips = jnp.int32(n_mbs) - 1 - last_coded_incl[-1]
+    ts_pat, ts_n = expgolomb.ue(tail_skips.astype(jnp.uint32))
+    ts_n = jnp.where(tail_skips > 0, ts_n, 0)
+
+    patterns = jnp.concatenate(
+        [header_patterns, mb_patterns.reshape(-1), ts_pat[None]])
+    nbits = jnp.concatenate(
+        [header_nbits, mb_nbits.reshape(-1), ts_n[None]])
+    n_rbsp = (n_mbs * cfg.rbsp_bits_per_mb // 8 + 96 + 3) // 4 * 4
+    return finish_slice(patterns, nbits, n_rbsp, nal_ref_idc,
+                        ebsp_exact=ebsp_exact)
+
+
 def unified_frame(cfg: ComposerConfig, frame_num, offset_px,
                   wp_offsets, wp_ltidx, wp_valid, num_waypoints,
                   is_waypoint, *, enable_pskip: bool = False,
@@ -433,11 +582,19 @@ def unified_frame(cfg: ComposerConfig, frame_num, offset_px,
         cfg, fn, fn * 2, is_reference=is_waypoint,
         long_term_idx=long_term_idx, num_waypoints=num_waypoints,
         wp_long_term_idx=wp_ltidx, wp_valid=wp_valid)
+    nal_ref_idc = jnp.where(is_waypoint, 2, 0)
+    if boundary_policy == "partitioned":
+        a_ref, a_mv, b_ref, b_mv = region_params(
+            cfg, offset_px, wp_offsets, wp_valid, num_waypoints,
+            is_waypoint)
+        return emit_partitioned_scroll_frame(
+            cfg, hp, hn, offset_px, a_ref, a_mv, b_ref, b_mv,
+            num_refs=2 + num_waypoints, nal_ref_idc=nal_ref_idc,
+            enable_pskip=enable_pskip)
     ref, mv_y = mb_fields_traced(cfg, offset_px, wp_offsets, wp_valid,
                                  num_waypoints, is_waypoint,
                                  boundary_policy=boundary_policy)
     mv_x = jnp.zeros_like(mv_y)
-    nal_ref_idc = jnp.where(is_waypoint, 2, 0)
     return emit_p_frame(cfg, hp, hn, ref, mv_x, mv_y,
                         num_refs=2 + num_waypoints,
                         nal_ref_idc=nal_ref_idc,
@@ -507,6 +664,14 @@ def scroll_frame(cfg: ComposerConfig, frame_num, offset_px,
         cfg, fn, fn * 2, is_reference=False, long_term_idx=-1,
         num_waypoints=num_waypoints, wp_long_term_idx=wp_ltidx,
         wp_valid=wp_valid)
+    if boundary_policy == "partitioned":
+        a_ref, a_mv, b_ref, b_mv = region_params(
+            cfg, offset_px, wp_offsets, wp_valid, num_waypoints,
+            jnp.asarray(False))
+        return emit_partitioned_scroll_frame(
+            cfg, hp, hn, offset_px, a_ref, a_mv, b_ref, b_mv,
+            num_refs=2 + num_waypoints, nal_ref_idc=0,
+            enable_pskip=enable_pskip, ebsp_exact=ebsp_exact)
     ref, mv_y = mb_fields(cfg, offset_px, wp_offsets, wp_valid,
                           num_waypoints, is_waypoint_frame=False,
                           boundary_policy=boundary_policy)
@@ -529,6 +694,14 @@ def waypoint_frame(cfg: ComposerConfig, frame_num, offset_px,
         cfg, fn, fn * 2, is_reference=True, long_term_idx=long_term_idx,
         num_waypoints=num_waypoints, wp_long_term_idx=wp_ltidx,
         wp_valid=wp_valid)
+    if boundary_policy == "partitioned":
+        a_ref, a_mv, b_ref, b_mv = region_params(
+            cfg, offset_px, wp_offsets, wp_valid, num_waypoints,
+            jnp.asarray(True))
+        return emit_partitioned_scroll_frame(
+            cfg, hp, hn, offset_px, a_ref, a_mv, b_ref, b_mv,
+            num_refs=2 + num_waypoints, nal_ref_idc=2,
+            enable_pskip=enable_pskip, ebsp_exact=ebsp_exact)
     ref, mv_y = mb_fields(cfg, offset_px, wp_offsets, wp_valid,
                           num_waypoints, is_waypoint_frame=True,
                           boundary_policy=boundary_policy)

@@ -498,5 +498,15 @@ def seam_band(height: int, offset_px: int,
     if boundary_policy == "floor":
         start = 16 * (split // 16)
         return start, split
+    if boundary_policy == "partitioned":
+        return seam_band_partitioned(height, offset_px)
     start = 16 * ((split + 8) // 16)
     return (split, start) if start >= split else (start, split)
+
+
+def seam_band_partitioned(height: int, offset_px: int) -> tuple:
+    """'partitioned' policy band: the seam rounds to the nearest 8 px
+    (16x8 partitions), so the band straddles H-d by at most 4 rows."""
+    split = height - offset_px
+    snapped = 8 * ((split + 4) // 8)
+    return (split, snapped) if snapped >= split else (snapped, split)

@@ -195,3 +195,45 @@ def test_seam_band_measurement_floor_vs_nearest():
     assert max(widths["floor"]) == 15
     assert max(widths["nearest"]) == 8
     assert sum(widths["nearest"]) < sum(widths["floor"])
+
+
+def test_scroll_pixels_partitioned_policy():
+    """'partitioned' codes the straddled MB row as P_L0_L0_16x8 (8 px
+    seam granularity — the finest legal split across two references):
+    worst-case seam band <= 4 rows, the real fix for the reference's
+    16 px-jump defect (KNOWN_ISSUES.md:5-13)."""
+    offsets = [0, 3, 5, 12, 16, 23, 37, 64, 100, 121]
+    s = _session(boundary_policy="partitioned")
+    for off in offsets:
+        s.write_scroll_frame(off)
+    band = _assert_scroll_frames(s.getvalue(), offsets, 128, "partitioned")
+    assert 0 < band <= 4
+
+
+def test_scroll_pixels_partitioned_pskip_and_waypoints():
+    """Partitioned policy composed with P_Skip and waypoint redirection
+    (tall frame, offsets crossing 496 px) still decodes to the intended
+    pixels within the 4-row band."""
+    offsets = [0, 5, 100, 496, 496, 500, 707, 992, 992, 1000]
+    s = _session(w=48, h=1024, boundary_policy="partitioned",
+                 enable_pskip=True)
+    for off in offsets:
+        s.write_scroll_or_waypoint_frame(off)
+
+    pics = po.decode_stream_pixels(s.getvalue())
+    canvas = po.scroll_canvas(pics[0], pics[1])
+    # Waypoint frames interleave: walk emitted pictures against the
+    # session's actual schedule (a waypoint step repeats its offset).
+    emitted = []
+    reg = []
+    for off in offsets:
+        if off != 0 and off % 496 == 0 and off not in reg:
+            reg.append(off)
+        emitted.append(off)
+    assert len(pics) == 2 + len(emitted)
+    for pic, off in zip(pics[2:], emitted):
+        intended = po.intended_scroll_luma(canvas, off, 1024)
+        rows = po.luma_mismatch_rows(pic, intended)
+        lo, hi = po.seam_band_partitioned(1024, off)
+        assert rows.size == 0 or (rows.min() >= lo and rows.max() < hi), (
+            off, 0 if rows.size == 0 else (rows.min(), rows.max()), lo, hi)
