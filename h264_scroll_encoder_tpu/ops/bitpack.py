@@ -240,10 +240,14 @@ def monotone_expand(values, shifts, valid, out_size: int, fill,
     n = values.shape[0]
     pad = out_size - n
     bound = out_size if max_shift is None else min(max_shift + 1, out_size)
+    # Keep uint8 shift arrays in uint8 (bounded expansions, e.g.
+    # emulation prevention): rem then moves 4x less data per pass.
+    rdt = shifts.dtype if shifts.dtype == jnp.uint8 and bound <= 256 \
+        else jnp.int32
     vals = jnp.concatenate([values, jnp.zeros((pad,), values.dtype)])
     rem = jnp.concatenate(
-        [jnp.where(valid, shifts.astype(jnp.int32), 0),
-         jnp.zeros((pad,), jnp.int32)])
+        [jnp.where(valid, shifts.astype(rdt), jnp.zeros((), rdt)),
+         jnp.zeros((pad,), rdt)])
     live = jnp.concatenate([jnp.asarray(valid, bool),
                             jnp.zeros((pad,), bool)])
     for b in reversed(range(max(1, bound).bit_length())):
@@ -383,6 +387,113 @@ def pack_words_tree(patterns, nbits, num_words: int):
 def pack_bytes_tree(patterns, nbits, num_bytes: int):
     assert num_bytes % 4 == 0
     words, total = pack_words_tree(patterns, nbits, num_bytes // 4)
+    return words_to_bytes(words), total
+
+
+# ---------------------------------------------------------------------------
+# Direct-placement packer: the second-generation hot path.
+#
+# The merge tree above costs ~sum(k) = O(log^2 n) full-array roll passes
+# (round k decomposes its segment shifts into k log-step rolls) — measured
+# VPU-compute-bound at ~105 passes for a 16k-symbol 720p frame.  This
+# formulation places every symbol DIRECTLY at its absolute bit offset:
+#
+#   1. exclusive prefix sum of nbits (one XLA cumsum) gives each symbol's
+#      target word w0 and intra-word phase;
+#   2. each symbol splits into its two word contributions (c0 into w0,
+#      c1 spilling into w0+1), exactly as the scatter packer;
+#   3. contributions move LEFT from lane i to lane w0[i] (distance
+#      d = i - w0[i] >= 0, since offsets grow by <= 32 bits per symbol)
+#      with low->high log-step masked rolls, OR-combining on arrival.
+#
+# The OR-combine is collision-safe: if two in-flight elements occupy the
+# same lane after processing shift bits < b, then (their lane gap) ==
+# (their processed-distance gap), so their REMAINING distances are equal
+# — which means they share the same target word, where OR is exactly the
+# desired combine; elements with different targets can never meet.  Wrap
+# hazards are impossible because d[i] <= i (an element at lane < 2^b has
+# no remaining bit-b component).
+#
+# Cost: ~log2(n) roll passes per contribution buffer (2 buffers) + one
+# cumsum — ~3x fewer VPU passes than the merge tree (measured 1.49x
+# end-to-end on the full 720p compose+pack step, v5e batch 256).
+# ---------------------------------------------------------------------------
+
+
+def _monotone_or_move(vals, dist, max_dist: int):
+    """out[i - dist[i]] |= vals[i] for distances with non-decreasing
+    targets (i - dist[i] non-decreasing); log-step masked rolls, low->high
+    bit order, OR-combine (see block comment for the safety argument)."""
+    rem = dist
+    out = vals
+    n = vals.shape[0]
+    for b in range(max(1, min(max_dist, n - 1)).bit_length()):
+        step = 1 << b
+        v_r = jnp.roll(out, -step)
+        r_r = jnp.roll(rem, -step)
+        take = (r_r & step) != 0
+        vacate = (rem & step) != 0
+        out = (jnp.where(take, v_r, jnp.uint32(0))
+               | jnp.where(vacate, jnp.uint32(0), out))
+        rem = jnp.where(take, r_r - step, jnp.where(vacate, 0, rem))
+    return out
+
+
+def pack_words_place(patterns, nbits, num_words: int):
+    """Direct-placement packer: bit-exact equivalent of pack_words for
+    every stream that fits the num_words budget (oversized streams are
+    truncated; callers discard them via the returned total).
+
+    Accepts zero-length symbols anywhere (zero contributions OR as
+    no-ops)."""
+    patterns = jnp.asarray(patterns, jnp.uint32).reshape(-1)
+    nbits = jnp.asarray(nbits, jnp.int32).reshape(-1)
+    n = patterns.shape[0]
+
+    full = nbits >= 32
+    mask = jnp.where(full, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1)
+                      << jnp.clip(nbits, 0, 31).astype(jnp.uint32)) - 1)
+    patterns = patterns & mask
+
+    offsets, total = bit_offsets(nbits)
+    bit_in_word = (offsets & 31).astype(jnp.int32)
+    w0 = (offsets >> 5).astype(jnp.int32)
+
+    n0 = jnp.minimum(nbits, 32 - bit_in_word)
+    n1 = nbits - n0
+    sh0 = jnp.clip(32 - bit_in_word - n0, 0, 31).astype(jnp.uint32)
+    c0 = (patterns >> jnp.clip(n1, 0, 31).astype(jnp.uint32)) << sh0
+    c0 = jnp.where(nbits > 0, c0, jnp.uint32(0))
+    m1 = (jnp.uint32(1) << jnp.clip(n1, 0, 31).astype(jnp.uint32)) - 1
+    sh1 = (jnp.uint32(32) - jnp.clip(n1, 0, 31).astype(jnp.uint32)) \
+        & jnp.uint32(31)
+    c1 = jnp.where(n1 > 0, (patterns & m1) << sh1, jnp.uint32(0))
+
+    # Pad so the c1 pre-roll (lane i -> i+1) never wraps a live element
+    # (no power-of-two requirement — moves are positional, not pairing).
+    padded = -(-(n + 1) // 128) * 128
+    idx = jnp.arange(n, dtype=jnp.int32)
+    d = jnp.pad(idx - w0, (0, padded - n))
+    c0 = jnp.pad(c0, (0, padded - n))
+    c1 = jnp.pad(c1, (0, padded - n))
+
+    m0 = _monotone_or_move(c0, d, n - 1)
+    lane = jnp.arange(padded, dtype=jnp.int32)
+    c1r = jnp.where(lane > 0, jnp.roll(c1, 1), jnp.uint32(0))
+    d1 = jnp.where(lane > 0, jnp.roll(d, 1), 0)
+    m1w = _monotone_or_move(c1r, d1, n - 1)
+    words = m0 | m1w
+
+    out = jnp.zeros((num_words,), jnp.uint32)
+    take = min(num_words, padded)
+    out = out.at[:take].set(words[:take])
+    return out, total
+
+
+def pack_bytes_place(patterns, nbits, num_bytes: int):
+    assert num_bytes % 4 == 0
+    words, total = pack_words_place(patterns, nbits, num_bytes // 4)
     return words_to_bytes(words), total
 
 

@@ -208,3 +208,22 @@ def test_pack_under_jit_and_vmap():
     for i in range(3):
         assert int(got_t[i]) == exp_total
         assert bytes(np.asarray(got_b[i])[: (exp_total + 7) // 8]) == exp
+
+
+def test_pack_words_place_matches_scatter():
+    """Direct-placement packer (OR-combining monotone moves) is bit-exact
+    vs the scatter reference across zero-run/full-width fuzz."""
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        n = int(rng.integers(1, 2000))
+        nbits = rng.integers(0, 33, n).astype(np.int32)
+        if trial % 3 == 0:
+            nbits[rng.random(n) < 0.5] = 0
+        if trial % 4 == 0:
+            nbits[rng.random(n) < 0.3] = 32
+        pats = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        nw = int(np.sum(nbits)) // 32 + 4
+        ref, t1 = bitpack.pack_words(pats, nbits, nw)
+        got, t2 = bitpack.pack_words_place(pats, nbits, nw)
+        assert int(t1) == int(t2)
+        assert np.array_equal(np.asarray(ref), np.asarray(got)), trial
