@@ -80,12 +80,23 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
     from h264_scroll_encoder_tpu.syntax.slice_headers import (
         p_slice_header_symbols)
 
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+
     R, C = len(donor), len(donor[0])
     r0, c0 = 10, 30
+    # Serving-shaped ingest: the donor arrives as CAVLC slice payload
+    # bytes; prep (parse + composite-nC token resolution + chunk fusing
+    # + composite MV edge decode) runs in the native C++ engine.
+    bw = BitWriter()
+    mbt.emit_p_slice_mbs(bw, donor, 1)
+    bw.write_trailing_bits()
+    payload = bw.getvalue()
     t0 = time.perf_counter()
-    dd = splice_device.prepare_donor_dense(donor, 2)
-    dn = splice_device.dense_device_arrays(dd)
+    dd = splice_device.prepare_donor_dense_from_slice(
+        payload, 0, C, R, 1, 2)
     prep_ms = (time.perf_counter() - t0) * 1000.0
+    dn = splice_device.dense_device_arrays(dd)
 
     H, W = cfg.mb_height, cfg.mb_width
     zero = jnp.zeros((H, W), jnp.int32)

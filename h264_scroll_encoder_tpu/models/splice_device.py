@@ -946,6 +946,82 @@ def prepare_donor_dense(donor_grid: list, num_ref_idx_l0: int,
                       d_ref, d_mvx, d_mvy, donor_bits, has_align)
 
 
+def _default_rings(R: int, C: int, rect_at_left_edge: bool,
+                   rect_at_top_edge: bool, rect_at_right_edge: bool):
+    """MASTER_DESIGN static-chrome defaults: P_Skip (0,0,0) cells,
+    minus frame-edge unavailability (None entries)."""
+    top = [None if rect_at_top_edge else (0, 0, 0) for _ in range(C + 2)]
+    if rect_at_left_edge:
+        top[0] = None
+    if rect_at_right_edge:
+        top[-1] = None
+    left = [None if rect_at_left_edge else (0, 0, 0) for _ in range(R)]
+    right = [None if rect_at_right_edge else (0, 0, 0)
+             for _ in range(R - 1)]
+    return left, top, right
+
+
+def prepare_donor_dense_from_slice(rbsp: bytes, start_bit: int, C: int,
+                                   R: int, donor_num_refs: int,
+                                   num_ref_idx_l0: int,
+                                   donor_ref_map: tuple = (0,), *,
+                                   rect_at_left_edge: bool = False,
+                                   rect_at_top_edge: bool = False,
+                                   rect_at_right_edge: bool = False,
+                                   left_ring=None, top_ring=None,
+                                   right_ring=None,
+                                   engine: str = "auto") -> DonorDense:
+    """Serving ingest: donor P-slice payload bytes -> DonorDense.
+
+    engine "native" runs parse + composite-nC token resolution + chunk
+    fusing + composite MV-field edge decode entirely in C++
+    (native/cavlc_decode.cpp cavlc_prepare_dense / cavlc_mv_edge_roles;
+    ~100x the Python path, differential-tested byte-equal); "python"
+    parses with models/mb_transcode and goes through
+    prepare_donor_dense."""
+    from .. import native_bridge
+
+    use_native = (engine == "native"
+                  or (engine == "auto"
+                      and native_bridge.native_available()))
+    if engine == "native" and not native_bridge.native_available():
+        raise RuntimeError("native engine requested but library not built")
+
+    if left_ring is None or top_ring is None or right_ring is None:
+        dl, dt, dr = _default_rings(R, C, rect_at_left_edge,
+                                    rect_at_top_edge, rect_at_right_edge)
+        left_ring = dl if left_ring is None else left_ring
+        top_ring = dt if top_ring is None else top_ring
+        right_ring = dr if right_ring is None else right_ring
+
+    if use_native:
+        recs, _ = native_bridge.parse_slice_raw(
+            rbsp, start_bit, C, R, True, donor_num_refs)
+        patterns, nbits, coded, donor_bits, has_align = \
+            native_bridge.prepare_dense_raw(
+                recs, C, R, rbsp, num_ref_idx_l0, donor_ref_map,
+                rect_at_left_edge, rect_at_top_edge)
+        a, b, d = native_bridge.mv_edge_roles_raw(
+            recs, C, R, num_ref_idx_l0, donor_ref_map,
+            left_ring, top_ring, right_ring)
+        return DonorDense(patterns, nbits, coded,
+                          a[:, 0].copy(), a[:, 1].copy(), a[:, 2].copy(),
+                          b[:, 0].copy(), b[:, 1].copy(), b[:, 2].copy(),
+                          d[:, 0].copy(), d[:, 1].copy(), d[:, 2].copy(),
+                          donor_bits, has_align)
+
+    from ..ops.bitio import BitReader
+    br = BitReader(rbsp)
+    br.skip_bits(start_bit)
+    grid = mbt.parse_p_slice_mbs(br, C, R, donor_num_refs)
+    return prepare_donor_dense(
+        grid, num_ref_idx_l0, donor_ref_map,
+        rect_at_left_edge=rect_at_left_edge,
+        rect_at_top_edge=rect_at_top_edge,
+        rect_at_right_edge=rect_at_right_edge,
+        left_ring=left_ring, top_ring=top_ring, right_ring=right_ring)
+
+
 def dense_device_arrays(dd: DonorDense) -> dict:
     """DonorDense -> jnp arrays dict (one host->device transfer set)."""
     return {

@@ -84,6 +84,27 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_long),
     ]
+    lib.cavlc_prepare_dense.restype = ctypes.c_int
+    lib.cavlc_prepare_dense.argtypes = [
+        ctypes.POINTER(_MBRec), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.cavlc_mv_edge_roles.restype = ctypes.c_int
+    lib.cavlc_mv_edge_roles.argtypes = [
+        ctypes.POINTER(_MBRec), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
         raise RuntimeError("native MBRec layout mismatch")
     return lib
@@ -280,3 +301,81 @@ def _convert(rec: _MBRec, bits: np.ndarray, rbsp: bytes):
         return mbt.Macroblock(kind="ipcm", mb_type=int(rec.mb_type),
                               ipcm_samples=samples)
     raise cavlc.CAVLCError(f"native parser returned bad kind {rec.kind}")
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _ring_arrays(ring, n):
+    """Python ring (list of (ref,mvx,mvy) or None) -> (i32[n,3], u8[n])."""
+    vals = np.zeros((n, 3), np.int32)
+    valid = np.zeros(n, np.uint8)
+    if ring is not None:
+        for i, ent in enumerate(ring):
+            if ent is None:
+                continue
+            vals[i] = ent
+            valid[i] = 1
+    return vals, valid
+
+
+def prepare_dense_raw(recs, mb_width: int, mb_height: int, rbsp: bytes,
+                      num_ref_composite: int, ref_map,
+                      at_left_edge: bool, at_top_edge: bool,
+                      chunk_classes=(8, 16, 32, 64, 104, 352)):
+    """Native dense prep over parsed MBRecs -> (patterns [M,S], nbits,
+    coded u8[M], donor_bits, has_align), retrying chunk classes upward."""
+    lib = load_library()
+    data = np.frombuffer(rbsp, np.uint8)
+    m_total = mb_width * mb_height
+    rmap = np.asarray(ref_map, np.int32)
+    for s_class in chunk_classes:
+        patterns = np.zeros((m_total, s_class), np.uint32)
+        nbits = np.zeros((m_total, s_class), np.int32)
+        coded = np.zeros(m_total, np.uint8)
+        donor_bits = ctypes.c_long(0)
+        has_align = ctypes.c_int(0)
+        needed = ctypes.c_int(0)
+        err = lib.cavlc_prepare_dense(
+            recs, mb_height, mb_width, num_ref_composite, _i32p(rmap),
+            len(rmap), int(at_left_edge), int(at_top_edge),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(rbsp),
+            patterns.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            _i32p(nbits), s_class,
+            coded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(donor_bits), ctypes.byref(has_align),
+            ctypes.byref(needed))
+        if err == -101:
+            continue
+        if err:
+            raise cavlc.CAVLCError(f"native dense prep failed: {err}")
+        return (patterns, nbits, coded.astype(bool),
+                int(donor_bits.value), bool(has_align.value))
+    raise OverflowError(
+        f"donor MB needs {needed.value} chunk slots > max class")
+
+
+def mv_edge_roles_raw(recs, mb_width: int, mb_height: int,
+                      num_ref_composite: int, ref_map,
+                      left_ring, top_ring, right_ring):
+    """Native composite MV-field decode -> a/b/d role arrays ([M],x3)."""
+    lib = load_library()
+    R, C = mb_height, mb_width
+    m_total = R * C
+    rmap = np.asarray(ref_map, np.int32)
+    tv, tm = _ring_arrays(top_ring, C + 2)
+    lv, lm = _ring_arrays(left_ring, R)
+    rv, rm = _ring_arrays(right_ring, max(R - 1, 0))
+    a = np.zeros((m_total, 3), np.int32)
+    b = np.zeros((m_total, 3), np.int32)
+    d = np.zeros((m_total, 3), np.int32)
+    err = lib.cavlc_mv_edge_roles(
+        recs, R, C, num_ref_composite, _i32p(rmap), len(rmap),
+        _i32p(tv), tm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i32p(lv), lm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i32p(rv), rm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i32p(a), _i32p(b), _i32p(d))
+    if err:
+        raise cavlc.CAVLCError(f"native mv edge roles failed: {err}")
+    return a, b, d

@@ -759,3 +759,572 @@ int cavlc_parse_slice(const uint8_t* rbsp, long nbytes, long start_bit,
 long cavlc_mbrec_size() { return (long)sizeof(MBRec); }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Dense donor prep: per-MB composite-context bits as 32-bit chunk arrays.
+//
+// Serving fast path for the TPU dynamic-rect splice kernel
+// (h264_scroll_encoder_tpu/models/splice_device.py, dense path): each donor
+// macroblock's final bitstream — refs re-targeted into the composite
+// reference list, coeff_tokens re-encoded under composite-geometry nC
+// (outside-rect neighbors are coded-with-zero-residual, i.e. available
+// with tc=0, except past frame edges) — is packed into <=32-bit chunks
+// with I_PCM pcm_alignment_zero_bits left as ALIGN sentinels (nbits = -1)
+// for the device phase scan.  Mirrors the Python
+// splice_device.prepare_donor_dense byte-for-byte (differential-tested).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int32_t kAlignSentinel = -1;
+
+inline uint32_t read_bits_span(const uint8_t* src, long src_len_bytes,
+                               long pos, int n) {
+  // n <= 24; clamped 4-byte big-endian load.
+  long byte = pos >> 3;
+  int off = (int)(pos & 7);
+  uint32_t v = 0;
+  for (int i = 0; i < 4; ++i) {
+    uint8_t b = (byte + i < src_len_bytes) ? src[byte + i] : 0;
+    v = (v << 8) | b;
+  }
+  return (v >> (32 - off - n)) & ((n >= 32) ? 0xFFFFFFFFu
+                                            : ((1u << n) - 1));
+}
+
+class ChunkWriter {
+ public:
+  ChunkWriter(uint32_t* pat, int32_t* nb, int cap)
+      : pat_(pat), nb_(nb), cap_(cap) {}
+
+  void put(uint32_t v, int n) {
+    if (n <= 0) return;
+    uint32_t masked = (n >= 32) ? v : (v & ((1u << n) - 1));
+    acc_ = (acc_ << n) | (uint64_t)masked;
+    accn_ += n;
+    bits_ += n;
+    while (accn_ >= 32) {
+      emit((uint32_t)(acc_ >> (accn_ - 32)), 32);
+      accn_ -= 32;
+      acc_ &= accn_ ? ((1ULL << accn_) - 1) : 0ULL;
+    }
+  }
+
+  void ue(uint32_t v) {
+    uint64_t vp1 = (uint64_t)v + 1;
+    int m = 0;
+    while ((vp1 >> (m + 1)) != 0) ++m;
+    put(0, m);
+    put((uint32_t)vp1, m + 1);
+  }
+
+  void se(int32_t v) {
+    ue(v > 0 ? 2 * (uint32_t)v - 1 : (uint32_t)(-2 * v));
+  }
+
+  void copy_bits(const uint8_t* src, long src_len_bytes, long start,
+                 long n) {
+    long i = 0;
+    while (i < n) {
+      int take = (int)((n - i) < 24 ? (n - i) : 24);
+      put(read_bits_span(src, src_len_bytes, start + i, take), take);
+      i += take;
+    }
+  }
+
+  void align_sentinel() {
+    flush();
+    if (n_ < cap_) {
+      pat_[n_] = 0;
+      nb_[n_] = kAlignSentinel;
+    }
+    ++n_;
+    bits_ += 7;  // worst-case pad, resolved on device
+    has_align_ = true;
+  }
+
+  void flush() {
+    if (accn_ > 0) {
+      emit((uint32_t)acc_, accn_);
+      acc_ = 0;
+      accn_ = 0;
+    }
+  }
+
+  int chunks() const { return n_; }
+  long bits() const { return bits_; }
+  bool has_align() const { return has_align_; }
+
+ private:
+  void emit(uint32_t v, int n) {
+    if (n_ < cap_) {
+      pat_[n_] = v;
+      nb_[n_] = n;
+    }
+    ++n_;
+  }
+
+  uint32_t* pat_;
+  int32_t* nb_;
+  int cap_;
+  int n_ = 0;
+  uint64_t acc_ = 0;
+  int accn_ = 0;
+  long bits_ = 0;
+  bool has_align_ = false;
+};
+
+void cw_emit_token(ChunkWriter& cw, int nC, int tc, int t1) {
+  const VlcRow& r = kCoeffTokenEnc[token_class(nC)][tc][t1];
+  cw.put(r.code, r.len);
+}
+
+void cw_emit_block(ChunkWriter& cw, const BlockRec& blk, int nC,
+                   const uint8_t* src, long src_len) {
+  cw_emit_token(cw, nC, blk.tc, blk.t1);
+  if (blk.tc > 0) cw.copy_bits(src, src_len, blk.tail_start, blk.tail_len);
+}
+
+void cw_emit_luma_inter(ChunkWriter& cw, const MBRec* mb, CoeffCtx* ctx,
+                        const CoeffCtx* left, const CoeffCtx* top,
+                        const uint8_t* src, long src_len) {
+  int cbp_luma = mb->cbp & 0xF;
+  for (int i8 = 0; i8 < 4; ++i8) {
+    if (!(cbp_luma & (1 << i8))) continue;
+    for (int i4 = 0; i4 < 4; ++i4) {
+      int raster = kScanToRaster[i8 * 4 + i4];
+      int nC = luma_nc(raster, ctx, left, top);
+      cw_emit_block(cw, mb->blocks[1 + raster], nC, src, src_len);
+      ctx->luma[raster] = (int8_t)mb->blocks[1 + raster].tc;
+    }
+  }
+}
+
+void cw_emit_chroma(ChunkWriter& cw, const MBRec* mb, CoeffCtx* ctx,
+                    const CoeffCtx* left, const CoeffCtx* top,
+                    const uint8_t* src, long src_len) {
+  int cbp_chroma = (mb->cbp >> 4) & 3;
+  if (cbp_chroma <= 0) return;
+  cw_emit_block(cw, mb->blocks[17], -1, src, src_len);
+  cw_emit_block(cw, mb->blocks[18], -1, src, src_len);
+  if (cbp_chroma == 2) {
+    for (int c = 0; c < 2; ++c) {
+      for (int i = 0; i < 4; ++i) {
+        int nC = chroma_nc(c, i, ctx, left, top);
+        cw_emit_block(cw, mb->blocks[19 + c * 4 + i], nC, src, src_len);
+        ctx->chroma[c][i] = (int8_t)mb->blocks[19 + c * 4 + i].tc;
+      }
+    }
+  }
+}
+
+// Re-target a donor inter MB's refs into the composite list (mirror of
+// models/splice._map_donor_refs).  Returns mapped mb_type; fills
+// refs_out/n_ref_out (refs to WRITE; 0 = none).  ref_map entries index
+// the composite list.  Returns -1 on an unmappable ref.
+int map_refs(const MBRec* mb, int num_ref_comp, const int32_t* ref_map,
+             int ref_map_len, int* refs_out, int* n_ref_out) {
+  int mb_type = mb->mb_type;
+  *n_ref_out = 0;
+  if (mb->kind != 1) return mb_type;
+  int n_parts = mb_type == 0 ? 1 : (mb_type <= 2 ? 2 : 4);
+  if (mb_type == 4 && ref_map[0] != 0) {
+    // P_8x8ref0 hardwires ref 0; rewrite to P_8x8 with explicit refs.
+    mb_type = 3;
+    n_parts = 4;
+    if (num_ref_comp > 1) {
+      *n_ref_out = 4;
+      for (int i = 0; i < 4; ++i) refs_out[i] = ref_map[0];
+    }
+    return mb_type;
+  }
+  if (num_ref_comp <= 1 || mb_type == 4) return mb_type;
+  *n_ref_out = n_parts;
+  for (int i = 0; i < n_parts; ++i) {
+    int donor_ref = (mb->n_ref > 0) ? mb->ref_idx[i] : 0;
+    if (donor_ref < 0 || donor_ref >= ref_map_len) return -1;
+    refs_out[i] = ref_map[donor_ref];
+  }
+  return mb_type;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; -101 when some MB needs more than s_class chunk
+// slots (*out_needed then holds the required count, nothing written is
+// trusted); -102 on a donor ref outside ref_map.  out_pat/out_nb are
+// [R*C, s_class]; out_coded is [R*C].
+int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
+                        int num_ref_composite, const int32_t* ref_map,
+                        int ref_map_len, int at_left_edge, int at_top_edge,
+                        const uint8_t* src, long src_len,
+                        uint32_t* out_pat, int32_t* out_nb, int s_class,
+                        uint8_t* out_coded, long* out_donor_bits,
+                        int* out_has_align, int* out_needed) {
+  static const CoeffCtx kZeroCtx = {};
+  CoeffCtx* top = new CoeffCtx[C];
+  CoeffCtx* cur = new CoeffCtx[C];
+  bool* top_set = new bool[C]();
+  bool* cur_set = new bool[C]();
+  Tracker trk{C, top, cur, top_set, cur_set, {}, false};
+  long donor_bits = 0;
+  int has_align = 0;
+  int needed = 0;
+  int err = 0;
+
+  for (int row = 0; row < R && !err; ++row) {
+    for (int col = 0; col < C && !err; ++col) {
+      int m = row * C + col;
+      const MBRec* mb = &mbs[m];
+      ChunkWriter cw(out_pat + (long)m * s_class,
+                     out_nb + (long)m * s_class, s_class);
+      if (mb->kind == 0) {
+        out_coded[m] = 0;
+        CoeffCtx z;
+        std::memset(&z, 0, sizeof(z));
+        trk.push(col, z);
+        continue;
+      }
+      out_coded[m] = 1;
+
+      const CoeffCtx* left = trk.left_of(col);
+      if (!left && !at_left_edge) left = &kZeroCtx;
+      const CoeffCtx* topc = trk.top_of(col);
+      if (!topc && row == 0 && !at_top_edge) topc = &kZeroCtx;
+      CoeffCtx ctx;
+      std::memset(&ctx, 0, sizeof(ctx));
+
+      int refs[4];
+      int n_ref_out = 0;
+      int mb_type = map_refs(mb, num_ref_composite, ref_map, ref_map_len,
+                             refs, &n_ref_out);
+      if (mb_type < 0) { err = -102; break; }
+      cw.ue((uint32_t)mb_type);
+
+      if (mb->kind == 4) {  // I_PCM
+        cw.align_sentinel();
+        if (mb->ipcm_byte_start >= 0) {
+          cw.copy_bits(src, src_len, mb->ipcm_byte_start * 8, 384 * 8);
+        }
+        trk.push(col, ctx);
+      } else if (mb->kind == 1) {  // inter
+        if (mb_type >= 3) {
+          for (int i = 0; i < 4; ++i)
+            cw.ue((uint32_t)mb->sub_mb_types[i]);
+        }
+        for (int i = 0; i < n_ref_out; ++i) {
+          if (num_ref_composite == 2) cw.put(1 - (refs[i] & 1), 1);
+          else cw.ue((uint32_t)refs[i]);
+        }
+        for (int i = 0; i < mb->n_mvds; ++i) {
+          cw.se(mb->mvds[i][0]);
+          cw.se(mb->mvds[i][1]);
+        }
+        cw.ue(kCbpInterInv[mb->cbp]);
+        if (mb->cbp > 0) {
+          cw.se(mb->qp_delta);
+          cw_emit_luma_inter(cw, mb, &ctx, left, topc, src, src_len);
+          cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
+        }
+        trk.push(col, ctx);
+      } else if (mb->kind == 2) {  // I_4x4 (in P taxonomy)
+        cw.copy_bits(src, src_len, mb->pred_bits_start, mb->pred_bits_len);
+        cw.ue((uint32_t)mb->chroma_pred);
+        cw.ue(kCbpIntraInv[mb->cbp]);
+        if (mb->cbp > 0) {
+          cw.se(mb->qp_delta);
+          cw_emit_luma_inter(cw, mb, &ctx, left, topc, src, src_len);
+          cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
+        }
+        trk.push(col, ctx);
+      } else {  // kind == 3: I_16x16
+        int cbp_luma = (mb->i16_idx / 12) ? 15 : 0;
+        cw.ue((uint32_t)mb->chroma_pred);
+        cw.se(mb->qp_delta);
+        int dc_nc = luma_nc(0, &ctx, left, topc);
+        cw_emit_block(cw, mb->blocks[0], dc_nc, src, src_len);
+        for (int i8 = 0; i8 < 4; ++i8) {
+          for (int i4 = 0; i4 < 4; ++i4) {
+            int raster = kScanToRaster[i8 * 4 + i4];
+            if (cbp_luma & (1 << i8)) {
+              int nC = luma_nc(raster, &ctx, left, topc);
+              cw_emit_block(cw, mb->blocks[1 + raster], nC, src, src_len);
+              ctx.luma[raster] = (int8_t)mb->blocks[1 + raster].tc;
+            }
+          }
+        }
+        cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
+        trk.push(col, ctx);
+      }
+
+      cw.flush();
+      if (cw.chunks() > needed) needed = cw.chunks();
+      donor_bits += cw.bits();
+      if (cw.has_align()) has_align = 1;
+    }
+    trk.end_row();
+  }
+
+  delete[] top;
+  delete[] cur;
+  delete[] top_set;
+  delete[] cur_set;
+  *out_needed = needed;
+  *out_donor_bits = donor_bits;
+  *out_has_align = has_align;
+  if (err) return err;
+  return (needed > s_class) ? -101 : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Composite-context MV edge roles (port of models/mv_field.py restricted
+// to parsed P-grids, with injected border rings — see
+// splice_device.donor_edge_motion for the ring layout/semantics).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int32_t kIntraRef = -2;
+
+struct MVField {
+  int w4, h4;
+  int32_t* ref;
+  int32_t* mvx;
+  int32_t* mvy;
+  uint8_t* filled;
+
+  bool cell(int bx, int by, int32_t* r, int32_t* x, int32_t* y) const {
+    if (bx < 0 || by < 0 || bx >= w4 || by >= h4) return false;
+    long i = (long)by * w4 + bx;
+    if (!filled[i]) return false;
+    *r = ref[i];
+    *x = mvx[i];
+    *y = mvy[i];
+    return true;
+  }
+
+  void fill(int bx, int by, int w, int h, int32_t r, int32_t x, int32_t y) {
+    for (int j = 0; j < h; ++j)
+      for (int i = 0; i < w; ++i) {
+        long k = (long)(by + j) * w4 + (bx + i);
+        ref[k] = r;
+        mvx[k] = x;
+        mvy[k] = y;
+        filled[k] = 1;
+      }
+  }
+};
+
+struct Nbr {
+  int32_t r, x, y;
+  bool av;
+};
+
+inline int32_t med3(int32_t a, int32_t b, int32_t c) {
+  int32_t mn = a < b ? a : b, mx = a < b ? b : a;
+  return mx < c ? mx : (mn > c ? mn : c);
+}
+
+void mvf_neighbors(const MVField& f, int bx, int by, int w4, Nbr* a,
+                   Nbr* b, Nbr* c) {
+  a->av = f.cell(bx - 1, by, &a->r, &a->x, &a->y);
+  b->av = f.cell(bx, by - 1, &b->r, &b->x, &b->y);
+  c->av = f.cell(bx + w4, by - 1, &c->r, &c->x, &c->y);
+  if (!c->av) c->av = f.cell(bx - 1, by - 1, &c->r, &c->x, &c->y);
+}
+
+void mvf_predict(const MVField& f, int bx, int by, int w4, int32_t ref_idx,
+                 const Nbr* an, const Nbr* bn, const Nbr* cn,
+                 int32_t* px, int32_t* py) {
+  Nbr a, b, c;
+  if (!an) {
+    mvf_neighbors(f, bx, by, w4, &a, &b, &c);
+    an = &a; bn = &b; cn = &c;
+  }
+  bool m_a = an->av && an->r == ref_idx;
+  bool m_b = bn->av && bn->r == ref_idx;
+  bool m_c = cn->av && cn->r == ref_idx;
+  int n_avail = an->av + bn->av + cn->av;
+  int n_match = m_a + m_b + m_c;
+  if (n_avail == 0) { *px = 0; *py = 0; return; }
+  if (an->av && !bn->av && !cn->av) { *px = an->x; *py = an->y; return; }
+  if (n_match == 1) {
+    const Nbr* w = m_a ? an : (m_b ? bn : cn);
+    *px = w->x; *py = w->y; return;
+  }
+  *px = med3(an->av ? an->x : 0, bn->av ? bn->x : 0, cn->av ? cn->x : 0);
+  *py = med3(an->av ? an->y : 0, bn->av ? bn->y : 0, cn->av ? cn->y : 0);
+}
+
+void mvf_skip(const MVField& f, int bx, int by, int32_t* px, int32_t* py) {
+  Nbr a, b;
+  a.av = f.cell(bx - 1, by, &a.r, &a.x, &a.y);
+  b.av = f.cell(bx, by - 1, &b.r, &b.x, &b.y);
+  if (!a.av || !b.av || (a.r == 0 && a.x == 0 && a.y == 0) ||
+      (b.r == 0 && b.x == 0 && b.y == 0)) {
+    *px = 0; *py = 0; return;
+  }
+  mvf_predict(f, bx, by, 4, 0, nullptr, nullptr, nullptr, px, py);
+}
+
+// Sub-partition geometry per sub_mb_type (H.264 Table 7-18): {w4, h4}.
+constexpr int kSubGeom[4][2] = {{2, 2}, {2, 1}, {1, 2}, {1, 1}};
+
+}  // namespace
+
+extern "C" {
+
+// Rings: top_ring [(C+2)*3] covering composite (r0-1, c0-1..c0+C);
+// left_ring [R*3] (col c0-1, rows r0..); right_ring [(R-1)*3] (col c0+C,
+// rows r0..r0+R-2); *_valid flag each entry.  Outputs a/b/d role arrays
+// [R*C * 3] = the MB's top-right / bottom-left / bottom-right 4x4 field
+// values.  Returns 0, or -102 on an unmappable donor ref.
+int cavlc_mv_edge_roles(const MBRec* mbs, int R, int C,
+                        int num_ref_composite, const int32_t* ref_map,
+                        int ref_map_len,
+                        const int32_t* top_ring, const uint8_t* top_valid,
+                        const int32_t* left_ring, const uint8_t* left_valid,
+                        const int32_t* right_ring,
+                        const uint8_t* right_valid,
+                        int32_t* out_a, int32_t* out_b, int32_t* out_d) {
+  int w4 = (C + 2) * 4, h4 = (R + 1) * 4;
+  long cells = (long)w4 * h4;
+  int32_t* ref = new int32_t[cells];
+  int32_t* mvx = new int32_t[cells]();
+  int32_t* mvy = new int32_t[cells]();
+  uint8_t* filled = new uint8_t[cells]();
+  for (long i = 0; i < cells; ++i) ref[i] = -9;
+  MVField f{w4, h4, ref, mvx, mvy, filled};
+  int err = 0;
+
+  for (int c = 0; c < C + 2; ++c)
+    if (top_valid[c])
+      f.fill(c * 4, 0, 4, 4, top_ring[c * 3], top_ring[c * 3 + 1],
+             top_ring[c * 3 + 2]);
+  for (int r = 0; r < R; ++r)
+    if (left_valid[r])
+      f.fill(0, (1 + r) * 4, 4, 4, left_ring[r * 3], left_ring[r * 3 + 1],
+             left_ring[r * 3 + 2]);
+  for (int r = 0; r < R - 1; ++r)
+    if (right_valid[r])
+      f.fill((C + 1) * 4, (1 + r) * 4, 4, 4, right_ring[r * 3],
+             right_ring[r * 3 + 1], right_ring[r * 3 + 2]);
+
+  for (int mb_y = 0; mb_y < R && !err; ++mb_y) {
+    for (int mb_x = 0; mb_x < C && !err; ++mb_x) {
+      const MBRec* mb = &mbs[mb_y * C + mb_x];
+      int bx = (1 + mb_x) * 4, by = (1 + mb_y) * 4;
+      if (mb->kind == 0) {
+        int32_t px, py;
+        mvf_skip(f, bx, by, &px, &py);
+        // Donor P_Skip is composite ref 0 (the dense prep keeps skips
+        // only when ref_map[0] == 0 — same contract as the host path).
+        f.fill(bx, by, 4, 4, 0, px, py);
+        continue;
+      }
+      if (mb->kind != 1) {  // intra: unavailable-for-match, zero MV
+        f.fill(bx, by, 4, 4, kIntraRef, 0, 0);
+        continue;
+      }
+      int refs[4];
+      int n_ref_out = 0;
+      int mb_type = map_refs(mb, num_ref_composite, ref_map, ref_map_len,
+                             refs, &n_ref_out);
+      if (mb_type < 0) { err = -102; break; }
+      // Resolve each partition's ref in the composite list: map_refs
+      // only fills refs it will WRITE; prediction needs them always.
+      int pref[4];
+      int n_parts = mb_type == 0 ? 1 : (mb_type <= 2 ? 2 : 4);
+      for (int i = 0; i < n_parts; ++i) {
+        int donor_ref = (mb->mb_type == 4) ? 0
+                        : (mb->n_ref > 0 ? mb->ref_idx[i] : 0);
+        if (donor_ref < 0 || donor_ref >= ref_map_len) { err = -102; break; }
+        pref[i] = ref_map[donor_ref];
+      }
+      if (err) break;
+
+      if (mb_type == 0) {
+        int32_t px, py;
+        mvf_predict(f, bx, by, 4, pref[0], nullptr, nullptr, nullptr,
+                    &px, &py);
+        f.fill(bx, by, 4, 4, pref[0], px + mb->mvds[0][0],
+               py + mb->mvds[0][1]);
+      } else if (mb_type == 1) {  // 16x8
+        for (int part = 0; part < 2; ++part) {
+          int pby = by + part * 2;
+          int32_t r = pref[part];
+          Nbr a, b, c;
+          mvf_neighbors(f, bx, pby, 4, &a, &b, &c);
+          int32_t px, py;
+          if (part == 0 && b.av && b.r == r) { px = b.x; py = b.y; }
+          else if (part == 1 && a.av && a.r == r) { px = a.x; py = a.y; }
+          else mvf_predict(f, bx, pby, 4, r, &a, &b, &c, &px, &py);
+          f.fill(bx, pby, 4, 2, r, px + mb->mvds[part][0],
+                 py + mb->mvds[part][1]);
+        }
+      } else if (mb_type == 2) {  // 8x16
+        for (int part = 0; part < 2; ++part) {
+          int pbx = bx + part * 2;
+          int32_t r = pref[part];
+          Nbr a, b, c;
+          mvf_neighbors(f, pbx, by, 2, &a, &b, &c);
+          int32_t px, py;
+          if (part == 0 && a.av && a.r == r) { px = a.x; py = a.y; }
+          else if (part == 1 && c.av && c.r == r) { px = c.x; py = c.y; }
+          else mvf_predict(f, pbx, by, 2, r, &a, &b, &c, &px, &py);
+          f.fill(pbx, by, 2, 4, r, px + mb->mvds[part][0],
+                 py + mb->mvds[part][1]);
+        }
+      } else {  // P_8x8 / P_8x8ref0
+        int mv_i = 0;
+        for (int sub = 0; sub < 4; ++sub) {
+          int sbx = bx + (sub % 2) * 2;
+          int sby = by + (sub / 2) * 2;
+          int32_t r = pref[sub];
+          int smt = mb->sub_mb_types[sub];
+          int sw = kSubGeom[smt][0], sh = kSubGeom[smt][1];
+          int n_w = 2 / sw, n_h = 2 / sh;
+          for (int j = 0; j < n_h; ++j)
+            for (int i = 0; i < n_w; ++i) {
+              int pbx = sbx + i * sw, pby = sby + j * sh;
+              int32_t px, py;
+              mvf_predict(f, pbx, pby, sw, r, nullptr, nullptr, nullptr,
+                          &px, &py);
+              f.fill(pbx, pby, sw, sh, r, px + mb->mvds[mv_i][0],
+                     py + mb->mvds[mv_i][1]);
+              ++mv_i;
+            }
+        }
+      }
+    }
+  }
+
+  if (!err) {
+    for (int r = 0; r < R; ++r)
+      for (int c = 0; c < C; ++c) {
+        int m = r * C + c;
+        int by = (1 + r) * 4, bx = (1 + c) * 4;
+        long ia = (long)(by + 0) * w4 + (bx + 3);
+        long ib = (long)(by + 3) * w4 + (bx + 0);
+        long id = (long)(by + 3) * w4 + (bx + 3);
+        out_a[m * 3] = ref[ia]; out_a[m * 3 + 1] = mvx[ia];
+        out_a[m * 3 + 2] = mvy[ia];
+        out_b[m * 3] = ref[ib]; out_b[m * 3 + 1] = mvx[ib];
+        out_b[m * 3 + 2] = mvy[ib];
+        out_d[m * 3] = ref[id]; out_d[m * 3 + 1] = mvx[id];
+        out_d[m * 3 + 2] = mvy[id];
+      }
+  }
+
+  delete[] ref;
+  delete[] mvx;
+  delete[] mvy;
+  delete[] filled;
+  return err;
+}
+
+}  // extern "C"

@@ -184,3 +184,72 @@ def test_native_rejects_truncated_residual_tail():
     rbsp = bw.getvalue()
     with pytest.raises(cavlc.CAVLCError):
         _parse_native_raw(rbsp, 2, 1, True, 1)
+
+
+def test_native_dense_prep_matches_python():
+    """Native dense donor prep (cavlc_prepare_dense + cavlc_mv_edge_roles)
+    must equal the Python path field-for-field: chunk patterns/nbits,
+    coded mask, donor_bits, has_align, and all nine edge-role arrays —
+    across donor kinds (incl. I_PCM + sub-8x8), ref maps, frame-edge
+    flags, and injected rings."""
+    if not native_bridge.native_available():
+        pytest.skip("native library unavailable")
+    from h264_scroll_encoder_tpu.models import splice_device
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+
+    rng = np.random.default_rng(31)
+    cases = [
+        dict(R=4, C=5, donor_refs=1, num_refs=2, ref_map=(0,),
+             edges=(False, False, False), rings=None),
+        dict(R=3, C=3, donor_refs=1, num_refs=3, ref_map=(2,),
+             edges=(True, True, False), rings=None),
+        dict(R=3, C=4, donor_refs=2, num_refs=4, ref_map=(0, 2),
+             edges=(False, False, True), rings="custom"),
+    ]
+    for case in cases:
+        R, C = case["R"], case["C"]
+        grid = fixtures.random_p_slice_grid(rng, C, R, case["donor_refs"])
+        # Ensure coverage: an I_PCM and a dense sub-8x8 MB somewhere.
+        grid[0][1] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+        mb = fixtures.random_inter_mb(rng, case["donor_refs"])
+        mb.mb_type, mb.sub_mb_types = 3, (3, 3, 3, 3)
+        mb.mvds = tuple((int(rng.integers(-9, 9)), int(rng.integers(-9, 9)))
+                        for _ in range(16))
+        if case["donor_refs"] > 1:
+            mb.ref_idx = tuple(int(rng.integers(0, case["donor_refs"]))
+                               for _ in range(4))
+        else:
+            mb.ref_idx = ()
+        grid[1][1] = mb
+
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, grid, case["donor_refs"])
+        bw.write_trailing_bits()
+        payload = bw.getvalue()
+
+        le, te_, re_ = case["edges"]
+        rings = {}
+        if case["rings"] == "custom":
+            rings = dict(
+                left_ring=[(1, 0, 8)] * R,
+                top_ring=[None] + [(0, 4, -4)] * C + [None],
+                right_ring=[(2, -4, 0)] * (R - 1))
+        kw = dict(rect_at_left_edge=le, rect_at_top_edge=te_,
+                  rect_at_right_edge=re_, **rings)
+        dd_py = splice_device.prepare_donor_dense_from_slice(
+            payload, 0, C, R, case["donor_refs"], case["num_refs"],
+            case["ref_map"], engine="python", **kw)
+        dd_nat = splice_device.prepare_donor_dense_from_slice(
+            payload, 0, C, R, case["donor_refs"], case["num_refs"],
+            case["ref_map"], engine="native", **kw)
+
+        assert dd_nat.patterns.shape == dd_py.patterns.shape, case
+        assert np.array_equal(dd_nat.patterns, dd_py.patterns), case
+        assert np.array_equal(dd_nat.nbits, dd_py.nbits), case
+        assert np.array_equal(dd_nat.coded, dd_py.coded)
+        assert dd_nat.donor_bits == dd_py.donor_bits
+        assert dd_nat.has_align == dd_py.has_align
+        for f in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+                  "d_ref", "d_mvx", "d_mvy"):
+            assert np.array_equal(getattr(dd_nat, f), getattr(dd_py, f)), \
+                (case, f)
