@@ -595,7 +595,15 @@ def donor_mb_motion(donor_grid: list):
 
 def validate_splice_hints(rect_mb_x: int, rect_mb_y: int,
                           donor_grid: list, motion_regions=()) -> None:
-    """Host-side guard for the device kernel's documented contract.
+    """Guard for the LEGACY slotted kernel (emit_spliced_frame) only.
+
+    The dense path (prepare_donor_dense + emit_spliced_frame_dense, the
+    serving hot path) computes exact composite-context edge motion per
+    role (donor_edge_motion) and has no placement restriction — hint
+    regions may touch the rect with arbitrarily non-uniform donor edge
+    partitions (byte parity: tests/test_splice_device.py::
+    test_dense_splice_matches_host).  Only callers of the slotted
+    device-side nC-repair kernel still need this check.
 
     The device path predicts background MVs next to the donor rect from
     MB-level donor motion (donor_mb_motion takes each MB's top-left 4x4
