@@ -109,7 +109,8 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
 
     step = batch_mod.make_batched_splice_step_dense(
         cfg, c0, r0, C, R, num_refs=2, has_align=dd.has_align,
-        n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dd.donor_bits))
+        n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dd.donor_bits,
+                                        bg_bits_per_mb=16))
     bcast = lambda x: jnp.broadcast_to(x, (batch_size,) + x.shape)
     args = (bcast(hp), bcast(hn), bcast(zero), bcast(zero), bcast(zero),
             bcast(bg_coded), {k: bcast(v) for k, v in dn.items()})

@@ -673,7 +673,7 @@ def validate_splice_hints(rect_mb_x: int, rect_mb_y: int,
 # Per-MB dense chunk budget classes (jit programs shared per class).
 # 104 covers I_PCM (1 mb_type chunk + align + 96 sample chunks); 352
 # covers the absolute worst legal CAVLC macroblock (~11k bits).
-MB_CHUNK_CLASSES = (4, 8, 16, 32, 64, 104, 352)
+MB_CHUNK_CLASSES = (4, 8, 12, 16, 24, 32, 48, 64, 104, 352)
 
 
 def _host_luma_nc(luma_tc: np.ndarray, at_left: bool, at_top: bool
@@ -1068,7 +1068,8 @@ def rings_from_bg(bg_ref, bg_mvx, bg_mvy, rect_mb_x: int, rect_mb_y: int,
 
 
 def splice_rbsp_budget(cfg: ComposerConfig, m_donor: int, donor_bits: int,
-                       *, quantum: int = 8192) -> int:
+                       *, quantum: int = 8192,
+                       bg_bits_per_mb: int | None = None) -> int:
     """Static RBSP byte budget for a dense spliced frame.
 
     Background MBs at the scroll budget + the donor's *exact* payload
@@ -1077,7 +1078,8 @@ def splice_rbsp_budget(cfg: ComposerConfig, m_donor: int, donor_bits: int,
     of similar size.  The packer/EBSP cost scales with this buffer
     (measured 7.5x step-time difference vs the chunk-class worst case on
     v5e), so keep it honest; overflow is detected, not truncated."""
-    bg_bits = (cfg.total_mbs - m_donor) * cfg.rbsp_bits_per_mb
+    bg_bits = (cfg.total_mbs - m_donor) * (bg_bits_per_mb
+                                           or cfg.rbsp_bits_per_mb)
     total = (bg_bits + donor_bits + m_donor * 32 + 2048) // 8
     return (total + quantum - 1) // quantum * quantum
 

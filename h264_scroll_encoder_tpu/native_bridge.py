@@ -323,7 +323,7 @@ def _ring_arrays(ring, n):
 def prepare_dense_raw(recs, mb_width: int, mb_height: int, rbsp: bytes,
                       num_ref_composite: int, ref_map,
                       at_left_edge: bool, at_top_edge: bool,
-                      chunk_classes=(8, 16, 32, 64, 104, 352)):
+                      chunk_classes=(8, 12, 16, 24, 32, 48, 64, 104, 352)):
     """Native dense prep over parsed MBRecs -> (patterns [M,S], nbits,
     coded u8[M], donor_bits, has_align), retrying chunk classes upward."""
     lib = load_library()
