@@ -65,6 +65,15 @@ class ComposerConfig:
     # Parsed/derived PPS values.
     num_ref_idx_l0_default_minus1: int = 1
     deblocking_filter_control_present_flag: int = 1
+    # Donor residuals are bit-copied, so they decode against whatever QP
+    # base the session PPS declares: a donor session must adopt the
+    # donor's pic_init_qp / chroma offset or every atlas decodes at the
+    # wrong QP.  (Reference defect #6: h264_generate_pps hardcodes 0/0 —
+    # src/h264_writer.c:118,120 — while generate_refs.sh donors are x264
+    # output whose PPS carries e.g. pic_init_qp_minus26=-6,
+    # chroma_qp_index_offset=-2; its atlases decode DC-shifted.)
+    pic_init_qp_minus26: int = 0
+    chroma_qp_index_offset: int = 0
 
     idr_pic_id: int = 0
 
@@ -103,12 +112,17 @@ class ComposerConfig:
         )
 
     def with_pps_params(self, num_ref_idx_l0_default_minus1: int,
-                        deblocking_filter_control_present_flag: int) -> "ComposerConfig":
-        """composer_config_set_pps_params (src/h264_writer.c:39-44)."""
+                        deblocking_filter_control_present_flag: int,
+                        pic_init_qp_minus26: int = 0,
+                        chroma_qp_index_offset: int = 0) -> "ComposerConfig":
+        """composer_config_set_pps_params (src/h264_writer.c:39-44), plus
+        the QP base fields the reference fails to carry (defect #6)."""
         return dataclasses.replace(
             self,
             num_ref_idx_l0_default_minus1=num_ref_idx_l0_default_minus1,
             deblocking_filter_control_present_flag=deblocking_filter_control_present_flag,
+            pic_init_qp_minus26=pic_init_qp_minus26,
+            chroma_qp_index_offset=chroma_qp_index_offset,
         )
 
     # Hashability for use as a static jit argument.

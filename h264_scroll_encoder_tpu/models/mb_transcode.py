@@ -59,13 +59,10 @@ class Macroblock:
     chroma_ac: tuple = dataclasses.field(
         default_factory=lambda: ((cavlc.EMPTY_BLOCK,) * 4,) * 2)
 
-    def coeff_context(self) -> MBCoeffContext:
-        ctx = MBCoeffContext()
+    def coeff_context(self, bug_compat: bool = False) -> MBCoeffContext:
         if self.kind == "ipcm":
-            # The reference zeroes context for I_PCM (trans_resizer.c:1241);
-            # we match that behavior for parity.  (Spec 9.2.1 note: I_PCM
-            # neighbors contribute nC=16 — see README discussion.)
-            return ctx
+            return ipcm_context(bug_compat)
+        ctx = MBCoeffContext()
         if self.luma:
             ctx.luma_tc = [b.total_coeff for b in self.luma]
         if self.chroma_ac:
@@ -75,6 +72,25 @@ class Macroblock:
 
 
 SKIP = None  # placeholder in MB grids for P_Skip macroblocks
+
+
+def ipcm_context(bug_compat: bool = False) -> MBCoeffContext:
+    """The nC context an I_PCM macroblock presents to its neighbors.
+
+    H.264 9.2.1 (and a real decoder, e.g. libavcodec): an available
+    I_PCM neighbor contributes nN = 16.  The reference instead zeroes
+    the context (trans_resizer.c:1241-1243, contradicting its own README
+    note "I_PCM neighbors contribute nC=16") — reference defect #5: a
+    coded MB beside an I_PCM MB then picks the wrong coeff_token table
+    and any conformant decoder desyncs.  The defect is latent in the
+    reference's own use (x264 donors never emit I_PCM, and its padding
+    columns never sit left of coded MBs), but any synthetic stream
+    interleaving I_PCM with coded MBs trips it.  bug_compat=True
+    reproduces the zeroed rule for byte parity with the C binary."""
+    if bug_compat:
+        return MBCoeffContext()
+    return MBCoeffContext(luma_tc=[16] * 16,
+                          chroma_tc=[[16] * 4, [16] * 4])
 
 
 def _intra16_geometry(idx: int) -> tuple:
@@ -207,10 +223,10 @@ def _parse_i16x16_mb(br, mb_type: int, idx: int, tracker, col):
     return mb
 
 
-def _parse_ipcm_mb(br, mb_type: int, tracker, col):
+def _parse_ipcm_mb(br, mb_type: int, tracker, col, *, bug_compat=False):
     br.align()
     samples = br.read_bytes_aligned(384)
-    tracker.push(col, MBCoeffContext())
+    tracker.push(col, ipcm_context(bug_compat))
     return Macroblock(kind="ipcm", mb_type=mb_type, ipcm_samples=samples)
 
 
@@ -273,7 +289,8 @@ def _parse_inter_mb(br, mb_type: int, num_ref_idx_l0: int, tracker, col):
     return mb
 
 
-def parse_i_slice_mbs(br: BitReader, mb_width: int, mb_height: int) -> list:
+def parse_i_slice_mbs(br: BitReader, mb_width: int, mb_height: int, *,
+                      bug_compat: bool = False) -> list:
     """-> row-major grid of Macroblocks."""
     tracker = _CtxTracker(mb_width)
     grid = []
@@ -287,7 +304,8 @@ def parse_i_slice_mbs(br: BitReader, mb_width: int, mb_height: int) -> list:
             elif 1 <= mb_type <= 24:
                 mb = _parse_i16x16_mb(br, mb_type, mb_type - 1, tracker, col)
             elif mb_type == 25:
-                mb = _parse_ipcm_mb(br, mb_type, tracker, col)
+                mb = _parse_ipcm_mb(br, mb_type, tracker, col,
+                                    bug_compat=bug_compat)
             else:
                 raise cavlc.CAVLCError(f"unknown I mb_type {mb_type}")
             row_mbs.append(mb)
@@ -297,7 +315,8 @@ def parse_i_slice_mbs(br: BitReader, mb_width: int, mb_height: int) -> list:
 
 
 def parse_p_slice_mbs(br: BitReader, mb_width: int, mb_height: int,
-                      num_ref_idx_l0: int) -> list:
+                      num_ref_idx_l0: int, *,
+                      bug_compat: bool = False) -> list:
     """-> row-major grid; P_Skip macroblocks appear as SKIP (None)."""
     tracker = _CtxTracker(mb_width)
     grid = [[SKIP] * mb_width for _ in range(mb_height)]
@@ -326,7 +345,8 @@ def parse_p_slice_mbs(br: BitReader, mb_width: int, mb_height: int,
         elif 6 <= mb_type <= 29:
             mb = _parse_i16x16_mb(br, mb_type, mb_type - 6, tracker, col)
         elif mb_type == 30:
-            mb = _parse_ipcm_mb(br, mb_type, tracker, col)
+            mb = _parse_ipcm_mb(br, mb_type, tracker, col,
+                                bug_compat=bug_compat)
         else:
             raise cavlc.CAVLCError(f"unknown P mb_type {mb_type}")
         grid[row][col] = mb
@@ -365,7 +385,7 @@ def _emit_residual_chroma(bw, mb, ctx, left, top):
 
 
 def emit_mb(bw: BitWriter, mb: Macroblock, tracker: _CtxTracker, col: int,
-            num_ref_idx_l0: int) -> None:
+            num_ref_idx_l0: int, *, bug_compat: bool = False) -> None:
     """Emit one coded macroblock (mb_type onward) at output column `col`."""
     left, top = tracker.neighbors(col)
     ctx = MBCoeffContext()
@@ -374,7 +394,7 @@ def emit_mb(bw: BitWriter, mb: Macroblock, tracker: _CtxTracker, col: int,
     if mb.kind == "ipcm":
         bw.align_zero()
         bw.write_bytes_aligned(mb.ipcm_samples)
-        tracker.push(col, MBCoeffContext())
+        tracker.push(col, ipcm_context(bug_compat))
         return
 
     if mb.kind == "inter":
@@ -458,19 +478,22 @@ def retype_for_i(mb: Macroblock) -> Macroblock:
 
 
 def emit_i_slice_mbs(bw: BitWriter, grid: list,
-                     num_ref_idx_l0: int = 1) -> None:
+                     num_ref_idx_l0: int = 1, *,
+                     bug_compat: bool = False) -> None:
     mb_width = len(grid[0])
     tracker = _CtxTracker(mb_width)
     for row_mbs in grid:
         for col, mb in enumerate(row_mbs):
             if mb is SKIP:
                 raise cavlc.CAVLCError("I slice cannot contain skips")
-            emit_mb(bw, mb, tracker, col, num_ref_idx_l0)
+            emit_mb(bw, mb, tracker, col, num_ref_idx_l0,
+                    bug_compat=bug_compat)
         tracker.end_row()
 
 
 def emit_p_slice_mbs(bw: BitWriter, grid: list, num_ref_idx_l0: int,
-                     *, duplicate_final_skip: bool = False) -> None:
+                     *, duplicate_final_skip: bool = False,
+                     bug_compat: bool = False) -> None:
     """Emit with correct mb_skip_run grammar: pending skips accumulate and
     are written immediately before each coded MB / at slice end
     (trans_resizer.c:1473-1485).
@@ -492,7 +515,8 @@ def emit_p_slice_mbs(bw: BitWriter, grid: list, num_ref_idx_l0: int,
             else:
                 bw.write_ue(pending)
                 pending = 0
-                emit_mb(bw, mb, tracker, col, num_ref_idx_l0)
+                emit_mb(bw, mb, tracker, col, num_ref_idx_l0,
+                        bug_compat=bug_compat)
         tracker.end_row()
     if pending > 0:
         bw.write_ue(pending)

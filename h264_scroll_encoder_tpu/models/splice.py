@@ -249,7 +249,7 @@ def transcode_pad_stream(data: bytes, out_width: int, out_height: int, *,
         if use_native:
             recs, _ = native_bridge.parse_slice_raw(
                 unit.rbsp, br.bit_position, in_mbw, in_mbh, hdr.is_p,
-                hdr.num_ref_idx_l0)
+                hdr.num_ref_idx_l0, bug_compat=bug_compat)
             out_recs, aux, last_skip = native_bridge.pad_grid_raw(
                 recs, in_mbw, in_mbh, out_mbw, hdr.is_p, edge_y=edge_y)
             phase = bw.bit_position % 8
@@ -257,7 +257,7 @@ def transcode_pad_stream(data: bytes, out_width: int, out_height: int, *,
                 out_recs, out_mbw, in_mbh, hdr.is_p, hdr.num_ref_idx_l0,
                 unit.rbsp, aux,
                 duplicate_final_skip=bug_compat and last_skip,
-                start_phase=phase)
+                start_phase=phase, bug_compat=bug_compat)
             # Bit-splice the payload after the (unaligned) header.
             hdr_bits = np.unpackbits(
                 np.frombuffer(bw.getvalue(), np.uint8))[: bw.bit_position]
@@ -270,19 +270,22 @@ def transcode_pad_stream(data: bytes, out_width: int, out_height: int, *,
             for b in merged[whole:]:
                 bw.write_bit(int(b))
         elif hdr.is_i:
-            grid = mbt.parse_i_slice_mbs(br, in_mbw, in_mbh)
+            grid = mbt.parse_i_slice_mbs(br, in_mbw, in_mbh,
+                                         bug_compat=bug_compat)
             out_grid = [
                 row + [ipcm_padding_mb(edge_y, first_padding=(p == 0))
                        for p in range(pad)]
                 for row in grid]
-            mbt.emit_i_slice_mbs(bw, out_grid)
+            mbt.emit_i_slice_mbs(bw, out_grid, bug_compat=bug_compat)
         else:
             grid = mbt.parse_p_slice_mbs(br, in_mbw, in_mbh,
-                                         hdr.num_ref_idx_l0)
+                                         hdr.num_ref_idx_l0,
+                                         bug_compat=bug_compat)
             out_grid = [row + [mbt.SKIP] * pad for row in grid]
             dup = bug_compat and grid[-1][-1] is mbt.SKIP
             mbt.emit_p_slice_mbs(bw, out_grid, hdr.num_ref_idx_l0,
-                                 duplicate_final_skip=dup)
+                                 duplicate_final_skip=dup,
+                                 bug_compat=bug_compat)
 
         bw.write_trailing_bits()
         out.write_nal_unit(bw.getvalue(), unit.nal_ref_idc,

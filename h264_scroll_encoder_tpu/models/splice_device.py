@@ -243,6 +243,10 @@ def prepare_donor_symbols(donor_grid: list, num_ref_idx_l0: int,
                 # emit_spliced_frame), then 384 sample bytes as 96
                 # 32-bit chunks spread over the tail-chunk slots.
                 ds.ipcm[m] = True
+                # Spec 9.2.1: I_PCM neighbors see nN = 16 (see
+                # mb_transcode.ipcm_context).
+                ds.luma_tc[m] = 16
+                ds.chroma_tc[m] = 16
                 w = _SlotWriter(PRE_SLOTS)
                 w.put_ue(mb.mb_type)
                 w.put(0, ALIGN_SENTINEL)

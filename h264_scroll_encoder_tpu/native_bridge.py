@@ -105,6 +105,8 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.cavlc_set_bug_compat.restype = None
+    lib.cavlc_set_bug_compat.argtypes = [ctypes.c_int]
     if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
         raise RuntimeError("native MBRec layout mismatch")
     return lib
@@ -129,12 +131,17 @@ def _decode_tail(blk: _BlockRec, bits: np.ndarray) -> cavlc.ResidualBlock:
 
 
 def parse_slice_raw(rbsp: bytes, start_bit: int, mb_width: int,
-                    mb_height: int, is_p: bool, num_ref_idx_l0: int):
+                    mb_height: int, is_p: bool, num_ref_idx_l0: int, *,
+                    bug_compat: bool = False):
     """Raw-record parse: -> (ctypes MBRec array, end_bit) with NO Python
-    conversion — the zero-copy handle for native re-emission."""
+    conversion — the zero-copy handle for native re-emission.
+
+    bug_compat selects the reference's zeroed I_PCM nC rule (see
+    mb_transcode.ipcm_context); default is the spec rule nN = 16."""
     lib = load_library()
     if lib is None:
         return None
+    lib.cavlc_set_bug_compat(int(bug_compat))
     data = np.frombuffer(rbsp, np.uint8)
     total = mb_width * mb_height
     recs = (_MBRec * total)()
@@ -151,7 +158,8 @@ def parse_slice_raw(rbsp: bytes, start_bit: int, mb_width: int,
 def emit_slice_raw(recs, mb_width: int, mb_height: int, is_p: bool,
                    num_ref_idx_l0: int, src_rbsp: bytes,
                    aux: bytes = b"", *, duplicate_final_skip: bool = False,
-                   start_phase: int = 0, capacity: int | None = None):
+                   start_phase: int = 0, capacity: int | None = None,
+                   bug_compat: bool = False):
     """Native re-emission of an MBRec grid -> (payload_bytes, nbits).
 
     The payload is the MB data only (no slice header / trailing bits).
@@ -161,6 +169,7 @@ def emit_slice_raw(recs, mb_width: int, mb_height: int, is_p: bool,
     lib = load_library()
     if lib is None:
         return None
+    lib.cavlc_set_bug_compat(int(bug_compat))
     if capacity is None:
         capacity = len(src_rbsp) + mb_width * mb_height * 400 + 4096
     out = np.zeros(capacity, np.uint8)
@@ -214,12 +223,13 @@ def pad_grid_raw(recs, in_w: int, in_h: int, out_w: int, is_p: bool, *,
 
 def parse_slice_native(rbsp: bytes, start_bit: int, mb_width: int,
                        mb_height: int, is_p: bool,
-                       num_ref_idx_l0: int):
+                       num_ref_idx_l0: int, *, bug_compat: bool = False):
     """-> (grid, end_bit) like mb_transcode.parse_*_slice_mbs (P_Skip as
     mbt.SKIP), or None when the native library is unavailable."""
     lib = load_library()
     if lib is None:
         return None
+    lib.cavlc_set_bug_compat(int(bug_compat))
 
     data = np.frombuffer(rbsp, np.uint8)
     total = mb_width * mb_height
@@ -327,6 +337,7 @@ def prepare_dense_raw(recs, mb_width: int, mb_height: int, rbsp: bytes,
     """Native dense prep over parsed MBRecs -> (patterns [M,S], nbits,
     coded u8[M], donor_bits, has_align), retrying chunk classes upward."""
     lib = load_library()
+    lib.cavlc_set_bug_compat(0)      # serving path: spec I_PCM nC rule
     data = np.frombuffer(rbsp, np.uint8)
     m_total = mb_width * mb_height
     rmap = np.asarray(ref_map, np.int32)

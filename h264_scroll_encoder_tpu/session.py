@@ -117,7 +117,9 @@ class ComposerSession:
         sps = generate_sps(self.cfg.width, self.cfg.height,
                            level_idc=level_idc,
                            log2_max_frame_num=self.cfg.log2_max_frame_num)
-        pps = generate_pps()
+        pps = generate_pps(
+            pic_init_qp_minus26=self.cfg.pic_init_qp_minus26,
+            chroma_qp_index_offset=self.cfg.chroma_qp_index_offset)
         self.writer.write_nal_unit(sps, nal_ref_idc, NAL_TYPE_SPS)
         self.writer.write_nal_unit(pps, nal_ref_idc, NAL_TYPE_PPS)
 
@@ -325,9 +327,13 @@ def open_donor_session(ref_a_path, ref_b_path, *,
     ).with_pps_params(pps.num_ref_idx_l0_default_active_minus1,
                       pps.deblocking_filter_control_present_flag)
     # Write config: our own log2_max_frame_num=4 / poc_type=2, donor's
-    # deblocking flag preserved (src/composer.c:199-203).
+    # deblocking flag preserved (src/composer.c:199-203) — plus the
+    # donor's PPS QP base, which the bit-copied residuals decode against
+    # (fixes reference defect #6, see ComposerConfig).
     write_cfg = ComposerConfig(sps.width, sps.height).with_sps_params(
-        4, 2, 4).with_pps_params(1, pps.deblocking_filter_control_present_flag)
+        4, 2, 4).with_pps_params(1, pps.deblocking_filter_control_present_flag,
+                                 pps.pic_init_qp_minus26,
+                                 pps.chroma_qp_index_offset)
 
     session = ComposerSession(write_cfg, parse_cfg, enable_pskip=enable_pskip)
     session._donor_a_rbsp = a["idr_rbsp"]
@@ -365,9 +371,11 @@ def open_two_idr_session(input_path, *,
     ).with_pps_params(pps.num_ref_idx_l0_default_active_minus1,
                       pps.deblocking_filter_control_present_flag)
     # Experiment write config: our SPS (log2_mfn=4, poc 2) and our PPS with
-    # deblocking control always present (main.c:358-360).
+    # deblocking control always present (main.c:358-360); donor PPS QP
+    # base adopted (reference defect #6, see ComposerConfig).
     write_cfg = ComposerConfig(sps.width, sps.height).with_sps_params(
-        4, 2, 4).with_pps_params(1, 1)
+        4, 2, 4).with_pps_params(1, 1, pps.pic_init_qp_minus26,
+                                 pps.chroma_qp_index_offset)
 
     session = ComposerSession(write_cfg, parse_cfg, enable_pskip=enable_pskip)
     session._donor_a_rbsp = idr_rbsps[0]

@@ -64,17 +64,24 @@ def _random_chroma(rng, mb, cbp_chroma):
 
 
 def random_i4x4_mb(rng: np.random.Generator, *,
-                   in_p_slice: bool = False) -> mbt.Macroblock:
+                   in_p_slice: bool = False,
+                   free_intra: bool = True) -> mbt.Macroblock:
+    """free_intra=False restricts the MB to always-available prediction
+    (prev_intra4x4_pred_mode_flag=1 everywhere + chroma DC), which a
+    frame-edge MB needs to stay decoder-conformant: modes such as
+    Intra_4x4_Vertical require neighbor samples the frame boundary
+    removes (H.264 8.3.1.2), and a real decoder rejects them there."""
     bits = []
     for _ in range(16):
-        if rng.random() < 0.5:
+        if not free_intra or rng.random() < 0.5:
             bits.append("1")
         else:
             bits.append("0" + format(int(rng.integers(0, 8)), "03b"))
     cbp = int(rng.choice(list(CBP_INTRA_INV)))
     mb = mbt.Macroblock(kind="i4x4", mb_type=5 if in_p_slice else 0,
                         pred_mode_bits="".join(bits),
-                        chroma_pred=int(rng.integers(0, 4)), cbp=cbp)
+                        chroma_pred=(int(rng.integers(0, 4))
+                                     if free_intra else 0), cbp=cbp)
     if cbp > 0:
         mb.qp_delta = int(rng.integers(-3, 4))
         luma = [cavlc.EMPTY_BLOCK] * 16
@@ -90,13 +97,16 @@ def random_i4x4_mb(rng: np.random.Generator, *,
 
 
 def random_i16x16_mb(rng: np.random.Generator, *,
-                     in_p_slice: bool = False) -> mbt.Macroblock:
+                     in_p_slice: bool = False,
+                     free_intra: bool = True) -> mbt.Macroblock:
     idx = int(rng.integers(0, 24))
+    if not free_intra:
+        idx = (idx // 4) * 4 + 2     # force Intra_16x16_DC (see i4x4 note)
     cbp_luma = 15 if idx // 12 else 0
     cbp_chroma = (idx // 4) % 3
     mb = mbt.Macroblock(
         kind="i16x16", mb_type=(6 if in_p_slice else 1) + idx, i16_idx=idx,
-        chroma_pred=int(rng.integers(0, 4)),
+        chroma_pred=(int(rng.integers(0, 4)) if free_intra else 0),
         cbp=(cbp_chroma << 4) | cbp_luma,
         qp_delta=int(rng.integers(-3, 4)))
     mb.luma_dc = random_residual_block(rng, 16, density=0.9)
@@ -158,14 +168,17 @@ def random_inter_mb(rng: np.random.Generator,
 def random_i_slice_grid(rng, mb_width, mb_height, *, in_p_slice=False):
     kinds = ["i4x4", "i16x16", "ipcm"]
     grid = []
-    for _ in range(mb_height):
+    for y in range(mb_height):
         row = []
-        for _ in range(mb_width):
+        for x in range(mb_width):
+            free = x > 0 and y > 0   # frame-edge MBs: DC-only (conformance)
             k = rng.choice(kinds, p=[0.4, 0.5, 0.1])
             if k == "i4x4":
-                row.append(random_i4x4_mb(rng, in_p_slice=in_p_slice))
+                row.append(random_i4x4_mb(rng, in_p_slice=in_p_slice,
+                                          free_intra=free))
             elif k == "i16x16":
-                row.append(random_i16x16_mb(rng, in_p_slice=in_p_slice))
+                row.append(random_i16x16_mb(rng, in_p_slice=in_p_slice,
+                                            free_intra=free))
             else:
                 row.append(random_ipcm_mb(rng, in_p_slice=in_p_slice))
         grid.append(row)
@@ -174,18 +187,21 @@ def random_i_slice_grid(rng, mb_width, mb_height, *, in_p_slice=False):
 
 def random_p_slice_grid(rng, mb_width, mb_height, num_ref_idx_l0):
     grid = []
-    for _ in range(mb_height):
+    for y in range(mb_height):
         row = []
-        for _ in range(mb_width):
+        for x in range(mb_width):
+            free = x > 0 and y > 0   # frame-edge MBs: DC-only (conformance)
             r = rng.random()
             if r < 0.35:
                 row.append(mbt.SKIP)
             elif r < 0.85:
                 row.append(random_inter_mb(rng, num_ref_idx_l0))
             elif r < 0.93:
-                row.append(random_i16x16_mb(rng, in_p_slice=True))
+                row.append(random_i16x16_mb(rng, in_p_slice=True,
+                                            free_intra=free))
             else:
-                row.append(random_i4x4_mb(rng, in_p_slice=True))
+                row.append(random_i4x4_mb(rng, in_p_slice=True,
+                                          free_intra=free))
         grid.append(row)
     # The slice must not end all-skip-free ambiguity: grammar handles any mix.
     return grid
@@ -193,13 +209,17 @@ def random_p_slice_grid(rng, mb_width, mb_height, num_ref_idx_l0):
 
 def synthetic_cavlc_stream(width: int, height: int, n_p_frames: int = 2,
                            seed: int = 0, num_ref_idx_l0: int = 1,
-                           i_grid=None, p_grids=None) -> bytes:
+                           i_grid=None, p_grids=None,
+                           bug_compat: bool = False) -> bytes:
     """SPS + PPS + random IDR I-slice + N random P-slices.
 
-    Grammar-valid (parsable by any conformant CAVLC parser) though not
+    Grammar-valid and (by default) decoder-conformant, though not
     visually meaningful — transcoders never look at pixel semantics.
     i_grid / p_grids (list of grids, cycled over n_p_frames) override the
     random macroblock content — the hook adversarial donor families use.
+    bug_compat=True emits I_PCM nC contexts under the C reference's
+    zeroed rule (mb_transcode.ipcm_context) so the stream parses in the
+    trans_resizer binary for byte-parity tests.
     """
     rng = np.random.default_rng(seed)
     cfg = ComposerConfig(width, height)
@@ -224,7 +244,7 @@ def synthetic_cavlc_stream(width: int, height: int, n_p_frames: int = 2,
     bw.write_ue(1)           # disable deblocking
     grid = (i_grid if i_grid is not None
             else random_i_slice_grid(rng, cfg.mb_width, cfg.mb_height))
-    mbt.emit_i_slice_mbs(bw, grid)
+    mbt.emit_i_slice_mbs(bw, grid, bug_compat=bug_compat)
     bw.write_trailing_bits()
     out.write_nal_unit(bw.getvalue(), 3, 5)
 
@@ -246,7 +266,8 @@ def synthetic_cavlc_stream(width: int, height: int, n_p_frames: int = 2,
         pgrid = (p_grids[n % len(p_grids)] if p_grids
                  else random_p_slice_grid(rng, cfg.mb_width, cfg.mb_height,
                                           num_ref_idx_l0))
-        mbt.emit_p_slice_mbs(bw, pgrid, num_ref_idx_l0)
+        mbt.emit_p_slice_mbs(bw, pgrid, num_ref_idx_l0,
+                             bug_compat=bug_compat)
         bw.write_trailing_bits()
         out.write_nal_unit(bw.getvalue(), 2, 1)
 

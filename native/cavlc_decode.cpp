@@ -377,6 +377,15 @@ int parse_i16x16(BitReader& br, MBRec* mb, int idx, Tracker& trk, int col) {
   return 0;
 }
 
+// nC context an I_PCM MB presents to neighbors.  Spec 9.2.1: nN = 16.
+// The C reference zeroes it instead (trans_resizer.c:1241-1243 — its
+// defect #5); cavlc_set_bug_compat(1) reproduces that for byte parity.
+static int8_t g_ipcm_nc = 16;
+
+static void ipcm_ctx(CoeffCtx* c) {
+  std::memset(c, g_ipcm_nc, sizeof(*c));
+}
+
 int parse_ipcm(BitReader& br, MBRec* mb, Tracker& trk, int col) {
   mb->kind = 4;
   br.align();
@@ -384,7 +393,7 @@ int parse_ipcm(BitReader& br, MBRec* mb, Tracker& trk, int col) {
   br.seek(br.pos() + 384 * 8);
   if (br.past_end()) return kErrEof;  // payload would read past the RBSP
   CoeffCtx ctx;
-  std::memset(&ctx, 0, sizeof(ctx));
+  ipcm_ctx(&ctx);
   trk.push(col, ctx);
   return 0;
 }
@@ -565,6 +574,7 @@ void emit_mb(BitWriter& bw, const MBRec* mb, Tracker& trk, int col,
     } else {
       bw.copy_bytes(aux + (-(mb->ipcm_byte_start) - 1), 384);
     }
+    ipcm_ctx(&ctx);
     trk.push(col, ctx);
     return;
   }
@@ -629,6 +639,10 @@ void emit_mb(BitWriter& bw, const MBRec* mb, Tracker& trk, int col,
 }  // namespace
 
 extern "C" {
+
+// 1 -> reproduce the reference's zeroed I_PCM nC context (defect #5);
+// 0 (default) -> spec rule nN = 16 (H.264 9.2.1).
+void cavlc_set_bug_compat(int on) { g_ipcm_nc = on ? 0 : 16; }
 
 // Emit an MBRec grid (mb_width x mb_height, row-major) as slice MB data.
 // kind==0 records are P_Skip.  src supplies tail/pred/ipcm spans recorded
@@ -1008,6 +1022,7 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
         if (mb->ipcm_byte_start >= 0) {
           cw.copy_bits(src, src_len, mb->ipcm_byte_start * 8, 384 * 8);
         }
+        ipcm_ctx(&ctx);
         trk.push(col, ctx);
       } else if (mb->kind == 1) {  // inter
         if (mb_type >= 3) {

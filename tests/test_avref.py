@@ -1,0 +1,283 @@
+"""Third-party conformance: libavcodec decode oracle + real x264 donors.
+
+The reference's pass/fail oracle is a real decoder — trans_resizer shells
+to `ffmpeg -v error ... -f null -` (trans_resizer.c:2176-2186) and the
+scroll-encoder pipeline decodes and extracts frames
+(scripts/test_encoder.sh:82-91) — and its donors come from the real x264
+encoder (scripts/generate_refs.sh:20-44, netflix_scroll.sh:64-71).
+
+These tests restore both sides through avref (native/avref.c): every
+composition mode and extension is decoded by code sharing zero ancestry
+with our emitters (closing the VERDICT "self-oracle" gap), and donor
+ingest is exercised with genuine x264 bitstreams (closing the
+"real-encoder donor coverage" gap).
+"""
+
+import numpy as np
+import pytest
+
+from h264_scroll_encoder_tpu import avref
+from h264_scroll_encoder_tpu import pixel_oracle as po
+from h264_scroll_encoder_tpu.config import ComposerConfig
+from h264_scroll_encoder_tpu.models.splice import (FrameHints, MotionRegion,
+                                                   transcode_pad_stream)
+from h264_scroll_encoder_tpu.session import (ComposerSession,
+                                             open_donor_session,
+                                             open_two_idr_session)
+from h264_scroll_encoder_tpu.utils import fixtures
+
+pytestmark = pytest.mark.skipif(
+    not avref.available(), reason="system libavcodec/libx264 unavailable")
+
+
+def _session(w=64, h=128, **kw):
+    s = ComposerSession(ComposerConfig(w, h), **kw)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    return s
+
+
+def _assert_conforms(data, expect_frames=None):
+    """Stream decodes clean in libavcodec AND matches our own pixel
+    oracle bit-for-bit on every plane (a shared emitter/oracle blind
+    spot would diverge here)."""
+    pics_av, nerrors = avref.decode_pictures(data)
+    assert nerrors == 0
+    if expect_frames is not None:
+        assert len(pics_av) == expect_frames
+    pics_po = po.decode_stream_pixels(data)
+    assert len(pics_av) == len(pics_po)
+    for i, (a, b) in enumerate(zip(pics_av, pics_po)):
+        assert (a.y == b.y).all(), f"luma diverges at frame {i}"
+        assert (a.cb == b.cb).all(), f"cb diverges at frame {i}"
+        assert (a.cr == b.cr).all(), f"cr diverges at frame {i}"
+    return pics_av
+
+
+OFFSETS = [0, 5, 16, 23, 64]
+
+
+@pytest.mark.parametrize("kw", [
+    {},                                    # parity mode (floor policy)
+    {"enable_pskip": True},                # P_Skip extension
+    {"boundary_policy": "nearest"},
+    {"boundary_policy": "partitioned"},    # P_L0_L0_16x8 seam partitions
+])
+def test_scroll_modes_conform(kw):
+    s = _session(**kw)
+    for off in OFFSETS:
+        s.write_scroll_frame(off)
+    _assert_conforms(s.getvalue(), expect_frames=2 + len(OFFSETS))
+
+
+def test_sliced_frames_conform():
+    s = _session()
+    for off in OFFSETS:
+        s.write_scroll_frame_sliced(off, rows_per_slice=4)
+    _assert_conforms(s.getvalue(), expect_frames=2 + len(OFFSETS))
+
+
+def test_waypoint_chain_conforms():
+    """Tall scroll through the 496 px MV-limit waypoint machinery."""
+    s = _session(w=64, h=992)
+    for off in (0, 160, 320, 496, 656, 816, 992):
+        s.write_scroll_frame(off)
+    _assert_conforms(s.getvalue(), expect_frames=2 + 7 + 2)  # +2 waypoints
+
+
+def test_hint_frame_conforms():
+    s = _session()
+    region = MotionRegion(mb_x0=1, mb_y0=2, mb_x1=3, mb_y1=5,
+                          ref_idx=0, mv_x=0, mv_y=32)
+    s.write_hint_frame(FrameHints(motion_regions=(region,)))
+    _assert_conforms(s.getvalue(), expect_frames=3)
+
+
+def test_spliced_frame_decodes_clean():
+    """Dynamic-rect splice under a real decoder: donor CAVLC MBs with
+    residuals re-entropy-coded into the composed frame (nC repair), then
+    a plain scroll frame — any entropy desync would surface as decoder
+    errors or a lost frame.  (Pixel equality of the residual-free frames
+    is covered above; donor-MB interiors carry residuals our own oracle
+    does not decode.)"""
+    rng = np.random.default_rng(7)
+    s = ComposerSession(ComposerConfig(320, 240))
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    donor = fixtures.representative_donor_grid(rng, 5, 4)
+    hints = FrameHints(motion_regions=(
+        MotionRegion(0, 0, 20, 3, ref_idx=0, mv_x=0, mv_y=16),),
+        dynamic_mb_x=8, dynamic_mb_y=6)
+    s.write_spliced_frame(hints, donor)
+    s.write_scroll_frame(16)
+    pics, nerrors = avref.decode_pictures(s.getvalue())
+    assert nerrors == 0
+    assert len(pics) == 4  # 2 atlases + spliced + scroll
+
+
+def _vertical_motion_grid(rng, w, h, num_ref):
+    """P grid of inter/skip/I_PCM MBs with vertical-only motion, so no MB
+    reads samples right of its own column (mv_x = 0 everywhere keeps the
+    prediction medians zero, and there is no intra-in-P whose top-right
+    neighbor semantics change when padding appears) — the precondition
+    for strict pixel preservation under the padding transcode (the
+    reference documents that rightward reads sample the padding area
+    instead of the original right-edge extrapolation,
+    trans_resizer.c:1330-1336)."""
+    import dataclasses
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    grid = fixtures.random_p_slice_grid(rng, w, h, num_ref)
+    for row in grid:
+        for i, mb in enumerate(row):
+            if mb is mbt.SKIP or mb.kind == "ipcm":
+                continue
+            if mb.kind != "inter":
+                mb = fixtures.random_inter_mb(rng, num_ref)
+            row[i] = dataclasses.replace(
+                mb, mvds=tuple((0, dy) for _dx, dy in mb.mvds))
+        # Firewall column: the last original column is I_PCM, so every
+        # other MB's prediction context (MV median's above-right
+        # candidate, P_Skip derivation, intra neighbors) is identical
+        # with and without padding — an intra neighbor contributes the
+        # same "unavailable for inter" regardless of what lies right of
+        # it.  Without this, the changed above-right availability at the
+        # old frame edge cascades decoded MVs leftward one column per
+        # row (inherent to any padding transcode; the reference shares
+        # the behavior and verifies decode-cleanliness only).
+        row[-1] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+    return grid
+
+
+def test_transcode_preserves_pixels():
+    """Padding transcode (trans-resizer equivalent): input and output both
+    decode clean, and the original region is pixel-identical — the full
+    CAVLC parse/nC-repair/re-emit machinery validated through a real
+    decoder's inverse transform, residuals included — strict over the
+    whole original region thanks to the firewall column."""
+    rng = np.random.default_rng(21)
+    grids = [_vertical_motion_grid(rng, 20, 12, 1) for _ in range(2)]
+    src = fixtures.synthetic_cavlc_stream(320, 192, n_p_frames=2, seed=2,
+                                          p_grids=grids)
+    out = transcode_pad_stream(src, 480, 192)
+    pi, nei = avref.decode_pictures(src)
+    poo, neo = avref.decode_pictures(out)
+    assert nei == 0 and neo == 0
+    assert len(pi) == len(poo) == 3
+    for a, b in zip(pi, poo):
+        assert (a.y == b.y[:192, :320]).all()
+        assert (a.cb == b.cb[:96, :160]).all()
+        assert (a.cr == b.cr[:96, :160]).all()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_transcode_random_streams_decode_clean(seed):
+    """Fully random (conformant) CAVLC streams: the transcode must not
+    introduce decoder errors or lose frames."""
+    src = fixtures.synthetic_cavlc_stream(320, 192, n_p_frames=2, seed=seed)
+    out = transcode_pad_stream(src, 480, 192)
+    _, nei = avref.decode_pictures(src)
+    pics, neo = avref.decode_pictures(out)
+    assert nei == 0 and neo == 0 and len(pics) == 3
+
+
+# ---------------------------------------------------------------------------
+# Real x264 donors (the reference's generate_refs.sh / netflix_scroll.sh
+# donor path, unreproducible until now — no ffmpeg CLI in this image).
+# ---------------------------------------------------------------------------
+
+def _flat(y, cb, cr, w=64, h=128):
+    return (np.full((h, w), y, np.uint8),
+            np.full((h // 2, w // 2), cb, np.uint8),
+            np.full((h // 2, w // 2), cr, np.uint8))
+
+
+def _real_content(seed, w=64, h=128):
+    """Gradient + texture, a stand-in for netflix_scroll.sh's images."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[:h, :w]
+    y = (16 + (yy * 180) // h + (xx * 30) // w
+         + rng.integers(0, 12, (h, w))).clip(0, 255).astype(np.uint8)
+    cb = (128 + (xx[::2, ::2] * 40) // w).astype(np.uint8)
+    cr = (128 - (yy[::2, ::2] * 40) // h).astype(np.uint8)
+    return y, cb, cr
+
+
+def _compose_and_check(sess, donor_a_bytes, donor_b_bytes, offsets, h):
+    sess.write_parameter_sets()
+    sess.write_donor_atlases(sess._donor_a_rbsp, sess._donor_b_rbsp)
+    for off in offsets:
+        sess.write_scroll_frame(off)
+    pics, nerrors = avref.decode_pictures(sess.getvalue())
+    assert nerrors == 0
+    pa, _ = avref.decode_pictures(donor_a_bytes)
+    pb, _ = avref.decode_pictures(donor_b_bytes)
+    assert (pics[0].y == pa[0].y).all() and (pics[1].y == pb[0].y).all()
+    canvas = po.scroll_canvas(pa[0], pb[0])
+    for pic, off in zip(pics[2:], offsets):
+        assert (pic.y == canvas.y[off: off + h]).all(), off
+        assert (pic.cb == canvas.cb[off // 2: off // 2 + h // 2]).all(), off
+        assert (pic.cr == canvas.cr[off // 2: off // 2 + h // 2]).all(), off
+
+
+def test_x264_donor_session_pixel_exact(tmp_path):
+    """Two genuine x264 IDR files through the composer donor path
+    (generate_refs.sh contract: baseline, keyint=1): the rewritten
+    atlases decode identically to the standalone donors — which requires
+    adopting the donor's PPS QP base (reference defect #6) — and every
+    MB-aligned scroll frame equals the stacked-donor canvas exactly."""
+    da = avref.encode_x264([_flat(81, 90, 240)], qp=20, keyint=1, refs=1)
+    db = avref.encode_x264([_real_content(3)], qp=20, keyint=1, refs=1)
+    (tmp_path / "a.h264").write_bytes(da)
+    (tmp_path / "b.h264").write_bytes(db)
+    sess = open_donor_session(tmp_path / "a.h264", tmp_path / "b.h264")
+    _compose_and_check(sess, da, db, (0, 16, 48, 96), 128)
+
+
+def test_x264_two_idr_donor_session(tmp_path):
+    """Experiment-style ingest: one x264 stream carrying two IDRs
+    (test_encoder.sh's two-frame setup.h264 donor contract)."""
+    stream = avref.encode_x264([_real_content(5), _flat(170, 166, 16)],
+                               qp=24, keyint=1, refs=1)
+    p = tmp_path / "setup.h264"
+    p.write_bytes(stream)
+    sess = open_two_idr_session(p)
+    sess.write_parameter_sets()
+    sess.write_donor_atlases(sess._donor_a_rbsp, sess._donor_b_rbsp)
+    offsets = (0, 32, 112)
+    for off in offsets:
+        sess.write_scroll_frame(off)
+    pics, nerrors = avref.decode_pictures(sess.getvalue())
+    assert nerrors == 0
+    donors, _ = avref.decode_pictures(stream)
+    canvas = po.scroll_canvas(donors[0], donors[1])
+    for pic, off in zip(pics[2:], offsets):
+        assert (pic.y == canvas.y[off: off + 128]).all(), off
+
+
+def test_x264_parser_coverage():
+    """Our SPS/PPS parsers on genuine x264 output (not self-written
+    bitstreams): field extraction matches the encode parameters."""
+    from h264_scroll_encoder_tpu.syntax import parse
+    data = avref.encode_x264([_flat(100, 128, 128)], qp=30, keyint=1, refs=2)
+    sps = pps = None
+    for u in parse.iter_nal_units(data):
+        if u.nal_unit_type == 7 and sps is None:
+            sps = parse.parse_sps(u.rbsp)
+        elif u.nal_unit_type == 8 and pps is None:
+            pps = parse.parse_pps(u.rbsp)
+    assert sps is not None and pps is not None
+    assert (sps.width, sps.height) == (64, 128)
+    assert pps.entropy_coding_mode_flag == 0          # baseline => CAVLC
+    assert pps.pic_init_qp_minus26 == 30 - 26
+
+
+def test_oracle_detects_corruption():
+    """Negative control: a stream truncated mid-slice must not decode
+    clean (guards against a vacuously-green oracle)."""
+    s = _session()
+    for off in OFFSETS:
+        s.write_scroll_frame(off)
+    data = s.getvalue()
+    clipped = data[: len(data) - 40]      # cut into the final P slice
+    pics, nerrors = avref.decode_pictures(clipped)
+    assert nerrors > 0 or len(pics) < 2 + len(OFFSETS)

@@ -123,7 +123,8 @@ def test_transcode_pad_parity_vs_reference(ref_binaries, tmp_path):
     if exe is None:
         pytest.skip("trans_resizer unavailable")
 
-    stream = fixtures.synthetic_cavlc_stream(320, 320, n_p_frames=2, seed=3)
+    stream = fixtures.synthetic_cavlc_stream(320, 320, n_p_frames=2,
+                                             seed=3, bug_compat=True)
     inp = tmp_path / "in.h264"
     inp.write_bytes(stream)
     out = tmp_path / "ref_out.h264"
@@ -141,10 +142,14 @@ def test_transcode_pad_parity_vs_reference(ref_binaries, tmp_path):
         f"{next((i for i, (a, b) in enumerate(zip(ours, ref)) if a != b), -1)}")
 
     # Corrected mode must parse cleanly as a full 45x20 grid with no
-    # spurious ue(v) between the last MB and rbsp_trailing_bits.
+    # spurious ue(v) between the last MB and rbsp_trailing_bits.  (It
+    # consumes a spec-rule stream: bug_compat changes the I_PCM nC rule
+    # on the parse side too, so the flags must match the fixture's.)
     from h264_scroll_encoder_tpu.models.splice import parse_slice_header
     from h264_scroll_encoder_tpu.ops.bitio import BitReader
-    fixed = transcode_pad_stream(stream, 720, 320)
+    spec_stream = fixtures.synthetic_cavlc_stream(320, 320, n_p_frames=2,
+                                                  seed=3)
+    fixed = transcode_pad_stream(spec_stream, 720, 320)
     for u in __import__(
             "h264_scroll_encoder_tpu.syntax.parse", fromlist=["parse"]
             ).iter_nal_units(fixed):
@@ -166,7 +171,8 @@ def test_transcode_pad_multiref(ref_binaries, tmp_path):
     if exe is None:
         pytest.skip("trans_resizer unavailable")
     stream = fixtures.synthetic_cavlc_stream(320, 320, n_p_frames=2, seed=11,
-                                             num_ref_idx_l0=2)
+                                             num_ref_idx_l0=2,
+                                             bug_compat=True)
     inp = tmp_path / "in2.h264"
     inp.write_bytes(stream)
     out = tmp_path / "ref_out2.h264"

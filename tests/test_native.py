@@ -82,9 +82,12 @@ def test_native_transcode_engine_equivalence():
     from h264_scroll_encoder_tpu.models.splice import transcode_pad_stream
 
     for seed, nref in ((3, 1), (11, 2)):
-        stream = fixtures.synthetic_cavlc_stream(
-            320, 320, n_p_frames=2, seed=seed, num_ref_idx_l0=nref)
         for bc in (False, True):
+            # The stream's I_PCM nC rule must match the transcode's
+            # (bug_compat changes both the parse and emit sides).
+            stream = fixtures.synthetic_cavlc_stream(
+                320, 320, n_p_frames=2, seed=seed, num_ref_idx_l0=nref,
+                bug_compat=bc)
             py = transcode_pad_stream(stream, 720, 320, bug_compat=bc,
                                       engine="python")
             nat = transcode_pad_stream(stream, 720, 320, bug_compat=bc,

@@ -149,14 +149,15 @@ def test_adversarial_transcode_parity(ref_binaries, tmp_path, family):
         p_grids = [[[_sub8x8_mb(rng) if rng.random() < 0.7 else mbt.SKIP
                      for _ in range(w)] for _ in range(h)]]
         stream = fixtures.synthetic_cavlc_stream(320, 320, n_p_frames=2,
-                                                 seed=5, p_grids=p_grids)
+                                                 seed=5, p_grids=p_grids,
+                                                 bug_compat=True)
     elif family == "extreme_qp":
         stream = fixtures.synthetic_cavlc_stream(
-            320, 320, n_p_frames=2, seed=6,
+            320, 320, n_p_frames=2, seed=6, bug_compat=True,
             p_grids=[_extreme_qp_grid(rng, w, h)])
     else:
         stream = fixtures.synthetic_cavlc_stream(
-            320, 320, n_p_frames=1, seed=7,
+            320, 320, n_p_frames=1, seed=7, bug_compat=True,
             i_grid=_zero_ipcm_grid(w, h))
 
     inp = tmp_path / "in.h264"
