@@ -8,12 +8,20 @@ implements the missing piece natively: a decoder *model* for the H.264
 subset every composed stream lives in —
 
   - I_PCM intra frames (atlases decode to exact pixels),
-  - residual-free inter prediction (P_L0 16x16/16x8/8x16/8x8 partitions
-    and P_Skip) with edge-clamped motion compensation: full-pel luma
-    (composed MVs are integer-pel) and 1/8-pel bilinear chroma
-    (H.264 8.4.2.2.2),
+  - inter prediction (P_L0 16x16/16x8/8x16/8x8 partitions and P_Skip)
+    with edge-clamped motion compensation: full-pel luma (composed MVs
+    are integer-pel) and 1/8-pel bilinear chroma (H.264 8.4.2.2.2),
+  - full CAVLC residual reconstruction (ops/transform.py): inverse
+    quant/transform for inter and intra MBs, Intra_4x4 / Intra_16x16 /
+    chroma prediction — so spliced and transcoded streams carrying real
+    donor residuals decode to exact pixels too (differentially tested
+    against the system libavcodec in tests/test_avref.py),
   - exact reference-picture management: IDR long-term flag, MMCO 4/6/0
     marking, explicit ref-list modification (8.2.4.3), sliding window.
+
+Deblocking is NOT modeled: every stream this framework emits disables
+the loop filter; streams that enable it raise UnsupportedStream (use the
+libavcodec oracle for those).
 
 Unlike verify.py (grammar re-parse + MV-field decode), the output here is
 *pixels*, compared by tests against intended compositions computed
@@ -35,7 +43,9 @@ import numpy as np
 
 from .models import mb_transcode as mbt
 from .models import mv_field
+from .ops import transform as xf
 from .ops.bitio import BitReader
+from .ops.cavlc_tables import SCAN_TO_RASTER
 from .syntax import parse
 
 
@@ -78,6 +88,8 @@ class _SliceHeader:
     mmco_ops: list                # [(op, v1, v2), ...]
     long_term_reference_flag: int
     adaptive_marking: bool
+    slice_qp_delta: int
+    deblocking_enabled: bool
     data_bit: int                 # bit position of the first macroblock
 
 
@@ -122,13 +134,14 @@ def _parse_slice_header(rbsp: bytes, *, is_idr: bool, nal_ref_idc: int,
                 v2 = br.read_ue() if op == 3 else 0
                 mmco_ops.append((op, v1, v2))
 
-    br.read_se()                                  # slice_qp_delta
+    slice_qp_delta = br.read_se()
     disable_deblock = br.read_ue()
     if disable_deblock != 1:
         br.read_se()
         br.read_se()
     return _SliceHeader(first_mb, slice_type, frame_num, num_ref,
                         reorder_ops, mmco_ops, lt_flag, adaptive,
+                        slice_qp_delta, disable_deblock != 1,
                         br.bit_position)
 
 
@@ -218,20 +231,27 @@ def _mc_band(field: mv_field.MVField, ref_list: list, band_y0_mb: int,
     rows = np.arange(h4 * 4)[:, None] + y0
     cols = np.arange(w4 * 4)[None, :]
 
-    inter = ref_px >= 0
-    if inter.any():
-        if ((mvx_px[inter] % 4).any() or (mvy_px[inter] % 4).any()):
-            raise UnsupportedStream(
-                "fractional-pel luma MV (composed streams are integer-pel)")
+    # Integer-pel cells (every composed stream): vectorized copy.
+    frac = (mvx_px % 4 != 0) | (mvy_px % 4 != 0)
     src_y = np.clip(rows + mvy_px // 4, 0, H - 1)
     src_x = np.clip(cols + mvx_px // 4, 0, W - 1)
-
     for ridx, ref_pic in enumerate(ref_list):
-        m = ref_px == ridx
+        m = (ref_px == ridx) & ~frac
         if not m.any():
             continue
         band = out.y[y0:y0 + h4 * 4]
         band[m] = ref_pic.y[src_y[m], src_x[m]]
+
+    # Fractional cells (donor CAVLC content): 6-tap quarter-pel per
+    # 4x4 cell (8.4.2.2.1).
+    frac_cells = (field.ref >= 0) & ((field.mvx % 4 != 0)
+                                     | (field.mvy % 4 != 0))
+    for cy, cx in zip(*np.nonzero(frac_cells)):
+        ref_pic = ref_list[field.ref[cy, cx]]
+        blk = _luma_qpel_cell(ref_pic.y, y0 + cy * 4, cx * 4,
+                              int(field.mvx[cy, cx]),
+                              int(field.mvy[cy, cx]))
+        out.y[y0 + cy * 4: y0 + cy * 4 + 4, cx * 4: cx * 4 + 4] = blk
 
     # Chroma: one value per 2x2 luma block; mv in 1/8 chroma-pel units is
     # numerically the luma qpel value (4:2:0, 8.4.1.4).
@@ -270,6 +290,73 @@ def _mc_band(field: mv_field.MVField, ref_list: list, band_y0_mb: int,
             band[m] = val.astype(np.uint8)
 
 
+def _luma_qpel_cell(ref: np.ndarray, py: int, px: int,
+                    mvx: int, mvy: int) -> np.ndarray:
+    """One 4x4 luma cell at quarter-pel MV (8.4.2.2.1): 6-tap half-pel
+    filters + quarter averaging, edge-clamped."""
+    H, W = ref.shape
+    ix, fx = mvx >> 2, mvx & 3
+    iy, fy = mvy >> 2, mvy & 3
+    rows = np.clip(np.arange(py + iy - 2, py + iy + 7), 0, H - 1)
+    cols = np.clip(np.arange(px + ix - 2, px + ix + 7), 0, W - 1)
+    R = ref[np.ix_(rows, cols)].astype(np.int64)          # 9x9
+
+    def tap(v, axis):
+        sl = [slice(None)] * v.ndim
+        out = None
+        for k, w in enumerate((1, -5, 20, 20, -5, 1)):
+            sl[axis] = slice(k, v.shape[axis] - 5 + k)
+            term = w * v[tuple(sl)]
+            out = term if out is None else out + term
+        return out
+
+    b1 = tap(R, 1)                                        # (9, 4+)
+    h1 = tap(R, 0)                                        # (4+, 9)
+    j1 = tap(b1, 0)                                       # center taps
+    b = np.clip((b1 + 16) >> 5, 0, 255)
+    h = np.clip((h1 + 16) >> 5, 0, 255)
+    j = np.clip((j1 + 512) >> 10, 0, 255)
+
+    yy = np.arange(4)[:, None]
+    xx = np.arange(4)[None, :]
+    G = R[2 + yy, 2 + xx]
+    Hn = R[2 + yy, 3 + xx]
+    Mn = R[3 + yy, 2 + xx]
+    bb = b[2 + yy, 0 + xx]          # half right of G
+    ss = b[3 + yy, 0 + xx]          # half right of the row below
+    hh = h[0 + yy, 2 + xx]          # half below G
+    mm = h[0 + yy, 3 + xx]          # half below the right column
+    jj = j[0 + yy, 0 + xx]
+
+    if fy == 0:
+        if fx == 0:
+            v = G
+        elif fx == 2:
+            v = bb
+        elif fx == 1:
+            v = (G + bb + 1) >> 1
+        else:
+            v = (Hn + bb + 1) >> 1
+    elif fx == 0:
+        if fy == 2:
+            v = hh
+        elif fy == 1:
+            v = (G + hh + 1) >> 1
+        else:
+            v = (Mn + hh + 1) >> 1
+    elif fx == 2 and fy == 2:
+        v = jj
+    elif fy == 2:                   # (1,2) / (3,2)
+        v = (hh + jj + 1) >> 1 if fx == 1 else (mm + jj + 1) >> 1
+    elif fx == 2:                   # (2,1) / (2,3)
+        v = (bb + jj + 1) >> 1 if fy == 1 else (ss + jj + 1) >> 1
+    else:                           # diagonal quarters
+        a = bb if fy == 1 else ss
+        c = hh if fx == 1 else mm
+        v = (a + c + 1) >> 1
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
 def _paint_ipcm(mb, mb_x: int, mb_y: int, out: Picture) -> None:
     s = np.frombuffer(mb.ipcm_samples, np.uint8)
     out.y[mb_y * 16:(mb_y + 1) * 16, mb_x * 16:(mb_x + 1) * 16] = \
@@ -278,6 +365,160 @@ def _paint_ipcm(mb, mb_x: int, mb_y: int, out: Picture) -> None:
         s[256:320].reshape(8, 8)
     out.cr[mb_y * 8:(mb_y + 1) * 8, mb_x * 8:(mb_x + 1) * 8] = \
         s[320:384].reshape(8, 8)
+
+
+# ---------------------------------------------------------------------------
+# Residual / intra reconstruction (raster walk over one slice band).
+# ---------------------------------------------------------------------------
+
+class _BandReconstructor:
+    """Raster-order reconstruction of residuals and intra macroblocks.
+
+    Inter prediction (painted beforehand by _mc_band) depends only on
+    reference pictures, but intra prediction reads the current frame's
+    reconstructed neighbor samples — including inter neighbors' final
+    prediction+residual pixels — so the walk adds inter residuals and
+    reconstructs intra MBs in a single raster pass (7.4.5 QP chaining
+    rides the same walk)."""
+
+    def __init__(self, chroma_qp_index_offset: int):
+        self.cqo = chroma_qp_index_offset
+
+    def run(self, grid, row0: int, slice_qp: int, pic: Picture) -> None:
+        mbw = len(grid[0])
+        qp = slice_qp % 52
+        # Per-MB Intra_4x4 mode memory for 8.3.1.1 prediction: a list of
+        # 16 modes, or "coded" for any other coded/skipped MB (which
+        # contributes DC=2), or None when outside the slice.
+        modes = [[None] * mbw for _ in grid]
+        for r, row in enumerate(grid):
+            for c, mb in enumerate(row):
+                if mb is mbt.SKIP:
+                    modes[r][c] = "coded"
+                    continue
+                if mb.qp_delta is not None:
+                    qp = (qp + mb.qp_delta + 52) % 52
+                if mb.kind == "ipcm":
+                    _paint_ipcm(mb, c, row0 + r, pic)
+                    modes[r][c] = "coded"
+                elif mb.kind == "inter":
+                    if mb.cbp:
+                        self._add_inter_residual(mb, c, row0 + r, qp, pic)
+                    modes[r][c] = "coded"
+                elif mb.kind == "i16x16":
+                    self._recon_i16(mb, r, c, row0, qp, pic)
+                    modes[r][c] = "coded"
+                elif mb.kind == "i4x4":
+                    modes[r][c] = self._recon_i4x4(mb, r, c, row0, qp,
+                                                   pic, modes, mbw)
+                else:
+                    raise UnsupportedStream(f"mb kind {mb.kind}")
+
+    # -- helpers --------------------------------------------------------------
+
+    @staticmethod
+    def _add_clip(plane, y0, x0, res):
+        reg = plane[y0:y0 + 4, x0:x0 + 4].astype(np.int64) + res
+        plane[y0:y0 + 4, x0:x0 + 4] = np.clip(reg, 0, 255).astype(np.uint8)
+
+    def _add_inter_residual(self, mb, mbx, mby, qp, pic):
+        y0, x0 = mby * 16, mbx * 16
+        for raster in range(16):
+            blk = mb.luma[raster]
+            if blk.total_coeff == 0:
+                continue
+            res = xf.residual_4x4(xf.coeff_scan(blk, 16), qp)
+            self._add_clip(pic.y, y0 + raster // 4 * 4,
+                           x0 + raster % 4 * 4, res)
+        self._add_chroma_residual(mb, mbx, mby, qp, pic)
+
+    def _add_chroma_residual(self, mb, mbx, mby, qp, pic):
+        cbp_chroma = (mb.cbp >> 4) & 3
+        if not cbp_chroma:
+            return
+        qpc = xf.chroma_qp(qp, self.cqo)
+        cy0, cx0 = mby * 8, mbx * 8
+        for plane, dcb, acb in ((pic.cb, mb.cb_dc, mb.chroma_ac[0]),
+                                (pic.cr, mb.cr_dc, mb.chroma_ac[1])):
+            resids = xf.chroma_residuals(
+                dcb, acb if cbp_chroma == 2 else None, qpc)
+            for blk_i, res in enumerate(resids):
+                self._add_clip(plane, cy0 + blk_i // 2 * 4,
+                               cx0 + blk_i % 2 * 4, res)
+
+    def _recon_chroma_intra(self, mb, r, c, row0, qp, pic):
+        avail_l, avail_t = c > 0, r > 0
+        cy0, cx0 = (row0 + r) * 8, c * 8
+        qpc = xf.chroma_qp(qp, self.cqo)
+        cbp_chroma = (mb.cbp >> 4) & 3
+        for plane, dcb, acb in ((pic.cb, mb.cb_dc, mb.chroma_ac[0]),
+                                (pic.cr, mb.cr_dc, mb.chroma_ac[1])):
+            left = plane[cy0:cy0 + 8, cx0 - 1] if avail_l else None
+            top = plane[cy0 - 1, cx0:cx0 + 8] if avail_t else None
+            tl = plane[cy0 - 1, cx0 - 1] if (avail_l and avail_t) else 0
+            out = xf.pred_chroma(mb.chroma_pred, left, top, tl,
+                                 avail_l, avail_t)
+            if cbp_chroma:
+                resids = xf.chroma_residuals(
+                    dcb, acb if cbp_chroma == 2 else None, qpc)
+                for blk_i, res in enumerate(resids):
+                    by, bx = blk_i // 2 * 4, blk_i % 2 * 4
+                    out[by:by + 4, bx:bx + 4] += res
+            plane[cy0:cy0 + 8, cx0:cx0 + 8] = \
+                np.clip(out, 0, 255).astype(np.uint8)
+
+    def _recon_i16(self, mb, r, c, row0, qp, pic):
+        avail_l, avail_t = c > 0, r > 0
+        y0, x0 = (row0 + r) * 16, c * 16
+        left = pic.y[y0:y0 + 16, x0 - 1] if avail_l else None
+        top = pic.y[y0 - 1, x0:x0 + 16] if avail_t else None
+        tl = pic.y[y0 - 1, x0 - 1] if (avail_l and avail_t) else 0
+        out = xf.pred16x16(mb.i16_idx % 4, left, top, tl,
+                           avail_l, avail_t).copy()
+        res16 = xf.luma16_residuals(mb.luma_dc, mb.luma, qp)
+        for raster in range(16):
+            by, bx = raster // 4 * 4, raster % 4 * 4
+            out[by:by + 4, bx:bx + 4] += res16[raster]
+        pic.y[y0:y0 + 16, x0:x0 + 16] = np.clip(out, 0, 255).astype(np.uint8)
+        self._recon_chroma_intra(mb, r, c, row0, qp, pic)
+
+    def _recon_i4x4(self, mb, r, c, row0, qp, pic, modes_mem, mbw):
+        left_mem = modes_mem[r][c - 1] if c > 0 else None
+        top_mem = modes_mem[r - 1][c] if r > 0 else None
+        lm = None if left_mem is None else (
+            [2] * 4 if left_mem == "coded"
+            else [left_mem[i * 4 + 3] for i in range(4)])
+        tm = None if top_mem is None else (
+            [2] * 4 if top_mem == "coded"
+            else [top_mem[12 + i] for i in range(4)])
+        modes = xf.decode_i4x4_modes(mb.pred_mode_bits, lm, tm)
+
+        pos_of = {raster: z for z, raster in enumerate(SCAN_TO_RASTER)}
+        y0, x0 = (row0 + r) * 16, c * 16
+        for z in range(16):
+            raster = SCAN_TO_RASTER[z]
+            brow, bcol = raster // 4, raster % 4
+            py, px = y0 + brow * 4, x0 + bcol * 4
+            al = bcol > 0 or c > 0
+            at = brow > 0 or r > 0
+            atl = (bcol > 0 or c > 0) and (brow > 0 or r > 0)
+            if brow == 0:
+                atr = (r > 0) if bcol < 3 else (r > 0 and c < mbw - 1)
+            else:
+                atr = bcol < 3 and pos_of[raster - 3] < z
+            left = pic.y[py:py + 4, px - 1] if al else None
+            top = pic.y[py - 1, px:px + 4] if at else None
+            tl = pic.y[py - 1, px - 1] if atl else 0
+            tr = pic.y[py - 1, px + 4:px + 8] if atr else None
+            out = xf.pred4x4(modes[raster], left, top, tl, tr,
+                             al, at, atl, atr)
+            blk = mb.luma[raster]
+            if blk.total_coeff:
+                out = out + xf.residual_4x4(xf.coeff_scan(blk, 16), qp)
+            pic.y[py:py + 4, px:px + 4] = \
+                np.clip(out, 0, 255).astype(np.uint8)
+        self._recon_chroma_intra(mb, r, c, row0, qp, pic)
+        return modes
 
 
 # ---------------------------------------------------------------------------
@@ -362,52 +603,36 @@ class DecoderModel:
                       mbw: int, pic: Picture) -> None:
         br = BitReader(unit.rbsp)
         br.skip_bits(hdr.data_bit)
+        if hdr.deblocking_enabled:
+            raise UnsupportedStream(
+                "deblocking filter not modeled (use the libavcodec oracle)")
+        slice_qp = (26 + self.pps.pic_init_qp_minus26 + hdr.slice_qp_delta)
 
-        if hdr.slice_type == 2:                      # I slice: I_PCM only
+        if hdr.slice_type == 2:
             grid = mbt.parse_i_slice_mbs(br, mbw, rows)
-            for r, row in enumerate(grid):
-                for c, mb in enumerate(row):
-                    if mb.kind != "ipcm":
-                        raise UnsupportedStream(
-                            f"intra {mb.kind} needs a transform decoder")
-                    _paint_ipcm(mb, c, row0 + r, pic)
-            return
-        if hdr.slice_type != 0:
+        elif hdr.slice_type == 0:
+            max_fn = 1 << self.sps.log2_max_frame_num
+            ref_list = _initial_list(self.short_term, self.long_term,
+                                     hdr.frame_num, max_fn)
+            if hdr.reorder_ops:
+                ref_list = _reorder_list(ref_list, hdr.reorder_ops,
+                                         hdr.num_ref_idx_l0, hdr.frame_num,
+                                         max_fn, self.short_term,
+                                         self.long_term)
+            else:
+                ref_list = ref_list[:hdr.num_ref_idx_l0]
+            if len(ref_list) < hdr.num_ref_idx_l0:
+                raise UnsupportedStream(
+                    f"active refs {hdr.num_ref_idx_l0} > DPB refs "
+                    f"{len(ref_list)}")
+            grid = mbt.parse_p_slice_mbs(br, mbw, rows, hdr.num_ref_idx_l0)
+            field = mv_field.decode_p_slice_mv_field(grid, mbw, rows)
+            _mc_band(field, ref_list, row0, pic)
+        else:
             raise UnsupportedStream(f"slice_type {hdr.slice_type}")
 
-        max_fn = 1 << self.sps.log2_max_frame_num
-        ref_list = _initial_list(self.short_term, self.long_term,
-                                 hdr.frame_num, max_fn)
-        if hdr.reorder_ops:
-            ref_list = _reorder_list(ref_list, hdr.reorder_ops,
-                                     hdr.num_ref_idx_l0, hdr.frame_num,
-                                     max_fn, self.short_term, self.long_term)
-        else:
-            ref_list = ref_list[:hdr.num_ref_idx_l0]
-        if len(ref_list) < hdr.num_ref_idx_l0:
-            raise UnsupportedStream(
-                f"active refs {hdr.num_ref_idx_l0} > DPB refs "
-                f"{len(ref_list)}")
-
-        grid = mbt.parse_p_slice_mbs(br, mbw, rows, hdr.num_ref_idx_l0)
-        for row in grid:
-            for mb in row:
-                if mb is mbt.SKIP:
-                    continue
-                if mb.kind == "inter":
-                    if mb.cbp != 0:
-                        raise UnsupportedStream(
-                            "inter residual needs a transform decoder")
-                elif mb.kind != "ipcm":
-                    raise UnsupportedStream(
-                        f"intra {mb.kind} inside a P slice")
-
-        field = mv_field.decode_p_slice_mv_field(grid, mbw, rows)
-        _mc_band(field, ref_list, row0, pic)
-        for r, row in enumerate(grid):
-            for c, mb in enumerate(row):
-                if mb is not mbt.SKIP and mb.kind == "ipcm":
-                    _paint_ipcm(mb, c, row0 + r, pic)
+        _BandReconstructor(
+            self.pps.chroma_qp_index_offset).run(grid, row0, slice_qp, pic)
 
     # -- reference marking (8.2.5) --------------------------------------------
 

@@ -93,13 +93,13 @@ def test_hint_frame_conforms():
     _assert_conforms(s.getvalue(), expect_frames=3)
 
 
-def test_spliced_frame_decodes_clean():
+def test_spliced_frame_pixels_match_oracle():
     """Dynamic-rect splice under a real decoder: donor CAVLC MBs with
     residuals re-entropy-coded into the composed frame (nC repair), then
-    a plain scroll frame — any entropy desync would surface as decoder
-    errors or a lost frame.  (Pixel equality of the residual-free frames
-    is covered above; donor-MB interiors carry residuals our own oracle
-    does not decode.)"""
+    a plain scroll frame.  With the full residual decoder in the pixel
+    oracle, every pixel — donor-MB interiors included — must agree
+    between libavcodec and our own decode; any entropy desync or
+    transform misunderstanding diverges here."""
     rng = np.random.default_rng(7)
     s = ComposerSession(ComposerConfig(320, 240))
     s.write_parameter_sets()
@@ -110,9 +110,27 @@ def test_spliced_frame_decodes_clean():
         dynamic_mb_x=8, dynamic_mb_y=6)
     s.write_spliced_frame(hints, donor)
     s.write_scroll_frame(16)
-    pics, nerrors = avref.decode_pictures(s.getvalue())
+    _assert_conforms(s.getvalue(), expect_frames=4)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_full_decoder_matches_libavcodec(seed):
+    """The pixel oracle is a complete baseline CAVLC decoder (entropy +
+    inverse quant/transform + intra prediction + quarter-pel MC + DPB):
+    on fully random conformant streams (I, P, intra-in-P, I_PCM, skip,
+    multi-ref, hot residuals, drifting QP) it must be bit-exact with
+    libavcodec on every plane of every frame."""
+    src = fixtures.synthetic_cavlc_stream(320, 192, n_p_frames=2,
+                                          seed=seed, num_ref_idx_l0=1)
+    from h264_scroll_encoder_tpu import pixel_oracle as po
+    pics_av, nerrors = avref.decode_pictures(src)
     assert nerrors == 0
-    assert len(pics) == 4  # 2 atlases + spliced + scroll
+    pics_po = po.decode_stream_pixels(src)
+    assert len(pics_av) == len(pics_po) == 3
+    for i, (a, b) in enumerate(zip(pics_av, pics_po)):
+        assert (a.y == b.y).all(), f"luma frame {i}"
+        assert (a.cb == b.cb).all(), f"cb frame {i}"
+        assert (a.cr == b.cr).all(), f"cr frame {i}"
 
 
 def _vertical_motion_grid(rng, w, h, num_ref):
