@@ -118,14 +118,29 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
     nal_bytes = int(np.asarray(nal_len)[0])
     assert not bool(np.asarray(ovf).any()), "splice RBSP budget overflow"
 
+    # Time a lax.scan of the step (steps_per_scan frames per dispatch):
+    # per-dispatch tunnel RPC issue cost would otherwise dominate a
+    # sub-10 ms step on this dev setup (the scroll config scans for the
+    # same reason) — on-chip throughput is the quantity of interest.
+    steps_per_scan = 8
+
+    def scan_fn(a):
+        def body(carry, _):
+            _, nlen, _, _ = step(*a)
+            return carry + nlen.sum(dtype=jnp.uint32), None
+        out, _ = jax.lax.scan(body, jnp.uint32(0), None,
+                              length=steps_per_scan)
+        return out
+
+    scan = jax.jit(scan_fn)
+    _ = int(scan(args))
     t0 = time.perf_counter()
     acc = None
     for _ in range(reps):
-        _, nal_len, _, _ = step(*args)
-        chk = nal_len.sum()
+        chk = scan(args)
         acc = chk if acc is None else acc + chk
     _ = int(acc)
-    dt = (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / (reps * steps_per_scan)
     return batch_size / dt, dt * 1000.0, prep_ms, nal_bytes
 
 

@@ -17,11 +17,10 @@ subset every composed stream lives in —
     donor residuals decode to exact pixels too (differentially tested
     against the system libavcodec in tests/test_avref.py),
   - exact reference-picture management: IDR long-term flag, MMCO 4/6/0
-    marking, explicit ref-list modification (8.2.4.3), sliding window.
-
-Deblocking is NOT modeled: every stream this framework emits disables
-the loop filter; streams that enable it raise UnsupportedStream (use the
-libavcodec oracle for those).
+    marking, explicit ref-list modification (8.2.4.3), sliding window,
+  - the in-loop deblocking filter (ops/deblock.py) for streams that
+    enable it (x264 donors; every stream this framework emits disables
+    the filter).
 
 Unlike verify.py (grammar re-parse + MV-field decode), the output here is
 *pixels*, compared by tests against intended compositions computed
@@ -43,6 +42,7 @@ import numpy as np
 
 from .models import mb_transcode as mbt
 from .models import mv_field
+from .ops import deblock
 from .ops import transform as xf
 from .ops.bitio import BitReader
 from .ops.cavlc_tables import SCAN_TO_RASTER
@@ -89,7 +89,9 @@ class _SliceHeader:
     long_term_reference_flag: int
     adaptive_marking: bool
     slice_qp_delta: int
-    deblocking_enabled: bool
+    disable_deblock_idc: int      # 0 filter, 1 off, 2 skip slice edges
+    alpha_off: int                # slice_alpha_c0_offset_div2 * 2
+    beta_off: int                 # slice_beta_offset_div2 * 2
     data_bit: int                 # bit position of the first macroblock
 
 
@@ -136,13 +138,14 @@ def _parse_slice_header(rbsp: bytes, *, is_idr: bool, nal_ref_idc: int,
 
     slice_qp_delta = br.read_se()
     disable_deblock = br.read_ue()
+    alpha_off = beta_off = 0
     if disable_deblock != 1:
-        br.read_se()
-        br.read_se()
+        alpha_off = br.read_se() * 2
+        beta_off = br.read_se() * 2
     return _SliceHeader(first_mb, slice_type, frame_num, num_ref,
                         reorder_ops, mmco_ops, lt_flag, adaptive,
-                        slice_qp_delta, disable_deblock != 1,
-                        br.bit_position)
+                        slice_qp_delta, disable_deblock,
+                        alpha_off, beta_off, br.bit_position)
 
 
 # ---------------------------------------------------------------------------
@@ -384,9 +387,14 @@ class _BandReconstructor:
     def __init__(self, chroma_qp_index_offset: int):
         self.cqo = chroma_qp_index_offset
 
-    def run(self, grid, row0: int, slice_qp: int, pic: Picture) -> None:
+    def run(self, grid, row0: int, slice_qp: int, pic: Picture):
         mbw = len(grid[0])
+        rows = len(grid)
         qp = slice_qp % 52
+        # Deblocking inputs collected along the walk.
+        qp_grid = np.zeros((rows, mbw), np.int32)
+        intra = np.zeros((rows, mbw), bool)
+        nnz = np.zeros((rows * 4, mbw * 4), np.int32)
         # Per-MB Intra_4x4 mode memory for 8.3.1.1 prediction: a list of
         # 16 modes, or "coded" for any other coded/skipped MB (which
         # contributes DC=2), or None when outside the slice.
@@ -395,13 +403,26 @@ class _BandReconstructor:
             for c, mb in enumerate(row):
                 if mb is mbt.SKIP:
                     modes[r][c] = "coded"
+                    qp_grid[r, c] = qp
                     continue
                 if mb.qp_delta is not None:
                     qp = (qp + mb.qp_delta + 52) % 52
+                qp_grid[r, c] = qp
+                if mb.kind != "inter":
+                    intra[r, c] = True
                 if mb.kind == "ipcm":
                     _paint_ipcm(mb, c, row0 + r, pic)
                     modes[r][c] = "coded"
-                elif mb.kind == "inter":
+                    qp_grid[r, c] = 0      # I_PCM: QPy = 0 for filtering
+                    nnz[r * 4:r * 4 + 4, c * 4:c * 4 + 4] = 16
+                    continue
+                dc_marker = (16 if mb.kind == "i16x16" and mb.luma_dc
+                             is not None and mb.luma_dc.total_coeff
+                             else 0)
+                for raster in range(16):
+                    nnz[r * 4 + raster // 4, c * 4 + raster % 4] = \
+                        mb.luma[raster].total_coeff + dc_marker
+                if mb.kind == "inter":
                     if mb.cbp:
                         self._add_inter_residual(mb, c, row0 + r, qp, pic)
                     modes[r][c] = "coded"
@@ -413,6 +434,7 @@ class _BandReconstructor:
                                                    pic, modes, mbw)
                 else:
                     raise UnsupportedStream(f"mb kind {mb.kind}")
+        return qp_grid, intra, nnz
 
     # -- helpers --------------------------------------------------------------
 
@@ -586,13 +608,33 @@ class DecoderModel:
         pic = Picture.blank(self.sps.width, self.sps.height)
         pic.frame_num = hdr0.frame_num
 
+        meta = deblock.MBMeta(
+            qp=np.zeros((mbh, mbw), np.int32),
+            qpc=np.zeros((mbh, mbw), np.int32),
+            intra=np.zeros((mbh, mbw), bool),
+            nnz=np.zeros((mbh * 4, mbw * 4), np.int32),
+            ref_id=np.full((mbh * 4, mbw * 4), -1, np.int32),
+            mvx=np.zeros((mbh * 4, mbw * 4), np.int32),
+            mvy=np.zeros((mbh * 4, mbw * 4), np.int32),
+            disable=np.ones((mbh, mbw), np.int32),
+            alpha_off=np.zeros((mbh, mbw), np.int32),
+            beta_off=np.zeros((mbh, mbw), np.int32),
+            slice_id=np.zeros((mbh, mbw), np.int32),
+        )
+        ref_tokens: dict = {}
+
         starts = [h.first_mb for _, h, _ in slices]
         ends = starts[1:] + [mbw * mbh]
-        for (unit, hdr, _), start, end in zip(slices, starts, ends):
+        for sid, ((unit, hdr, _), start, end) in enumerate(
+                zip(slices, starts, ends)):
             if start % mbw or (end - start) % mbw or end <= start:
                 raise UnsupportedStream("slice bands must be MB-row aligned")
             self._decode_slice(unit, hdr, start // mbw,
-                               (end - start) // mbw, mbw, pic)
+                               (end - start) // mbw, mbw, pic,
+                               meta, sid, ref_tokens)
+
+        if (meta.disable != 1).any():
+            deblock.filter_frame(pic, meta)
 
         self._mark(pic, slices[0])
         self.output.append(pic)
@@ -600,14 +642,13 @@ class DecoderModel:
     # -- slice decode ---------------------------------------------------------
 
     def _decode_slice(self, unit, hdr: _SliceHeader, row0: int, rows: int,
-                      mbw: int, pic: Picture) -> None:
+                      mbw: int, pic: Picture, meta, sid: int,
+                      ref_tokens: dict) -> None:
         br = BitReader(unit.rbsp)
         br.skip_bits(hdr.data_bit)
-        if hdr.deblocking_enabled:
-            raise UnsupportedStream(
-                "deblocking filter not modeled (use the libavcodec oracle)")
         slice_qp = (26 + self.pps.pic_init_qp_minus26 + hdr.slice_qp_delta)
 
+        field = ref_list = None
         if hdr.slice_type == 2:
             grid = mbt.parse_i_slice_mbs(br, mbw, rows)
         elif hdr.slice_type == 0:
@@ -631,8 +672,31 @@ class DecoderModel:
         else:
             raise UnsupportedStream(f"slice_type {hdr.slice_type}")
 
-        _BandReconstructor(
+        qp_grid, intra, nnz = _BandReconstructor(
             self.pps.chroma_qp_index_offset).run(grid, row0, slice_qp, pic)
+
+        # Deblocking metadata for this band.
+        rs = slice(row0, row0 + rows)
+        bs4 = slice(row0 * 4, (row0 + rows) * 4)
+        meta.qp[rs] = qp_grid
+        meta.qpc[rs] = np.vectorize(
+            lambda q: xf.chroma_qp(q, self.pps.chroma_qp_index_offset)
+        )(qp_grid)
+        meta.intra[rs] = intra
+        meta.nnz[bs4] = nnz
+        meta.disable[rs] = hdr.disable_deblock_idc
+        meta.alpha_off[rs] = hdr.alpha_off
+        meta.beta_off[rs] = hdr.beta_off
+        meta.slice_id[rs] = sid
+        if field is not None:
+            tok = np.full(len(ref_list), -1, np.int32)
+            for i, rp in enumerate(ref_list):
+                tok[i] = ref_tokens.setdefault(id(rp), len(ref_tokens))
+            inter = field.ref >= 0
+            # Row-slice views: fancy assignment lands in the frame arrays.
+            meta.ref_id[bs4][inter] = tok[field.ref[inter]]
+            meta.mvx[bs4][inter] = field.mvx[inter]
+            meta.mvy[bs4][inter] = field.mvy[inter]
 
     # -- reference marking (8.2.5) --------------------------------------------
 

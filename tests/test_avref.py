@@ -299,3 +299,31 @@ def test_oracle_detects_corruption():
     clipped = data[: len(data) - 40]      # cut into the final P slice
     pics, nerrors = avref.decode_pictures(clipped)
     assert nerrors > 0 or len(pics) < 2 + len(OFFSETS)
+
+
+@pytest.mark.parametrize("qp", [18, 26, 34, 44])
+def test_full_decoder_matches_libavcodec_x264_deblock(qp):
+    """Genuine x264 streams WITH the in-loop deblocking filter enabled
+    (IDR + P frames, adaptive per-MB QP, quarter-pel motion, partitions):
+    the native pixel oracle (ops/deblock.py) must match libavcodec
+    bit-for-bit on every plane."""
+    from h264_scroll_encoder_tpu import pixel_oracle as po
+    rng = np.random.default_rng(qp)
+    h, w = 128, 64
+    yy = np.mgrid[:h, :w][0]
+    frames = []
+    for k in range(3):
+        y = ((16 + (yy * 170) // h + rng.integers(0, 30, (h, w)))
+             .clip(0, 255).astype(np.uint8))
+        frames.append((y, rng.integers(16, 240, (h // 2, w // 2),
+                                       dtype=np.int64).astype(np.uint8),
+                       np.full((h // 2, w // 2), 128, np.uint8)))
+    data = avref.encode_x264(frames, qp=qp, keyint=99, refs=2)
+    pics_av, nerrors = avref.decode_pictures(data)
+    assert nerrors == 0
+    pics_po = po.decode_stream_pixels(data)
+    assert len(pics_av) == len(pics_po) == 3
+    for i, (a, b) in enumerate(zip(pics_av, pics_po)):
+        assert (a.y == b.y).all(), f"luma frame {i}"
+        assert (a.cb == b.cb).all(), f"cb frame {i}"
+        assert (a.cr == b.cr).all(), f"cr frame {i}"
