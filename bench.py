@@ -122,12 +122,19 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
     # per-dispatch tunnel RPC issue cost would otherwise dominate a
     # sub-10 ms step on this dev setup (the scroll config scans for the
     # same reason) — on-chip throughput is the quantity of interest.
+    # The carry XORs one header-symbol bit per iteration so the body is
+    # NOT loop-invariant (XLA otherwise hoists the whole step out of the
+    # scan and the loop measures nothing).
     steps_per_scan = 8
 
     def scan_fn(a):
+        hp0, hn0, *rest = a
+
         def body(carry, _):
-            _, nlen, _, _ = step(*a)
+            hp_i = hp0.at[:, 0].set(hp0[:, 0] ^ (carry % 2))
+            _, nlen, _, _ = step(hp_i, hn0, *rest)
             return carry + nlen.sum(dtype=jnp.uint32), None
+
         out, _ = jax.lax.scan(body, jnp.uint32(0), None,
                               length=steps_per_scan)
         return out

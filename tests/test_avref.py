@@ -327,3 +327,60 @@ def test_full_decoder_matches_libavcodec_x264_deblock(qp):
         assert (a.y == b.y).all(), f"luma frame {i}"
         assert (a.cb == b.cb).all(), f"cb frame {i}"
         assert (a.cr == b.cr).all(), f"cr frame {i}"
+
+
+def test_x264_donor_parity_vs_c_composer(ref_binaries, tmp_path):
+    """Genuine x264 donors through BOTH composers: every NAL must be
+    byte-identical except the PPS, which differs exactly by the donor QP
+    base we adopt and the reference hardcodes (defect #6) — scroll
+    P-frames and rewritten atlases are bit-equal, and only our stream
+    decodes clean."""
+    import subprocess
+    from h264_scroll_encoder_tpu.syntax import parse
+
+    exe = ref_binaries.get("composer")
+    if exe is None:
+        pytest.skip("composer unavailable")
+    da = avref.encode_x264([_real_content(11, 64, 240)], qp=24,
+                           keyint=1, refs=1)
+    db = avref.encode_x264([_real_content(12, 64, 240)], qp=24,
+                           keyint=1, refs=1)
+    (tmp_path / "a.h264").write_bytes(da)
+    (tmp_path / "b.h264").write_bytes(db)
+
+    out_c = tmp_path / "ref.h264"
+    subprocess.run([str(exe), "--ref-a", str(tmp_path / "a.h264"),
+                    "--ref-b", str(tmp_path / "b.h264"),
+                    "-n", "40", "-o", str(out_c)],
+                   capture_output=True, check=True)
+
+    sess = open_donor_session(tmp_path / "a.h264", tmp_path / "b.h264")
+    sess.write_parameter_sets()
+    sess.write_donor_atlases(sess._donor_a_rbsp, sess._donor_b_rbsp)
+    # The C CLI's triangle schedule at default speed 4 (src/main.c:109-128).
+    off, direction = 0, 4
+    for _ in range(40):
+        sess.write_scroll_or_waypoint_frame(off)
+        off += direction
+        if off >= sess.cfg.height or off <= 0:
+            direction = -direction
+            off = max(0, min(off, sess.cfg.height))
+    ours = list(parse.iter_nal_units(sess.getvalue()))
+    ref = list(parse.iter_nal_units(out_c.read_bytes()))
+    assert len(ours) == len(ref)
+    for i, (u, v) in enumerate(zip(ours, ref)):
+        assert u.nal_unit_type == v.nal_unit_type, i
+        if u.nal_unit_type == 8:           # PPS: ours carries donor QP base
+            ours_pps = parse.parse_pps(u.rbsp)
+            ref_pps = parse.parse_pps(v.rbsp)
+            assert ours_pps.pic_init_qp_minus26 == 24 - 26
+            assert ref_pps.pic_init_qp_minus26 == 0
+            assert (ours_pps.num_ref_idx_l0_default_active_minus1
+                    == ref_pps.num_ref_idx_l0_default_active_minus1)
+        else:
+            assert u.data == v.data, f"NAL {i} (type {u.nal_unit_type})"
+
+    # The decode-correctness consequence of the PPS difference:
+    _, ne_ours = avref.decode_pictures(sess.getvalue())
+    _, ne_ref = avref.decode_pictures(out_c.read_bytes())
+    assert ne_ours == 0
