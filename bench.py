@@ -128,11 +128,18 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
     steps_per_scan = 8
 
     def scan_fn(a):
-        hp0, hn0, *rest = a
+        hp0, hn0, bg_r, bg_x, bg_y, bg_c, dn0 = a
 
         def body(carry, _):
-            hp_i = hp0.at[:, 0].set(hp0[:, 0] ^ (carry % 2))
-            _, nlen, _, _ = step(hp_i, hn0, *rest)
+            # Perturb the header AND the donor symbol arrays by one
+            # carry-derived bit: in serving every frame carries fresh
+            # donor data, so nothing donor-derived may be treated as
+            # loop-invariant either.
+            bit = carry % 2
+            hp_i = hp0.at[:, 0].set(hp0[:, 0] ^ bit)
+            dn_i = dict(dn0)
+            dn_i["patterns"] = dn0["patterns"] ^ bit
+            _, nlen, _, _ = step(hp_i, hn0, bg_r, bg_x, bg_y, bg_c, dn_i)
             return carry + nlen.sum(dtype=jnp.uint32), None
 
         out, _ = jax.lax.scan(body, jnp.uint32(0), None,

@@ -137,14 +137,19 @@ def make_sharded_step(cfg: ComposerConfig, mesh: Mesh, axis: str = "sessions",
 
 @functools.lru_cache(maxsize=None)
 def make_batched_hint_step(cfg: ComposerConfig, *,
-                           enable_pskip: bool = True):
+                           enable_pskip: bool = True,
+                           compact_x: bool = False):
     """jit(vmap) of the hint-frame kernel: per-session (frame_num,
     ref/mv field grids) -> one P-frame NAL each (static chrome collapses
     to P_Skip runs; BASELINE 'composer 720p' config at serving scale).
 
     Field grids come from models/hints.hint_fields (or any per-session
     composition logic); waypoint registries ride along for the reference
-    list.  Returns (nal, nal_len, rbsp_bits, overflow) batched.
+    list.  compact_x packs each MB into two symbol slots instead of
+    three (see scroll.emit_p_frame) — valid whenever every hint region's
+    mv_x is zero (the vertical-scroll serving shape); byte-identical to
+    the generic layout there and ~1.26x on the batch step.  Returns
+    (nal, nal_len, rbsp_bits, overflow) batched.
     """
     from ..models import scroll as scroll_model
     from ..syntax.slice_headers import p_slice_header_symbols
@@ -158,7 +163,8 @@ def make_batched_hint_step(cfg: ComposerConfig, *,
             wp_valid=wp_valid)
         return scroll_model.emit_p_frame(
             cfg, hp, hn, ref, mv_x, mv_y, num_refs=2 + wp_count,
-            nal_ref_idc=0, enable_pskip=enable_pskip)
+            nal_ref_idc=0, enable_pskip=enable_pskip,
+            compact_x=compact_x)
 
     return jax.jit(jax.vmap(one))
 

@@ -135,6 +135,20 @@ def test_batched_hint_step_matches_session():
     for b in range(B):
         assert np.asarray(nal[b])[: int(nal_len[b])].tobytes() == exp_nal
 
+    # Compact 2-slot layout (valid: every hint mv_x is 0): byte-identical.
+    step_c = batch.make_batched_hint_step(cfg, compact_x=True)
+    nal_c, len_c, _, ovf_c = step_c(
+        jnp.full((B,), 2, jnp.int32),
+        jnp.broadcast_to(ref, (B,) + ref.shape),
+        jnp.broadcast_to(mvx, (B,) + mvx.shape),
+        jnp.broadcast_to(mvy, (B,) + mvy.shape),
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B, MAX_WAYPOINTS), jnp.int32),
+        jnp.zeros((B, MAX_WAYPOINTS), bool))
+    assert not bool(ovf_c.any())
+    for b in range(B):
+        assert np.asarray(nal_c[b])[: int(len_c[b])].tobytes() == exp_nal
+
 
 def test_hint_frame_occlusion_order():
     """Later regions override earlier ones (z-order)."""
