@@ -384,3 +384,46 @@ def test_x264_donor_parity_vs_c_composer(ref_binaries, tmp_path):
     _, ne_ours = avref.decode_pictures(sess.getvalue())
     _, ne_ref = avref.decode_pictures(out_c.read_bytes())
     assert ne_ours == 0
+
+
+def test_serving_soak_mixed_generators():
+    """One session interleaving every frame generator at serving shape:
+    scroll (with waypoint crossings), hint compositions, dynamic-rect
+    splices, and P_Skip-heavy statics — frame_num continuity across
+    generators, then the whole stream must decode clean in libavcodec
+    and bit-match the native oracle on every frame."""
+    rng = np.random.default_rng(99)
+    s = ComposerSession(ComposerConfig(320, 1024), enable_pskip=True)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    s.preprovision_waypoints()
+    n_frames = 2 + 2  # atlases + preprovisioned waypoints
+
+    donor = fixtures.representative_donor_grid(rng, 4, 3)
+    hint = FrameHints(motion_regions=(
+        MotionRegion(0, 2, 20, 10, ref_idx=0, mv_x=0, mv_y=48),
+        MotionRegion(0, 40, 20, 50, ref_idx=1, mv_x=0, mv_y=-32)))
+    splice_hints = FrameHints(
+        motion_regions=(MotionRegion(0, 0, 20, 8, ref_idx=0,
+                                     mv_x=0, mv_y=24),),
+        dynamic_mb_x=8, dynamic_mb_y=30)
+
+    off = 0
+    for i in range(40):
+        kind = i % 5
+        if kind in (0, 1, 2):
+            s.write_scroll_or_waypoint_frame(off)
+            n_frames += 1
+            off = min(off + 37, 1008)
+        elif kind == 3:
+            s.write_hint_frame(hint)
+            n_frames += 1
+        else:
+            s.write_spliced_frame(splice_hints, donor)
+            n_frames += 1
+
+    data = s.getvalue()
+    from h264_scroll_encoder_tpu.verify import verify_stream
+    rep = verify_stream(data)
+    assert rep.ok, rep.errors
+    _assert_conforms(data, expect_frames=n_frames)
