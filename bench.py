@@ -95,8 +95,9 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
     t0 = time.perf_counter()
     dd = splice_device.prepare_donor_dense_from_slice(
         payload, 0, C, R, 1, 2)
+    dr = splice_device.pack_donor_rows(dd, R, C)
     prep_ms = (time.perf_counter() - t0) * 1000.0
-    dn = splice_device.dense_device_arrays(dd)
+    dn = splice_device.rows_device_arrays(dr)
 
     H, W = cfg.mb_height, cfg.mb_width
     zero = jnp.zeros((H, W), jnp.int32)
@@ -107,9 +108,10 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
         wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
         wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
 
-    step = batch_mod.make_batched_splice_step_dense(
-        cfg, c0, r0, C, R, num_refs=2, has_align=dd.has_align,
-        n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dd.donor_bits,
+    step = batch_mod.make_batched_splice_step_rows(
+        cfg, c0, r0, C, R, dr.first_c, dr.donor_bits,
+        num_refs=2, has_align=dr.has_align,
+        n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dr.donor_bits,
                                         bg_bits_per_mb=16))
     bcast = lambda x: jnp.broadcast_to(x, (batch_size,) + x.shape)
     args = (bcast(hp), bcast(hn), bcast(zero), bcast(zero), bcast(zero),
@@ -138,7 +140,7 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
             bit = carry % 2
             hp_i = hp0.at[:, 0].set(hp0[:, 0] ^ bit)
             dn_i = dict(dn0)
-            dn_i["patterns"] = dn0["patterns"] ^ bit
+            dn_i["row_patterns"] = dn0["row_patterns"] ^ bit
             _, nlen, _, _ = step(hp_i, hn0, bg_r, bg_x, bg_y, bg_c, dn_i)
             return carry + nlen.sum(dtype=jnp.uint32), None
 

@@ -776,6 +776,116 @@ class _ChunkFuser:
             self._n = 0
 
 
+# Row-contiguous donor layout: quantization classes for the per-row
+# fused chunk count (compiled programs are shared per class).
+ROW_CHUNK_CLASSES = (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
+                     768, 1024, 1536, 2048)
+
+
+@dataclasses.dataclass
+class DonorRows:
+    """Row-contiguous dense donor layout.
+
+    Each rect row's donor macroblocks are fused into ONE contiguous
+    chunk stream with the row-interior mb_skip_run symbols (which are
+    donor-static: gaps between coded donor MBs inside the row) already
+    encoded in place.  Only the FIRST coded MB of each row needs a
+    dynamic skip run (it counts background skips to the left/above),
+    emitted by the device into one reserved slot per row.  This removes
+    the per-MB chunk-class padding that made worst-case dense donors
+    carry ~5x dead symbol lanes through the packer."""
+    row_patterns: np.ndarray      # u32 [R, S_row]
+    row_nbits: np.ndarray         # i32 [R, S_row] (ALIGN_SENTINEL kept)
+    first_c: np.ndarray           # i32 [R] rect col of first coded MB (-1)
+    coded: np.ndarray             # bool [M] (composite mask scatter)
+    a_ref: np.ndarray
+    a_mvx: np.ndarray
+    a_mvy: np.ndarray
+    b_ref: np.ndarray
+    b_mvx: np.ndarray
+    b_mvy: np.ndarray
+    d_ref: np.ndarray
+    d_mvx: np.ndarray
+    d_mvy: np.ndarray
+    donor_bits: int               # static bits incl. fused interior runs
+    has_align: bool
+
+
+def _ue_bits(v: int) -> tuple:
+    """(pattern, nbits) of ue(v) — [zeros][binary(v+1)]."""
+    n = (v + 1).bit_length()
+    return v + 1, 2 * n - 1
+
+
+def pack_donor_rows(dd: DonorDense, R: int, C: int) -> DonorRows:
+    """Repack per-MB chunk arrays into the row-contiguous layout."""
+    coded = np.asarray(dd.coded, bool).reshape(R, C)
+    S = dd.patterns.shape[1]
+    rows = []
+    first_c = np.full(R, -1, np.int32)
+    donor_bits = 0
+    has_align = False
+    for r in range(R):
+        f = _ChunkFuser()
+        last = None
+        for c in range(C):
+            if not coded[r, c]:
+                continue
+            if last is None:
+                first_c[r] = c
+            else:
+                pat, n = _ue_bits(c - last - 1)
+                f.put(pat, n)
+                donor_bits += n
+            last = c
+            m = r * C + c
+            for k in range(S):
+                n = int(dd.nbits[m, k])
+                if n == 0:
+                    break
+                if n == ALIGN_SENTINEL:
+                    has_align = True
+                    donor_bits += 7
+                f.put(int(dd.patterns[m, k]), n)
+                if n > 0:
+                    donor_bits += n
+        f.flush()
+        rows.append(f.chunks)
+
+    need = max((len(ch) for ch in rows), default=1)
+    s_row = next((x for x in ROW_CHUNK_CLASSES if need <= x),
+                 ROW_CHUNK_CLASSES[-1])
+    if need > s_row:
+        raise OverflowError(
+            f"donor row needs {need} chunk slots > max class {s_row}")
+    patterns = np.zeros((R, s_row), np.uint32)
+    nbits = np.zeros((R, s_row), np.int32)
+    for r, chunks in enumerate(rows):
+        for k, (pat, n) in enumerate(chunks):
+            patterns[r, k] = pat
+            nbits[r, k] = n
+    return DonorRows(patterns, nbits, first_c, np.asarray(dd.coded, bool),
+                     dd.a_ref, dd.a_mvx, dd.a_mvy,
+                     dd.b_ref, dd.b_mvx, dd.b_mvy,
+                     dd.d_ref, dd.d_mvx, dd.d_mvy,
+                     donor_bits, has_align)
+
+
+def rows_device_arrays(dr: DonorRows) -> dict:
+    """DonorRows -> jnp arrays dict (one host->device transfer set)."""
+    return {
+        "row_patterns": jnp.asarray(dr.row_patterns),
+        "row_nbits": jnp.asarray(dr.row_nbits),
+        "coded": jnp.asarray(dr.coded),
+        "a_ref": jnp.asarray(dr.a_ref), "a_mvx": jnp.asarray(dr.a_mvx),
+        "a_mvy": jnp.asarray(dr.a_mvy),
+        "b_ref": jnp.asarray(dr.b_ref), "b_mvx": jnp.asarray(dr.b_mvx),
+        "b_mvy": jnp.asarray(dr.b_mvy),
+        "d_ref": jnp.asarray(dr.d_ref), "d_mvx": jnp.asarray(dr.d_mvx),
+        "d_mvy": jnp.asarray(dr.d_mvy),
+    }
+
+
 def donor_edge_motion(donor_grid: list, *, left_ring=None, top_ring=None,
                       right_ring=None, rect_at_left_edge=False,
                       rect_at_top_edge=False, rect_at_right_edge=False):
@@ -1088,37 +1198,11 @@ def splice_rbsp_budget(cfg: ComposerConfig, m_donor: int, donor_bits: int,
     return (total + quantum - 1) // quantum * quantum
 
 
-def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
-                             rect_mb_y: int, R: int, C: int, num_refs: int,
-                             header_patterns, header_nbits,
-                             bg_ref, bg_mv_x, bg_mv_y, bg_coded,
-                             dn: dict, nal_ref_idc: int = 0, *,
-                             has_align: bool = False,
-                             n_rbsp: int | None = None,
-                             ebsp_exact: bool = False):
-    """Device splice, dense-donor hot path.
-
-    Donor macroblock bits arrive fully resolved as dense chunk arrays
-    (prepare_donor_dense); the device computes exact MV prediction for
-    coded background MBs via the role stencil (donor edge 4x4 values in
-    dn), derives composite skip runs, lays the frame out as three
-    statically-shaped bands (above / rect rows / below) and runs the
-    standard pack -> emulation prevention -> NAL pipeline.
-
-    `has_align` (static) enables the I_PCM alignment phase scan.
-    `n_rbsp` overrides the working-buffer budget (static; defaults to
-    splice_rbsp_budget of the donor's chunk class).  `ebsp_exact` selects
-    the unbounded emulation-prevention path — the retry a caller uses
-    when the bounded fast path flags overflow (e.g. donors with long
-    zero runs: all-zero I_PCM payloads insert one 03 per 2 zero bytes,
-    far past MAX_EBSP_INSERTIONS).
-    """
+def _dense_prologue(cfg, r0, c0, R, C, num_refs,
+                    bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn):
+    """Shared composite-grid stage of the dense splice emitters: role
+    scatter, exact MV prediction, skip runs, background 3-slot symbols."""
     H, W = cfg.mb_height, cfg.mb_width
-    r0, c0 = rect_mb_y, rect_mb_x
-    assert r0 + R <= H and c0 + C <= W
-    M = R * C
-    S = dn["patterns"].shape[1]
-
     donor_coded = dn["coded"].reshape(R, C)
     in_rect = jnp.zeros((H, W), bool).at[r0:r0 + R, c0:c0 + C].set(True)
 
@@ -1174,8 +1258,48 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
                      axis=1).reshape(H, W, 3)
     bg_n = jnp.stack([a_n * bg_i, mvx_n * bg_i, c_n * bg_i],
                      axis=1).reshape(H, W, 3)
+    return bg_p, bg_n, sr_pat, sr_n, coded_f, last_incl, donor_coded
+
+
+def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
+                             rect_mb_y: int, R: int, C: int, num_refs: int,
+                             header_patterns, header_nbits,
+                             bg_ref, bg_mv_x, bg_mv_y, bg_coded,
+                             dn: dict, nal_ref_idc: int = 0, *,
+                             has_align: bool = False,
+                             n_rbsp: int | None = None,
+                             ebsp_exact: bool = False):
+    """Device splice, dense-donor hot path.
+
+    Donor macroblock bits arrive fully resolved as dense chunk arrays
+    (prepare_donor_dense); the device computes exact MV prediction for
+    coded background MBs via the role stencil (donor edge 4x4 values in
+    dn), derives composite skip runs, lays the frame out as three
+    statically-shaped bands (above / rect rows / below) and runs the
+    standard pack -> emulation prevention -> NAL pipeline.
+
+    `has_align` (static) enables the I_PCM alignment phase scan.
+    `n_rbsp` overrides the working-buffer budget (static; defaults to
+    splice_rbsp_budget of the donor's chunk class).  `ebsp_exact` selects
+    the unbounded emulation-prevention path — the retry a caller uses
+    when the bounded fast path flags overflow (e.g. donors with long
+    zero runs: all-zero I_PCM payloads insert one 03 per 2 zero bytes,
+    far past MAX_EBSP_INSERTIONS).
+    """
+    H, W = cfg.mb_height, cfg.mb_width
+    r0, c0 = rect_mb_y, rect_mb_x
+    assert r0 + R <= H and c0 + C <= W
+    M = R * C
+    S = dn["patterns"].shape[1]
+
+    (bg_p, bg_n, sr_pat, sr_n, coded_f, last_incl,
+     donor_coded) = _dense_prologue(cfg, r0, c0, R, C, num_refs,
+                                    bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn)
+    n_mbs = H * W
+    zero = jnp.uint32(0)
 
     # Donor MB slots: [skip_run | S dense chunks].
+    in_rect = jnp.zeros((H, W), bool).at[r0:r0 + R, c0:c0 + C].set(True)
     d_active = coded_f & in_rect.reshape(-1)
     d_sr_p = jnp.where(d_active, sr_pat, zero).reshape(H, W)
     d_sr_n = (sr_n * d_active.astype(jnp.int32)).reshape(H, W)
@@ -1210,6 +1334,19 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
         [header_nbits, bg_n[:r0].reshape(-1), rect_n,
          bg_n[r0 + R:].reshape(-1), ts_n[None]])
 
+    if n_rbsp is None:
+        # Conservative default: the donor chunk-class capacity.  Callers
+        # on the serving path pass splice_rbsp_budget(cfg, M,
+        # dd.donor_bits) — the measured 7.5x cheaper honest budget.
+        n_rbsp = splice_rbsp_budget(cfg, M, M * S * 32)
+    return _finish_splice(patterns, nbits, n_rbsp, nal_ref_idc,
+                          has_align=has_align, ebsp_exact=ebsp_exact)
+
+
+def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
+                   has_align: bool, ebsp_exact: bool):
+    """Shared back end of the splice emitters: I_PCM alignment phase
+    scan, trailing bits, tree pack, emulation prevention, NAL framing."""
     if has_align:
         # Resolve pcm_alignment_zero_bits via the affine phase scan on Z8
         # (see emit_spliced_frame).
@@ -1233,11 +1370,6 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
-    if n_rbsp is None:
-        # Conservative default: the donor chunk-class capacity.  Callers
-        # on the serving path pass splice_rbsp_budget(cfg, M,
-        # dd.donor_bits) — the measured 7.5x cheaper honest budget.
-        n_rbsp = splice_rbsp_budget(cfg, M, M * S * 32)
     rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
                                                      n_rbsp)
     rbsp_len = total_bits // 8
@@ -1261,6 +1393,75 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
     out = jax.lax.dynamic_update_slice(out, ebsp_bytes, (5,))
     out = jax.lax.dynamic_update_slice(out, prefix, (0,))
     return out, 5 + ebsp_len, total_bits, overflow
+
+
+def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
+                            rect_mb_y: int, R: int, C: int, num_refs: int,
+                            header_patterns, header_nbits,
+                            bg_ref, bg_mv_x, bg_mv_y, bg_coded,
+                            dn: dict, first_c, donor_bits: int,
+                            nal_ref_idc: int = 0, *,
+                            has_align: bool = False,
+                            n_rbsp: int | None = None,
+                            ebsp_exact: bool = False):
+    """Device splice over the row-contiguous donor layout (DonorRows).
+
+    Donor bits arrive as ONE fused chunk stream per rect row with the
+    row-interior skip runs already encoded (pack_donor_rows); the device
+    contributes one dynamic skip-run slot per row (the run of the row's
+    first coded donor MB, which counts composite background skips).
+    Byte-identical to emit_spliced_frame_dense with ~5x fewer padded
+    symbol lanes on worst-case dense donors.
+
+    `first_c` is the host-static per-row rect column of the first coded
+    donor MB (-1 for an all-skipped row); `donor_bits` the static donor
+    payload bits (for the default budget)."""
+    H, W = cfg.mb_height, cfg.mb_width
+    r0, c0 = rect_mb_y, rect_mb_x
+    assert r0 + R <= H and c0 + C <= W
+    M = R * C
+
+    (bg_p, bg_n, sr_pat, sr_n, coded_f, last_incl,
+     _donor_coded) = _dense_prologue(cfg, r0, c0, R, C, num_refs,
+                                     bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn)
+    n_mbs = H * W
+
+    # Dynamic first-run slots: gather the composite skip run at each
+    # row's first coded donor MB (host-static flat indices).
+    first_c = np.asarray(first_c, np.int64)
+    flat_idx = jnp.asarray(
+        [(r0 + r) * W + c0 + max(int(first_c[r]), 0) for r in range(R)],
+        jnp.int32)
+    valid = jnp.asarray(first_c >= 0)
+    dyn_p = jnp.where(valid, sr_pat[flat_idx], 0)[:, None]
+    dyn_n = jnp.where(valid, sr_n[flat_idx], 0)[:, None]
+
+    rect_p = jnp.concatenate(
+        [bg_p[r0:r0 + R, :c0].reshape(R, c0 * 3),
+         dyn_p.astype(jnp.uint32), dn["row_patterns"],
+         bg_p[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+        axis=1).reshape(-1)
+    rect_n = jnp.concatenate(
+        [bg_n[r0:r0 + R, :c0].reshape(R, c0 * 3),
+         dyn_n.astype(jnp.int32), dn["row_nbits"],
+         bg_n[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+        axis=1).reshape(-1)
+
+    tail_skips = jnp.int32(n_mbs) - 1 - last_incl[-1]
+    ts_pat, ts_n = expgolomb.ue(tail_skips.astype(jnp.uint32))
+    ts_n = jnp.where(tail_skips > 0, ts_n, 0)
+
+    patterns = jnp.concatenate(
+        [header_patterns, bg_p[:r0].reshape(-1), rect_p,
+         bg_p[r0 + R:].reshape(-1), ts_pat[None]])
+    nbits = jnp.concatenate(
+        [header_nbits, bg_n[:r0].reshape(-1), rect_n,
+         bg_n[r0 + R:].reshape(-1), ts_n[None]])
+
+    if n_rbsp is None:
+        n_rbsp = splice_rbsp_budget(cfg, M, donor_bits)
+    return _finish_splice(patterns, nbits, n_rbsp, nal_ref_idc,
+                          has_align=has_align, ebsp_exact=ebsp_exact)
 
 
 def donor_device_arrays(ds: DonorSymbols) -> dict:

@@ -216,6 +216,29 @@ def make_batched_splice_step_dense(cfg: ComposerConfig, rect_mb_x: int,
     return jax.jit(jax.vmap(one))
 
 
+def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
+                                  rect_mb_y: int, rect_w: int, rect_h: int,
+                                  first_c, donor_bits: int,
+                                  num_refs: int = 2, *,
+                                  has_align: bool = False,
+                                  n_rbsp: int | None = None,
+                                  ebsp_exact: bool = False):
+    """jit(vmap) of the row-contiguous dense splice kernel (see
+    splice_device.pack_donor_rows): byte-identical to the per-MB dense
+    step with a fraction of the padded symbol lanes.  `first_c` /
+    `donor_bits` are the DonorRows statics."""
+    from ..models import splice_device
+
+    def one(hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn):
+        return splice_device.emit_spliced_frame_rows(
+            cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
+            hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn,
+            first_c, donor_bits,
+            has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact)
+
+    return jax.jit(jax.vmap(one))
+
+
 def run_frames(cfg: ComposerConfig, state: SessionState, offsets,
                *, enable_pskip: bool = False, emit_waypoints: bool = True,
                composer_semantics: bool = False):

@@ -359,3 +359,55 @@ def test_device_splice_nc_repair_matters():
         for r in range(4))
     assert has_left_residual, "fixture too sparse; bump seed"
     assert ds.coded.any()
+
+
+def test_rows_layout_matches_dense():
+    """The row-contiguous donor layout (pack_donor_rows +
+    emit_spliced_frame_rows) is byte-identical to the per-MB dense path
+    across donor classes — representative, worst-case dense, and
+    I_PCM-bearing (alignment sentinels fused mid-row)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS, ComposerConfig
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.syntax.slice_headers import (
+        p_slice_header_symbols)
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    cfg = ComposerConfig(320, 240)
+    rng = np.random.default_rng(5)
+    H, W = cfg.mb_height, cfg.mb_width
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(3), jnp.int32(6), is_reference=False,
+        long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+
+    grids = [fixtures.representative_donor_grid(rng, 6, 5),
+             fixtures.dense_donor_grid(rng, 6, 5),
+             fixtures.random_p_slice_grid(rng, 6, 5, 1)]  # has I_PCM
+    for grid in grids:
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, grid, 1)
+        bw.write_trailing_bits()
+        R, C = len(grid), len(grid[0])
+        dd = sd.prepare_donor_dense_from_slice(bw.getvalue(), 0, C, R, 1, 2)
+        dr = sd.pack_donor_rows(dd, R, C)
+        budget = sd.splice_rbsp_budget(
+            cfg, R * C, max(dd.donor_bits, dr.donor_bits))
+        a = sd.emit_spliced_frame_dense(
+            cfg, 4, 3, R, C, 2, hp, hn, zero, zero, zero, bg_coded,
+            sd.dense_device_arrays(dd), has_align=dd.has_align,
+            n_rbsp=budget)
+        b = sd.emit_spliced_frame_rows(
+            cfg, 4, 3, R, C, 2, hp, hn, zero, zero, zero, bg_coded,
+            sd.rows_device_arrays(dr), dr.first_c, dr.donor_bits,
+            has_align=dr.has_align, n_rbsp=budget)
+        la, lb = int(a[1]), int(b[1])
+        assert not bool(np.asarray(a[3])) and not bool(np.asarray(b[3]))
+        assert la == lb
+        assert (np.asarray(a[0])[:la] == np.asarray(b[0])[:lb]).all()
