@@ -818,7 +818,30 @@ def _ue_bits(v: int) -> tuple:
 
 
 def pack_donor_rows(dd: DonorDense, R: int, C: int) -> DonorRows:
-    """Repack per-MB chunk arrays into the row-contiguous layout."""
+    """Repack per-MB chunk arrays into the row-contiguous layout.
+
+    Uses the native engine (cavlc_pack_rows) when built — the Python
+    fuse loop below is its differential-tested twin and fallback."""
+    from .. import native_bridge
+    if native_bridge.native_available():
+        got = native_bridge.pack_rows_native(
+            dd.patterns, dd.nbits, dd.coded, R, C, ROW_CHUNK_CLASSES[-1])
+        if got is not None:
+            pat, nb, first_c, donor_bits, need = got
+            s_row = next((x for x in ROW_CHUNK_CLASSES if need <= x),
+                         ROW_CHUNK_CLASSES[-1])
+            if need > s_row:
+                raise OverflowError(
+                    f"donor row needs {need} chunk slots > max class "
+                    f"{s_row}")
+            has_align = bool((np.asarray(dd.nbits) == ALIGN_SENTINEL).any())
+            return DonorRows(pat[:, :s_row].copy(), nb[:, :s_row].copy(),
+                             first_c, np.asarray(dd.coded, bool),
+                             dd.a_ref, dd.a_mvx, dd.a_mvy,
+                             dd.b_ref, dd.b_mvx, dd.b_mvy,
+                             dd.d_ref, dd.d_mvx, dd.d_mvy,
+                             donor_bits, has_align)
+
     coded = np.asarray(dd.coded, bool).reshape(R, C)
     S = dd.patterns.shape[1]
     rows = []

@@ -107,6 +107,15 @@ def load_library(build: bool = True):
     ]
     lib.cavlc_set_bug_compat.restype = None
     lib.cavlc_set_bug_compat.argtypes = [ctypes.c_int]
+    lib.cavlc_pack_rows.restype = ctypes.c_int
+    lib.cavlc_pack_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int),
+    ]
     if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
         raise RuntimeError("native MBRec layout mismatch")
     return lib
@@ -390,3 +399,34 @@ def mv_edge_roles_raw(recs, mb_width: int, mb_height: int,
     if err:
         raise cavlc.CAVLCError(f"native mv edge roles failed: {err}")
     return a, b, d
+
+
+def pack_rows_native(patterns: np.ndarray, nbits: np.ndarray,
+                     coded: np.ndarray, R: int, C: int, s_row: int):
+    """Native row-contiguous repack (cavlc_pack_rows) -> (row_patterns,
+    row_nbits, first_c, donor_bits) or None when unavailable / when the
+    rows need more than s_row slots (caller retries with a bigger
+    class)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    patterns = np.ascontiguousarray(patterns, np.uint32)
+    nbits = np.ascontiguousarray(nbits, np.int32)
+    coded_u8 = np.ascontiguousarray(coded, np.uint8)
+    out_pat = np.zeros((R, s_row), np.uint32)
+    out_nb = np.zeros((R, s_row), np.int32)
+    first_c = np.zeros(R, np.int32)
+    donor_bits = ctypes.c_long(0)
+    needed = ctypes.c_int(0)
+    err = lib.cavlc_pack_rows(
+        patterns.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nbits.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        coded_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        R, C, patterns.shape[1], s_row,
+        out_pat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        out_nb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        first_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(donor_bits), ctypes.byref(needed))
+    if err:
+        return None
+    return out_pat, out_nb, first_c, int(donor_bits.value), needed.value

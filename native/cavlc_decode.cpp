@@ -1093,6 +1093,93 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
   return (needed > s_class) ? -101 : 0;
 }
 
+// Row-contiguous repack of per-MB chunk arrays (the C++ twin of
+// models/splice_device.pack_donor_rows): fuse each rect row's coded
+// donor MBs into one chunk stream with the row-interior skip runs
+// (static gaps between coded MBs) encoded in place.  ALIGN sentinel
+// slots (nbits == -1, I_PCM pcm_alignment_zero_bits) flush the fuse
+// accumulator and pass through unchanged.
+extern "C" int cavlc_pack_rows(const uint32_t* patterns,
+                               const int32_t* nbits, const uint8_t* coded,
+                               int R, int C, int S, int s_row,
+                               uint32_t* out_pat, int32_t* out_nb,
+                               int32_t* out_first_c, long* out_donor_bits,
+                               int* out_needed) {
+  long donor_bits = 0;
+  int needed = 0;
+  int err = 0;
+  for (int r = 0; r < R; ++r) {
+    uint32_t* op = out_pat + (long)r * s_row;
+    int32_t* on = out_nb + (long)r * s_row;
+    int k = 0;
+    unsigned long long acc = 0;
+    int accn = 0;
+    out_first_c[r] = -1;
+    int last = -1;
+
+    auto put = [&](uint32_t pat, int n) {
+      acc = (acc << n) | (pat & ((n >= 32) ? 0xFFFFFFFFu
+                                           : ((1u << n) - 1u)));
+      accn += n;
+      while (accn >= 32) {
+        if (k < s_row) {
+          op[k] = (uint32_t)(acc >> (accn - 32));
+          on[k] = 32;
+        }
+        ++k;
+        accn -= 32;
+        acc &= (accn ? ((1ULL << accn) - 1) : 0);
+      }
+    };
+    auto flush = [&]() {
+      if (accn > 0) {
+        if (k < s_row) {
+          op[k] = (uint32_t)acc;
+          on[k] = accn;
+        }
+        ++k;
+        acc = 0;
+        accn = 0;
+      }
+    };
+
+    for (int c = 0; c < C; ++c) {
+      if (!coded[r * C + c]) continue;
+      if (last < 0) {
+        out_first_c[r] = c;
+      } else {
+        // ue(run): [zeros][binary(run+1)].
+        uint32_t v = (uint32_t)(c - last);  // run + 1
+        int bl = 32 - __builtin_clz(v);
+        put(v, 2 * bl - 1);
+        donor_bits += 2 * bl - 1;
+      }
+      last = c;
+      const uint32_t* mp = patterns + ((long)r * C + c) * S;
+      const int32_t* mn = nbits + ((long)r * C + c) * S;
+      for (int i = 0; i < S; ++i) {
+        int n = mn[i];
+        if (n == 0) break;
+        if (n == -1) {                    // ALIGN sentinel
+          flush();
+          if (k < s_row) { op[k] = 0; on[k] = -1; }
+          ++k;
+          donor_bits += 7;
+        } else {
+          put(mp[i], n);
+          donor_bits += n;
+        }
+      }
+    }
+    flush();
+    if (k > needed) needed = k;
+    if (k > s_row) err = -101;
+  }
+  *out_donor_bits = donor_bits;
+  *out_needed = needed;
+  return err;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

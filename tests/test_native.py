@@ -256,3 +256,36 @@ def test_native_dense_prep_matches_python():
                   "d_ref", "d_mvx", "d_mvy"):
             assert np.array_equal(getattr(dd_nat, f), getattr(dd_py, f)), \
                 (case, f)
+
+
+def test_native_pack_rows_matches_python():
+    """cavlc_pack_rows (C++) vs the Python fuse loop: identical row
+    layouts across donor classes incl. I_PCM alignment sentinels."""
+    import numpy as np
+    from h264_scroll_encoder_tpu import native_bridge
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+
+    if not native_bridge.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    for grid in (fixtures.representative_donor_grid(rng, 9, 7),
+                 fixtures.dense_donor_grid(rng, 9, 7),
+                 fixtures.random_p_slice_grid(rng, 9, 7, 1)):
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, grid, 1)
+        bw.write_trailing_bits()
+        R, C = len(grid), len(grid[0])
+        dd = sd.prepare_donor_dense_from_slice(bw.getvalue(), 0, C, R, 1, 2)
+        a = sd.pack_donor_rows(dd, R, C)
+        orig = native_bridge.native_available
+        native_bridge.native_available = lambda: False
+        try:
+            b = sd.pack_donor_rows(dd, R, C)
+        finally:
+            native_bridge.native_available = orig
+        assert np.array_equal(a.row_patterns, b.row_patterns)
+        assert np.array_equal(a.row_nbits, b.row_nbits)
+        assert np.array_equal(a.first_c, b.first_c)
+        assert (a.donor_bits, a.has_align) == (b.donor_bits, b.has_align)
