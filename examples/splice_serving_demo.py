@@ -61,9 +61,10 @@ def main() -> None:
     t0 = time.perf_counter()
     dd = splice_device.prepare_donor_dense_from_slice(
         payload, 0, C, R, 1, 2)
+    dr = splice_device.pack_donor_rows(dd, R, C)
     t_prep = time.perf_counter() - t0
     # (First jnp transfer pays backend init; not part of per-donor prep.)
-    dn = splice_device.dense_device_arrays(dd)
+    dn = splice_device.rows_device_arrays(dr)
 
     H, W = cfg.mb_height, cfg.mb_width
     zero = jnp.zeros((H, W), jnp.int32)
@@ -74,9 +75,10 @@ def main() -> None:
         wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
         wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
 
-    step = batch.make_batched_splice_step_dense(
-        cfg, c0, r0, C, R, num_refs=2, has_align=dd.has_align,
-        n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dd.donor_bits))
+    step = batch.make_batched_splice_step_rows(
+        cfg, c0, r0, C, R, dr.first_c, dr.donor_bits,
+        num_refs=2, has_align=dr.has_align,
+        n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dr.donor_bits))
     bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
     args = (bcast(hp), bcast(hn), bcast(zero), bcast(zero), bcast(zero),
             bcast(bg_coded), {k: bcast(v) for k, v in dn.items()})
