@@ -1273,15 +1273,29 @@ def _dense_prologue(cfg, r0, c0, R, C, num_refs,
     c_pat, c_n = bitpack.merge_symbol_pairs(mvy_pat, mvy_n, cbp_pat, cbp_n)
 
     bg_active = coded_f & ~in_rect.reshape(-1)
+    return {
+        "a_pat": a_pat, "a_n": a_n,
+        "mvx_pat": mvx_pat, "mvx_n": mvx_n,
+        "c_pat": c_pat, "c_n": c_n,
+        "bg_active": bg_active,
+        "sr_pat": sr_pat, "sr_n": sr_n,
+        "coded_f": coded_f, "last_incl": last_incl,
+        "donor_coded": donor_coded,
+    }
+
+
+def _bg3(pro, H, W):
+    """Generic 3-slot background symbol grids [H, W, 3]."""
+    bg_active = pro["bg_active"]
     bg_i = bg_active.astype(jnp.int32)
     zero = jnp.uint32(0)
-    bg_p = jnp.stack([jnp.where(bg_active, a_pat, zero),
-                      jnp.where(bg_active, mvx_pat, zero),
-                      jnp.where(bg_active, c_pat, zero)],
+    bg_p = jnp.stack([jnp.where(bg_active, pro["a_pat"], zero),
+                      jnp.where(bg_active, pro["mvx_pat"], zero),
+                      jnp.where(bg_active, pro["c_pat"], zero)],
                      axis=1).reshape(H, W, 3)
-    bg_n = jnp.stack([a_n * bg_i, mvx_n * bg_i, c_n * bg_i],
-                     axis=1).reshape(H, W, 3)
-    return bg_p, bg_n, sr_pat, sr_n, coded_f, last_incl, donor_coded
+    bg_n = jnp.stack([pro["a_n"] * bg_i, pro["mvx_n"] * bg_i,
+                      pro["c_n"] * bg_i], axis=1).reshape(H, W, 3)
+    return bg_p, bg_n
 
 
 def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
@@ -1315,9 +1329,12 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
     M = R * C
     S = dn["patterns"].shape[1]
 
-    (bg_p, bg_n, sr_pat, sr_n, coded_f, last_incl,
-     donor_coded) = _dense_prologue(cfg, r0, c0, R, C, num_refs,
-                                    bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn)
+    pro = _dense_prologue(cfg, r0, c0, R, C, num_refs,
+                          bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn)
+    bg_p, bg_n = _bg3(pro, H, W)
+    sr_pat, sr_n = pro["sr_pat"], pro["sr_n"]
+    coded_f, last_incl = pro["coded_f"], pro["last_incl"]
+    donor_coded = pro["donor_coded"]
     n_mbs = H * W
     zero = jnp.uint32(0)
 
@@ -1426,7 +1443,8 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                             nal_ref_idc: int = 0, *,
                             has_align: bool = False,
                             n_rbsp: int | None = None,
-                            ebsp_exact: bool = False):
+                            ebsp_exact: bool = False,
+                            compact_x: bool = False):
     """Device splice over the row-contiguous donor layout (DonorRows).
 
     Donor bits arrive as ONE fused chunk stream per rect row with the
@@ -1444,9 +1462,11 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
     assert r0 + R <= H and c0 + C <= W
     M = R * C
 
-    (bg_p, bg_n, sr_pat, sr_n, coded_f, last_incl,
-     _donor_coded) = _dense_prologue(cfg, r0, c0, R, C, num_refs,
-                                     bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn)
+    pro = _dense_prologue(cfg, r0, c0, R, C, num_refs,
+                          bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn)
+    bg_p, bg_n = _bg3(pro, H, W)
+    sr_pat, sr_n = pro["sr_pat"], pro["sr_n"]
+    last_incl = pro["last_incl"]
     n_mbs = H * W
 
     # Dynamic first-run slots: gather the composite skip run at each
@@ -1456,30 +1476,101 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
         [(r0 + r) * W + c0 + max(int(first_c[r]), 0) for r in range(R)],
         jnp.int32)
     valid = jnp.asarray(first_c >= 0)
-    dyn_p = jnp.where(valid, sr_pat[flat_idx], 0)[:, None]
-    dyn_n = jnp.where(valid, sr_n[flat_idx], 0)[:, None]
-
-    rect_p = jnp.concatenate(
-        [bg_p[r0:r0 + R, :c0].reshape(R, c0 * 3),
-         dyn_p.astype(jnp.uint32), dn["row_patterns"],
-         bg_p[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
-        axis=1).reshape(-1)
-    rect_n = jnp.concatenate(
-        [bg_n[r0:r0 + R, :c0].reshape(R, c0 * 3),
-         dyn_n.astype(jnp.int32), dn["row_nbits"],
-         bg_n[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
-        axis=1).reshape(-1)
+    dyn_p = jnp.where(valid, sr_pat[flat_idx], 0)[:, None].astype(jnp.uint32)
+    dyn_n = jnp.where(valid, sr_n[flat_idx], 0)[:, None].astype(jnp.int32)
 
     tail_skips = jnp.int32(n_mbs) - 1 - last_incl[-1]
     ts_pat, ts_n = expgolomb.ue(tail_skips.astype(jnp.uint32))
     ts_n = jnp.where(tail_skips > 0, ts_n, 0)
 
-    patterns = jnp.concatenate(
-        [header_patterns, bg_p[:r0].reshape(-1), rect_p,
-         bg_p[r0 + R:].reshape(-1), ts_pat[None]])
-    nbits = jnp.concatenate(
-        [header_nbits, bg_n[:r0].reshape(-1), rect_n,
-         bg_n[r0 + R:].reshape(-1), ts_n[None]])
+    if not compact_x:
+        rect_p = jnp.concatenate(
+            [bg_p[r0:r0 + R, :c0].reshape(R, c0 * 3),
+             dyn_p, dn["row_patterns"],
+             bg_p[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+            axis=1).reshape(-1)
+        rect_n = jnp.concatenate(
+            [bg_n[r0:r0 + R, :c0].reshape(R, c0 * 3),
+             dyn_n, dn["row_nbits"],
+             bg_n[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+            axis=1).reshape(-1)
+        patterns = jnp.concatenate(
+            [header_patterns, bg_p[:r0].reshape(-1), rect_p,
+             bg_p[r0 + R:].reshape(-1), ts_pat[None]])
+        nbits = jnp.concatenate(
+            [header_nbits, bg_n[:r0].reshape(-1), rect_n,
+             bg_n[r0 + R:].reshape(-1), ts_n[None]])
+    else:
+        # Compact background: 2 symbol slots per MB (A||mvd_x, mvd_y||cbp)
+        # — valid when every background mv_x is zero, in which case
+        # mvd_x is the 1-bit se(0) EXCEPT where the MV prediction sees
+        # donor neighbors.  That "wide" set is static: the column right
+        # of the rect (left neighbor is donor), the column left of it
+        # below the top rect row (above-right neighbor), and the row
+        # under the rect (above / above-left neighbors).  Wide MBs keep
+        # the generic 3-slot form.
+        bg_active = pro["bg_active"]
+        bg_i = bg_active.astype(jnp.int32)
+        zero = jnp.uint32(0)
+        a2_pat, a2_n = bitpack.merge_symbol_pairs(
+            pro["a_pat"], pro["a_n"], pro["mvx_pat"], pro["mvx_n"])
+        bg2_p = jnp.stack([jnp.where(bg_active, a2_pat, zero),
+                           jnp.where(bg_active, pro["c_pat"], zero)],
+                          axis=1).reshape(H, W, 2)
+        bg2_n = jnp.stack([a2_n * bg_i, pro["c_n"] * bg_i],
+                          axis=1).reshape(H, W, 2)
+
+        have_left = c0 >= 1
+        have_right = c0 + C < W
+        have_bottom = r0 + R < H
+
+        segs_p = [header_patterns, bg2_p[:r0].reshape(-1)]
+        segs_n = [header_nbits, bg2_n[:r0].reshape(-1)]
+        # Rect row r0 (no left-wide column: its above-right is background).
+        row = r0
+        segs_p += [bg2_p[row, :c0].reshape(-1), dyn_p[0],
+                   dn["row_patterns"][0]]
+        segs_n += [bg2_n[row, :c0].reshape(-1), dyn_n[0],
+                   dn["row_nbits"][0]]
+        if have_right:
+            segs_p += [bg_p[row, c0 + C]]
+            segs_n += [bg_n[row, c0 + C]]
+        segs_p += [bg2_p[row, c0 + C + 1:].reshape(-1)]
+        segs_n += [bg2_n[row, c0 + C + 1:].reshape(-1)]
+        # Rect rows r0+1 .. r0+R-1 (batched; left-wide column appears).
+        if R > 1:
+            rs = slice(r0 + 1, r0 + R)
+            lc = c0 - 1 if have_left else 0
+            parts_p = [bg2_p[rs, :lc].reshape(R - 1, lc * 2)]
+            parts_n = [bg2_n[rs, :lc].reshape(R - 1, lc * 2)]
+            if have_left:
+                parts_p += [bg_p[rs, c0 - 1]]
+                parts_n += [bg_n[rs, c0 - 1]]
+            parts_p += [dyn_p[1:], dn["row_patterns"][1:]]
+            parts_n += [dyn_n[1:], dn["row_nbits"][1:]]
+            if have_right:
+                parts_p += [bg_p[rs, c0 + C]]
+                parts_n += [bg_n[rs, c0 + C]]
+            rcw = max(W - c0 - C - 1, 0)
+            parts_p += [bg2_p[rs, c0 + C + 1:].reshape(R - 1, rcw * 2)]
+            parts_n += [bg2_n[rs, c0 + C + 1:].reshape(R - 1, rcw * 2)]
+            segs_p += [jnp.concatenate(parts_p, axis=1).reshape(-1)]
+            segs_n += [jnp.concatenate(parts_n, axis=1).reshape(-1)]
+        # Row under the rect: wide across the rect's footprint.
+        if have_bottom:
+            row = r0 + R
+            lw = c0 - 1 if have_left else 0
+            rw = min(c0 + C, W - 1)
+            segs_p += [bg2_p[row, :lw].reshape(-1),
+                       bg_p[row, lw:rw + 1].reshape(-1),
+                       bg2_p[row, rw + 1:].reshape(-1)]
+            segs_n += [bg2_n[row, :lw].reshape(-1),
+                       bg_n[row, lw:rw + 1].reshape(-1),
+                       bg2_n[row, rw + 1:].reshape(-1)]
+        segs_p += [bg2_p[r0 + R + 1:].reshape(-1), ts_pat[None]]
+        segs_n += [bg2_n[r0 + R + 1:].reshape(-1), ts_n[None]]
+        patterns = jnp.concatenate(segs_p)
+        nbits = jnp.concatenate(segs_n)
 
     if n_rbsp is None:
         n_rbsp = splice_rbsp_budget(cfg, M, donor_bits)

@@ -222,11 +222,15 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
                                   num_refs: int = 2, *,
                                   has_align: bool = False,
                                   n_rbsp: int | None = None,
-                                  ebsp_exact: bool = False):
+                                  ebsp_exact: bool = False,
+                                  compact_x: bool = False):
     """jit(vmap) of the row-contiguous dense splice kernel (see
     splice_device.pack_donor_rows): byte-identical to the per-MB dense
     step with a fraction of the padded symbol lanes.  `first_c` /
-    `donor_bits` are the DonorRows statics."""
+    `donor_bits` are the DonorRows statics.  compact_x packs background
+    MBs into 2 symbol slots (valid when every background mv_x is zero;
+    the rect-adjacent ring keeps 3 slots for its donor-influenced
+    mvd_x)."""
     from ..models import splice_device
 
     def one(hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn):
@@ -234,7 +238,8 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
             cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
             hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn,
             first_c, donor_bits,
-            has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact)
+            has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact,
+            compact_x=compact_x)
 
     return jax.jit(jax.vmap(one))
 

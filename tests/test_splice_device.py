@@ -411,3 +411,53 @@ def test_rows_layout_matches_dense():
         assert not bool(np.asarray(a[3])) and not bool(np.asarray(b[3]))
         assert la == lb
         assert (np.asarray(a[0])[:la] == np.asarray(b[0])[:lb]).all()
+
+
+def test_rows_compact_bg_matches_generic():
+    """compact_x background layout (2 symbol slots per MB, 3 only in the
+    static donor-adjacent ring) is byte-identical to the generic layout
+    across rect geometries including frame edges, with a coded hint band
+    overlapping the wide ring (donor-influenced mvd_x exercised)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS, ComposerConfig
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.syntax.slice_headers import (
+        p_slice_header_symbols)
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    rng = np.random.default_rng(6)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(3), jnp.int32(6), is_reference=False,
+        long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_mvy = zero.at[1:8, :].set(32)
+    bg_coded = jnp.zeros((H, W), bool).at[1:8, :].set(True)
+
+    geoms = [(4, 3, 5, 4), (0, 0, 5, 4), (W - 5, 3, 5, 4),
+             (4, H - 4, 5, 4), (0, 5, W, 3), (6, 6, 4, 1),
+             (W - 4, H - 2, 4, 2)]
+    for (c0, r0, C, R) in geoms:
+        grid = fixtures.dense_donor_grid(rng, C, R)
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, grid, 1)
+        bw.write_trailing_bits()
+        dd = sd.prepare_donor_dense_from_slice(bw.getvalue(), 0, C, R, 1, 2)
+        dr = sd.pack_donor_rows(dd, R, C)
+        dn = sd.rows_device_arrays(dr)
+        budget = sd.splice_rbsp_budget(cfg, R * C, dr.donor_bits)
+        outs = [sd.emit_spliced_frame_rows(
+            cfg, c0, r0, R, C, 2, hp, hn, zero, zero, bg_mvy, bg_coded,
+            dn, dr.first_c, dr.donor_bits, has_align=dr.has_align,
+            n_rbsp=budget, compact_x=cx) for cx in (False, True)]
+        (na, la, _, ova), (nb, lb, _, ovb) = outs
+        assert not bool(np.asarray(ova)) and not bool(np.asarray(ovb))
+        assert int(la) == int(lb), (c0, r0, C, R)
+        assert (np.asarray(na)[:int(la)]
+                == np.asarray(nb)[:int(lb)]).all(), (c0, r0, C, R)
