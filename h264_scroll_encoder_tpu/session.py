@@ -250,12 +250,20 @@ class ComposerSession:
         self.frame_num += 1
         self.frames_written += 1
 
-    def write_spliced_frame(self, hints, donor_grid) -> None:
+    def write_spliced_frame(self, hints, donor_grid, *,
+                            donor_slice_qp: int | None = None) -> None:
         """Dynamic-rect composite frame: hint-composed background with the
         donor rect's pre-encoded CAVLC macroblocks spliced in under
         nC-context repair (MASTER_DESIGN §7; host path — exact hint-mvd
         resolution next to the rect).  Donor ref indices are remapped into
-        this session's active list (atlases + registered waypoints)."""
+        this session's active list (atlases + registered waypoints).
+
+        donor_slice_qp: the donor slice's SliceQPy (26 + donor PPS
+        pic_init_qp_minus26 + donor slice_qp_delta).  When given, the
+        composed slice header aligns its own QP to it so the donor's
+        bit-copied residuals decode at their encoded scale (real-encoder
+        donors rarely sit at our default QP 26; background hint MBs are
+        residual-free, so the slice QP is otherwise free)."""
         from .models.splice import finalize_spliced_frame, splice_p_frame
         from .syntax.slice_headers import write_p_slice_header
 
@@ -263,11 +271,15 @@ class ComposerSession:
         n_wp = int(count)
         num_refs = n_wp + 2
         grid = splice_p_frame(self.cfg, hints, donor_grid, num_refs)
+        qp_delta = 0
+        if donor_slice_qp is not None:
+            qp_delta = donor_slice_qp - (26 + self.cfg.pic_init_qp_minus26)
 
         def hdr(bw):
             write_p_slice_header(
                 bw, self.cfg, self.frame_num, num_waypoints=n_wp,
-                wp_long_term_idx=[int(x) for x in np.asarray(wp_lt)[:n_wp]])
+                wp_long_term_idx=[int(x) for x in np.asarray(wp_lt)[:n_wp]],
+                slice_qp_delta=qp_delta)
 
         rbsp = finalize_spliced_frame(self.cfg, grid, num_refs, hdr)
         self.writer.append_raw(write_nal_unit(rbsp, 0, 1))

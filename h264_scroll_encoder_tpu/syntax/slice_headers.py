@@ -27,7 +27,7 @@ P_HEADER_SLOTS = 14 + 2 * MAX_WAYPOINTS + 7
 def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
                            is_reference, long_term_idx,
                            num_waypoints, wp_long_term_idx, wp_valid,
-                           first_mb=0):
+                           first_mb=0, slice_qp_delta: int = 0):
     """P slice header as (patterns[P_HEADER_SLOTS], nbits[P_HEADER_SLOTS]).
 
     Args (traced unless noted):
@@ -103,7 +103,11 @@ def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
     sym_ue(0, mmco)                # MMCO 0 (end)
     del sliding  # flag bit 0 already covered by the where() above
 
-    sym_ue(0)                      # slice_qp_delta se(0) == ue(0)
+    # slice_qp_delta (static): se(v) maps to ue(2v-1 / -2v).  Nonzero
+    # aligns the composed slice QP with a spliced donor's slice QP so
+    # the donor's bit-copied residual scale decodes as encoded.
+    sym_ue(2 * slice_qp_delta - 1 if slice_qp_delta > 0
+           else -2 * slice_qp_delta)
     if cfg.deblocking_filter_control_present_flag:
         sym_ue(1)                  # disable_deblocking_filter_idc = 1
     else:
@@ -118,7 +122,8 @@ def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
 def write_p_slice_header(bw: BitWriter, cfg: ComposerConfig, frame_num: int,
                          *, is_reference: bool = False,
                          long_term_idx: int = -1, num_waypoints: int = 0,
-                         wp_long_term_idx=()) -> None:
+                         wp_long_term_idx=(),
+                         slice_qp_delta: int = 0) -> None:
     """Host twin of p_slice_header_symbols (bit-identical output)."""
     bw.write_ue(0)
     bw.write_ue(SLICE_TYPE_P)
@@ -150,7 +155,7 @@ def write_p_slice_header(bw: BitWriter, cfg: ComposerConfig, frame_num: int,
             bw.write_ue(0)
         else:
             bw.write_bit(0)
-    bw.write_se(0)
+    bw.write_se(slice_qp_delta)
     if cfg.deblocking_filter_control_present_flag:
         bw.write_ue(1)
 
