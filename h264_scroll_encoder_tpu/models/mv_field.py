@@ -146,16 +146,34 @@ def decode_p_slice_mv_field(grid: list, mb_width: int,
                 continue
 
             hint = getattr(mb, "hint_mv", None)
+            # hint_mv forms: a single (x, y) (P_16x16 hint MBs), or a
+            # tuple of per-partition (x, y) targets in mvds order (donor
+            # MV retargeting: assign mvd = target - composite pred for
+            # every partition of any mb_type).
+            targets = None
+            if hint is not None and hint and isinstance(hint[0], tuple):
+                targets = hint
             new_mvds = []
+            decoded = []
+
+            def mv_of(part_i, px, py):
+                if targets is not None:
+                    tx, ty = targets[part_i]
+                    new_mvds.append((tx - px, ty - py))
+                    return tx, ty
+                mvx = px + mb.mvds[part_i][0]
+                mvy = py + mb.mvds[part_i][1]
+                return mvx, mvy
+
             if mb.mb_type == 0:
                 ref = mb.ref_idx[0] if mb.ref_idx else 0
                 px, py = field.predict(bx, by, 4, ref)
-                if hint is not None:
+                if hint is not None and targets is None:
                     mvx, mvy = hint
                     new_mvds.append((mvx - px, mvy - py))
                 else:
-                    mvx = px + mb.mvds[0][0]
-                    mvy = py + mb.mvds[0][1]
+                    mvx, mvy = mv_of(0, px, py)
+                decoded.append((mvx, mvy))
                 field.fill(bx, by, 4, 4, ref, mvx, mvy)
             elif mb.mb_type == 1:      # P_L0_L0_16x8 (two 16x8 partitions)
                 for part in range(2):
@@ -170,8 +188,8 @@ def decode_p_slice_mv_field(grid: list, mb_width: int,
                         px, py = a[1], a[2]
                     else:
                         px, py = field.predict(bx, pby, 4, ref, a, b, c)
-                    mvx = px + mb.mvds[part][0]
-                    mvy = py + mb.mvds[part][1]
+                    mvx, mvy = mv_of(part, px, py)
+                    decoded.append((mvx, mvy))
                     field.fill(bx, pby, 4, 2, ref, mvx, mvy)
             elif mb.mb_type == 2:      # P_L0_L0_8x16 (two 8x16 partitions)
                 for part in range(2):
@@ -185,8 +203,8 @@ def decode_p_slice_mv_field(grid: list, mb_width: int,
                         px, py = c[1], c[2]
                     else:
                         px, py = field.predict(pbx, by, 2, ref, a, b, c)
-                    mvx = px + mb.mvds[part][0]
-                    mvy = py + mb.mvds[part][1]
+                    mvx, mvy = mv_of(part, px, py)
+                    decoded.append((mvx, mvy))
                     field.fill(pbx, by, 2, 4, ref, mvx, mvy)
             elif mb.mb_type in (3, 4):  # P_8x8 / P_8x8ref0
                 mv_i = 0
@@ -204,13 +222,14 @@ def decode_p_slice_mv_field(grid: list, mb_width: int,
                         for i in range(n_w):
                             pbx, pby = sbx + i * w4, sby + j * h4
                             px, py = field.predict(pbx, pby, w4, ref)
-                            mvx = px + mb.mvds[mv_i][0]
-                            mvy = py + mb.mvds[mv_i][1]
+                            mvx, mvy = mv_of(mv_i, px, py)
+                            decoded.append((mvx, mvy))
                             field.fill(pbx, pby, w4, h4, ref, mvx, mvy)
                             mv_i += 1
             else:
                 raise CAVLCError(f"bad inter mb_type {mb.mb_type}")
 
+            mb.decoded_mvs = tuple(decoded)
             if hint is not None:
                 mb.mvds = tuple(new_mvds)
                 mb.hint_mv = None

@@ -37,6 +37,37 @@ from . import mb_transcode as mbt
 # I_PCM padding macroblocks (trans_resizer.c:213-270).
 # ---------------------------------------------------------------------------
 
+def ipcm_grid_from_picture(pic, mb_x0: int, mb_y0: int,
+                           w_mb: int, h_mb: int) -> list:
+    """I_PCM macroblock grid carrying a picture rect's exact pixels.
+
+    The position-independent way to seed a dynamic region with intra
+    content: spliced I-macroblocks from a donor IDR would mispredict
+    (intra prediction reads neighbor SAMPLES whose availability differs
+    mid-frame — the trans-resizer README's fundamental limitation), but
+    I_PCM bytes decode exactly anywhere.  `pic` is any object with
+    y/cb/cr planes (pixel_oracle.Picture, avref decode output)."""
+    grid = []
+    for r in range(h_mb):
+        row = []
+        for c in range(w_mb):
+            y0, x0 = (mb_y0 + r) * 16, (mb_x0 + c) * 16
+            samples = np.concatenate([
+                np.asarray(pic.y[y0:y0 + 16, x0:x0 + 16],
+                           np.uint8).reshape(-1),
+                np.asarray(pic.cb[y0 // 2:y0 // 2 + 8,
+                                  x0 // 2:x0 // 2 + 8],
+                           np.uint8).reshape(-1),
+                np.asarray(pic.cr[y0 // 2:y0 // 2 + 8,
+                                  x0 // 2:x0 // 2 + 8],
+                           np.uint8).reshape(-1),
+            ]).tobytes()
+            row.append(mbt.Macroblock(kind="ipcm", mb_type=30,
+                                      ipcm_samples=samples))
+        grid.append(row)
+    return grid
+
+
 def ipcm_padding_mb(edge_y: int = 16, first_padding: bool = False
                     ) -> mbt.Macroblock:
     """Black I_PCM padding MB; the first one after original content gets
@@ -366,7 +397,8 @@ def _map_donor_refs(mb: mbt.Macroblock, ref_map: tuple,
 def splice_p_frame(cfg: ComposerConfig, hints: FrameHints,
                    donor_grid: list | None,
                    num_ref_idx_l0: int,
-                   donor_ref_map: tuple = (0,)) -> list:
+                   donor_ref_map: tuple = (0,),
+                   donor_mv_targets: dict | None = None) -> list:
     """Compose the MB grid for a spliced P-frame (no bit emission yet).
 
     Background MBs become P_Skip; motion regions become P_L0_16x16 with
@@ -402,8 +434,20 @@ def splice_p_frame(cfg: ComposerConfig, hints: FrameHints,
             for c, mb in enumerate(row):
                 if dy + r >= mbh or dx + c >= mbw:
                     raise ValueError("dynamic rect exceeds frame")
+                tgt = (donor_mv_targets or {}).get((r, c))
                 if mb is mbt.SKIP:
-                    if donor_ref_map[0] == 0:
+                    if tgt is not None:
+                        # MV retargeting: a donor skip means "copy at the
+                        # DONOR-context skip MV"; the composite skip
+                        # derivation can differ (richer neighbor
+                        # availability at the rect edge), so pin the MV
+                        # explicitly.
+                        grid[dy + r][dx + c] = mbt.Macroblock(
+                            kind="inter", mb_type=0,
+                            ref_idx=(donor_ref_map[0],)
+                            if num_ref_idx_l0 > 1 else (),
+                            mvds=((0, 0),), cbp=0, hint_mv=tgt[0])
+                    elif donor_ref_map[0] == 0:
                         grid[dy + r][dx + c] = mbt.SKIP
                     else:
                         # P_Skip is hardwired to composite ref 0; a donor
@@ -417,9 +461,34 @@ def splice_p_frame(cfg: ComposerConfig, hints: FrameHints,
                 elif mb.kind in ("i4x4", "i16x16", "ipcm"):
                     grid[dy + r][dx + c] = mbt.retype_for_p(mb)
                 else:
-                    grid[dy + r][dx + c] = _map_donor_refs(
-                        mb, donor_ref_map, num_ref_idx_l0)
+                    mapped = _map_donor_refs(mb, donor_ref_map,
+                                             num_ref_idx_l0)
+                    if tgt is not None:
+                        mapped = dataclasses.replace(mapped, hint_mv=tgt)
+                    grid[dy + r][dx + c] = mapped
     return grid
+
+
+def donor_mv_targets_from_grid(donor_grid: list) -> dict:
+    """Per-MB decoded-MV targets of a donor grid in its OWN prediction
+    context (frame-edge availability), for splice_p_frame's MV
+    retargeting: the composite re-encodes every donor mvd as
+    target - composite_prediction, so decoded motion is preserved
+    exactly even though the rect's neighbor availability differs from
+    the donor frame's."""
+    from . import mv_field
+
+    R, C = len(donor_grid), len(donor_grid[0])
+    field = mv_field.decode_p_slice_mv_field(donor_grid, C, R)
+    targets = {}
+    for r, row in enumerate(donor_grid):
+        for c, mb in enumerate(row):
+            if mb is mbt.SKIP:
+                targets[(r, c)] = ((int(field.mvx[r * 4, c * 4]),
+                                    int(field.mvy[r * 4, c * 4])),)
+            elif mb.kind == "inter":
+                targets[(r, c)] = mb.decoded_mvs
+    return targets
 
 
 def finalize_spliced_frame(cfg: ComposerConfig, grid: list,

@@ -251,7 +251,10 @@ class ComposerSession:
         self.frames_written += 1
 
     def write_spliced_frame(self, hints, donor_grid, *,
-                            donor_slice_qp: int | None = None) -> None:
+                            donor_slice_qp: int | None = None,
+                            as_reference: bool = False,
+                            donor_refs_previous: bool = False,
+                            retarget_donor_mvs: bool | None = None) -> None:
         """Dynamic-rect composite frame: hint-composed background with the
         donor rect's pre-encoded CAVLC macroblocks spliced in under
         nC-context repair (MASTER_DESIGN §7; host path — exact hint-mvd
@@ -263,14 +266,44 @@ class ComposerSession:
         composed slice header aligns its own QP to it so the donor's
         bit-copied residuals decode at their encoded scale (real-encoder
         donors rarely sit at our default QP 26; background hint MBs are
-        residual-free, so the slice QP is otherwise free)."""
-        from .models.splice import finalize_spliced_frame, splice_p_frame
+        residual-free, so the slice QP is otherwise free).
+
+        as_reference stores the composed frame in the decoder's DPB
+        (sliding window, nal_ref_idc 2).  donor_refs_previous puts the
+        most recent such frame at the FRONT of the active reference list
+        so donor ref 0 targets it — the successive-donor mode
+        (MASTER_DESIGN's dynamic encoder contract: a video region whose
+        P slices each reference the previous composed frame); hint
+        regions' atlas/waypoint indices are shifted transparently."""
+        import dataclasses as _dc
+
+        from .models.splice import (donor_mv_targets_from_grid,
+                                    finalize_spliced_frame, splice_p_frame)
         from .syntax.slice_headers import write_p_slice_header
+
+        if retarget_donor_mvs is None:
+            retarget_donor_mvs = donor_refs_previous
+        targets = (donor_mv_targets_from_grid(donor_grid)
+                   if retarget_donor_mvs else None)
 
         _, wp_lt, _, count = self.waypoints.as_arrays()
         n_wp = int(count)
-        num_refs = n_wp + 2
-        grid = splice_p_frame(self.cfg, hints, donor_grid, num_refs)
+        n_st = 1 if donor_refs_previous else 0
+        if donor_refs_previous:
+            if getattr(self, "_last_ref_frame_num", None) is None:
+                raise ValueError(
+                    "donor_refs_previous needs a prior as_reference frame")
+            max_fn = 1 << self.cfg.log2_max_frame_num
+            abs_diff = (self.frame_num - self._last_ref_frame_num) % max_fn
+            abs_diff = abs_diff or max_fn
+            # Hint regions address [atlases | waypoints]; with the
+            # short-term entry in front, shift them by one.
+            hints = _dc.replace(hints, motion_regions=tuple(
+                _dc.replace(m, ref_idx=m.ref_idx + 1)
+                for m in hints.motion_regions))
+        num_refs = n_wp + 2 + n_st
+        grid = splice_p_frame(self.cfg, hints, donor_grid, num_refs,
+                              donor_mv_targets=targets)
         qp_delta = 0
         if donor_slice_qp is not None:
             qp_delta = donor_slice_qp - (26 + self.cfg.pic_init_qp_minus26)
@@ -279,10 +312,15 @@ class ComposerSession:
             write_p_slice_header(
                 bw, self.cfg, self.frame_num, num_waypoints=n_wp,
                 wp_long_term_idx=[int(x) for x in np.asarray(wp_lt)[:n_wp]],
-                slice_qp_delta=qp_delta)
+                slice_qp_delta=qp_delta,
+                is_reference=as_reference,
+                prev_ref_abs_diff=abs_diff if donor_refs_previous else None)
 
         rbsp = finalize_spliced_frame(self.cfg, grid, num_refs, hdr)
-        self.writer.append_raw(write_nal_unit(rbsp, 0, 1))
+        self.writer.append_raw(write_nal_unit(rbsp, 2 if as_reference else 0,
+                                              1))
+        if as_reference:
+            self._last_ref_frame_num = self.frame_num
         self.frame_num += 1
         self.frames_written += 1
 

@@ -123,8 +123,15 @@ def write_p_slice_header(bw: BitWriter, cfg: ComposerConfig, frame_num: int,
                          *, is_reference: bool = False,
                          long_term_idx: int = -1, num_waypoints: int = 0,
                          wp_long_term_idx=(),
-                         slice_qp_delta: int = 0) -> None:
-    """Host twin of p_slice_header_symbols (bit-identical output)."""
+                         slice_qp_delta: int = 0,
+                         prev_ref_abs_diff: int | None = None) -> None:
+    """Host twin of p_slice_header_symbols (bit-identical output).
+
+    prev_ref_abs_diff: when not None, the active reference list leads
+    with a SHORT-TERM picture — reordering idc 0 with
+    abs_diff_pic_num_minus1 = prev_ref_abs_diff - 1 — ahead of the
+    long-term atlases (successive-donor splicing: the dynamic rect of
+    frame N references composed frame N-1)."""
     bw.write_ue(0)
     bw.write_ue(SLICE_TYPE_P)
     bw.write_ue(0)
@@ -134,9 +141,13 @@ def write_p_slice_header(bw: BitWriter, cfg: ComposerConfig, frame_num: int,
         bw.write_bits((frame_num * 2)
                       & ((1 << cfg.log2_max_pic_order_cnt_lsb) - 1),
                       cfg.log2_max_pic_order_cnt_lsb)
+    n_st = 1 if prev_ref_abs_diff is not None else 0
     bw.write_bit(1)                       # num_ref_idx_active_override
-    bw.write_ue(num_waypoints + 1)        # 2 + waypoints refs
+    bw.write_ue(num_waypoints + 1 + n_st)  # [st?] + 2 atlases + waypoints
     bw.write_bit(1)                       # ref_pic_list_modification
+    if n_st:
+        bw.write_ue(0)                    # idc 0: short-term, pic_num down
+        bw.write_ue(prev_ref_abs_diff - 1)
     bw.write_ue(2)
     bw.write_ue(0)
     bw.write_ue(2)

@@ -477,3 +477,73 @@ def test_x264_p_slice_as_splice_donor():
     s.write_spliced_frame(hints, donor_grid, donor_slice_qp=donor_slice_qp)
     s.write_scroll_frame(16)
     _assert_conforms(s.getvalue(), expect_frames=4)
+
+
+def test_successive_donor_video_in_corner():
+    """MASTER_DESIGN's dynamic-encoder contract end to end: a real x264
+    clip (IDR + P frames referencing each other) plays inside the
+    composed stream.  The rect is seeded with I_PCM from the decoded
+    donor IDR (position-independent intra), each subsequent composed
+    frame is a reference, and each donor P slice is spliced with its
+    refs retargeted to the previous composed frame and every mvd
+    re-resolved against the composite prediction context (the rect's
+    neighbor availability differs from the donor frame's, which would
+    otherwise cascade wrong MVs).  Donor-frame interiors must be
+    pixel-exact; only the 16 px edge margin (donor MC clamping vs real
+    composite neighbors — the MASTER_DESIGN margin band) may differ."""
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models.splice import (
+        ipcm_grid_from_picture, parse_slice_header)
+    from h264_scroll_encoder_tpu.ops.bitio import BitReader
+    from h264_scroll_encoder_tpu.syntax import parse
+
+    h, w = 80, 96
+    yy, xx = np.mgrid[:h + 32, :w]
+    canvas = (40 + 80 * np.sin(yy / 9.0) + 60 * np.cos(xx / 7.0)
+              + yy * 0.7).clip(16, 235).astype(np.uint8)
+    cc = (np.full((h // 2, w // 2), 90, np.uint8),
+          np.full((h // 2, w // 2), 150, np.uint8))
+    frames = [(canvas[k * 4:k * 4 + h],) + cc for k in range(3)]
+    clip = avref.encode_x264(frames, qp=24, keyint=99, refs=1,
+                             extra_params="no-deblock=1")
+    donor_pics, _ = avref.decode_pictures(clip)
+
+    sps = pps = None
+    p_units = []
+    for u in parse.iter_nal_units(clip):
+        if u.nal_unit_type == 7:
+            sps = parse.parse_sps(u.rbsp)
+        elif u.nal_unit_type == 8:
+            pps = parse.parse_pps(u.rbsp)
+        elif u.nal_unit_type == 1:
+            p_units.append(u)
+    dW, dH = sps.width // 16, sps.height // 16
+
+    s = ComposerSession(ComposerConfig(320, 240))
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    rx, ry = 7, 6
+    hints = FrameHints(motion_regions=(), dynamic_mb_x=rx, dynamic_mb_y=ry)
+    s.write_spliced_frame(
+        hints, ipcm_grid_from_picture(donor_pics[0], 0, 0, dW, dH),
+        as_reference=True)
+    for u in p_units:
+        br = BitReader(u.rbsp)
+        hdr = parse_slice_header(
+            br, is_idr=False, nal_ref_idc=u.nal_ref_idc,
+            log2_max_frame_num=sps.log2_max_frame_num,
+            pps_num_ref_idx_l0_default=(
+                pps.num_ref_idx_l0_default_active_minus1 + 1))
+        grid = mbt.parse_p_slice_mbs(br, dW, dH, hdr.num_ref_idx_l0)
+        s.write_spliced_frame(
+            hints, grid, as_reference=True, donor_refs_previous=True,
+            donor_slice_qp=26 + pps.pic_init_qp_minus26 + hdr.qp_delta)
+
+    pics_av = _assert_conforms(s.getvalue(), expect_frames=5)
+    for k in range(3):
+        comp = pics_av[2 + k]
+        rect = comp.y[ry * 16:(ry + dH) * 16, rx * 16:(rx + dW) * 16]
+        d = np.abs(rect.astype(int) - donor_pics[k].y.astype(int))
+        assert d[16:-16, 16:-16].max() == 0, f"frame {k} interior"
+        if k == 0:
+            assert d.max() == 0      # I_PCM seed: exact to the last pixel
