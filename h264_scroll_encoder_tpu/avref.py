@@ -81,16 +81,22 @@ def decode_yuv(data: bytes, max_frames: int = 4096):
     if lib is None:
         raise RuntimeError("libavcodec oracle unavailable")
     src = np.frombuffer(data, np.uint8)
-    # Probe pass with a generous buffer sized by the worst case we emit.
+    # Start with a buffer sized for the common case; -4 (buffer too
+    # small, e.g. >720p streams or very long clips) grows and retries.
     cap = max_frames * 1280 * 720 * 3 // 2
-    out = np.empty(cap, np.uint8)
-    w = ctypes.c_int(0)
-    h = ctypes.c_int(0)
-    ne = ctypes.c_int(0)
-    n = lib.avref_decode(
-        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
-        ctypes.byref(w), ctypes.byref(h), ctypes.byref(ne))
+    while True:
+        out = np.empty(cap, np.uint8)
+        w = ctypes.c_int(0)
+        h = ctypes.c_int(0)
+        ne = ctypes.c_int(0)
+        n = lib.avref_decode(
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(ne))
+        if n == -4 and cap < (1 << 33):
+            cap *= 4
+            continue
+        break
     if n < 0:
         raise RuntimeError(f"avref_decode failed: {n}")
     fsz = w.value * h.value * 3 // 2
