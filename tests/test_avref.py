@@ -547,3 +547,34 @@ def test_successive_donor_video_in_corner():
         assert d[16:-16, 16:-16].max() == 0, f"frame {k} interior"
         if k == 0:
             assert d.max() == 0      # I_PCM seed: exact to the last pixel
+
+
+def test_successive_splice_with_waypoints():
+    """The untested header combination: a session with registered
+    waypoints AND successive-donor splicing — the active list is
+    [prev composed frame (short-term), atlas A, atlas B, waypoints...],
+    hint indices shift transparently, and both oracles agree."""
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models.splice import ipcm_grid_from_picture
+
+    s = ComposerSession(ComposerConfig(64, 1024))
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    s.preprovision_waypoints()           # registers the waypoint chain
+    s.write_scroll_frame(512)            # uses a waypoint reference
+
+    # Seed a 2x2 rect from the current atlas content, then splice a
+    # donor referencing the previous composed frame while a hint region
+    # scrolls from atlas A (index shifted past the short-term entry).
+    pics = po.decode_stream_pixels(s.getvalue())
+    seed = ipcm_grid_from_picture(pics[0], 0, 10, 2, 2)
+    hints = FrameHints(motion_regions=(
+        MotionRegion(0, 30, 4, 34, ref_idx=0, mv_x=0, mv_y=16),),
+        dynamic_mb_x=1, dynamic_mb_y=20)
+    s.write_spliced_frame(hints, seed, as_reference=True)
+    donor = fixtures.representative_donor_grid(np.random.default_rng(3),
+                                               2, 2)
+    s.write_spliced_frame(hints, donor, as_reference=True,
+                          donor_refs_previous=True)
+    s.write_scroll_frame(512)
+    _assert_conforms(s.getvalue())
