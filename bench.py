@@ -109,7 +109,7 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
         wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
 
     step = batch_mod.make_batched_splice_step_rows(
-        cfg, c0, r0, C, R, dr.first_c, dr.donor_bits,
+        cfg, c0, r0, C, R,
         num_refs=2, has_align=dr.has_align, compact_x=True,
         n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dr.donor_bits,
                                         bg_bits_per_mb=16))

@@ -76,7 +76,7 @@ def main() -> None:
         wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
 
     step = batch.make_batched_splice_step_rows(
-        cfg, c0, r0, C, R, dr.first_c, dr.donor_bits,
+        cfg, c0, r0, C, R,
         num_refs=2, has_align=dr.has_align,
         n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dr.donor_bits))
     bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)

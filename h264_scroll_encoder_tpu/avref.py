@@ -47,7 +47,18 @@ def load_library(build: bool = True):
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
-        return None
+        # A stale binary built against a different libavcodec ABI: rebuild
+        # once instead of silently disabling the oracle.
+        if not build:
+            return None
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "clean-avref"],
+                           capture_output=True, check=True)
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "avref"],
+                           capture_output=True, check=True)
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except (OSError, subprocess.CalledProcessError):
+            return None
     lib.avref_decode.restype = ctypes.c_int
     lib.avref_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
@@ -81,9 +92,12 @@ def decode_yuv(data: bytes, max_frames: int = 4096):
     if lib is None:
         raise RuntimeError("libavcodec oracle unavailable")
     src = np.frombuffer(data, np.uint8)
-    # Start with a buffer sized for the common case; -4 (buffer too
-    # small, e.g. >720p streams or very long clips) grows and retries.
-    cap = max_frames * 1280 * 720 * 3 // 2
+    # Size the initial buffer from the compressed input (generous 64x
+    # expansion, min 64 frames of 720p) instead of the absolute
+    # max_frames worst case (~5.7 GB): -4 (buffer too small) grows and
+    # retries, so the rare long/large stream still decodes.
+    cap = min(max(len(data) * 64, 64 * 1280 * 720 * 3 // 2),
+              max_frames * 1280 * 720 * 3 // 2)
     while True:
         out = np.empty(cap, np.uint8)
         w = ctypes.c_int(0)
@@ -94,7 +108,7 @@ def decode_yuv(data: bytes, max_frames: int = 4096):
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
             ctypes.byref(w), ctypes.byref(h), ctypes.byref(ne))
         if n == -4 and cap < (1 << 33):
-            cap *= 4
+            cap = min(cap * 4, 1 << 33)
             continue
         break
     if n < 0:

@@ -349,6 +349,13 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     """
     h, w = ref.shape
     n_mbs = h * w
+    # The merged A-slot (skip_run||mb_type||ref) must fit 32 bits:
+    # ue(skip_run) <= 23 bits requires <= 4095 MBs (at 8160 MBs, e.g.
+    # 1920x1088, it reaches 27 bits and the merge would truncate
+    # silently).  Oversized frames must use MB-row slice bands.
+    assert n_mbs <= 4095, (
+        f"emit_p_frame: {n_mbs} MBs > 4095 — merged skip-run slot would "
+        "overflow 32 bits; split the frame into slice bands")
 
     pred_x, pred_y = mv_pred_grid(ref, mv_x, mv_y)
     mvd_x = (mv_x - pred_x).reshape(-1)
@@ -390,7 +397,6 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     coded_i = coded.astype(jnp.int32)
     zero = jnp.uint32(0)
     if compact_x:
-        assert n_mbs <= 4095, "compact_x: skip-run ue must fit 23 bits"
         a_pat, a_n = bitpack.merge_symbol_pairs(a_pat, a_n,
                                                 mvx_pat, mvx_n)
         mb_patterns = jnp.stack(
@@ -486,6 +492,11 @@ def emit_partitioned_scroll_frame(cfg: ComposerConfig, header_patterns,
     """
     h, w = cfg.mb_height, cfg.mb_width
     n_mbs = h * w
+    # Same 32-bit merged-slot constraint as emit_p_frame: the seam and
+    # uniform A-slots both carry skip_run||mb_type(||ref).
+    assert n_mbs <= 4095, (
+        f"emit_partitioned_scroll_frame: {n_mbs} MBs > 4095 — merged "
+        "skip-run slot would overflow 32 bits; use slice bands")
     offset_px = jnp.asarray(offset_px, jnp.int32)
     y_seam = cfg.height - offset_px
 

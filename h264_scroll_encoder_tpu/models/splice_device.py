@@ -817,17 +817,24 @@ def _ue_bits(v: int) -> tuple:
     return v + 1, 2 * n - 1
 
 
-def pack_donor_rows(dd: DonorDense, R: int, C: int) -> DonorRows:
+def pack_donor_rows(dd: DonorDense, R: int, C: int, *,
+                    min_class: int = 0) -> DonorRows:
     """Repack per-MB chunk arrays into the row-contiguous layout.
 
     Uses the native engine (cavlc_pack_rows) when built — the Python
-    fuse loop below is its differential-tested twin and fallback."""
+    fuse loop below is its differential-tested twin and fallback.
+
+    `min_class` forces at least that many row chunk slots: serving
+    callers pin a class so donors of varying density flow through ONE
+    compiled program (first_c/coded/row chunks are all traced arrays;
+    the row slot count is the only donor-layout static left)."""
     from .. import native_bridge
     if native_bridge.native_available():
         got = native_bridge.pack_rows_native(
             dd.patterns, dd.nbits, dd.coded, R, C, ROW_CHUNK_CLASSES[-1])
         if got is not None:
             pat, nb, first_c, donor_bits, need = got
+            need = max(need, min_class)
             s_row = next((x for x in ROW_CHUNK_CLASSES if need <= x),
                          ROW_CHUNK_CLASSES[-1])
             if need > s_row:
@@ -875,7 +882,7 @@ def pack_donor_rows(dd: DonorDense, R: int, C: int) -> DonorRows:
         f.flush()
         rows.append(f.chunks)
 
-    need = max((len(ch) for ch in rows), default=1)
+    need = max(max((len(ch) for ch in rows), default=1), min_class)
     s_row = next((x for x in ROW_CHUNK_CLASSES if need <= x),
                  ROW_CHUNK_CLASSES[-1])
     if need > s_row:
@@ -895,10 +902,14 @@ def pack_donor_rows(dd: DonorDense, R: int, C: int) -> DonorRows:
 
 
 def rows_device_arrays(dr: DonorRows) -> dict:
-    """DonorRows -> jnp arrays dict (one host->device transfer set)."""
+    """DonorRows -> jnp arrays dict (one host->device transfer set).
+
+    Everything donor-dependent is a traced array — including first_c —
+    so distinct donors of one geometry class share a compiled program."""
     return {
         "row_patterns": jnp.asarray(dr.row_patterns),
         "row_nbits": jnp.asarray(dr.row_nbits),
+        "first_c": jnp.asarray(dr.first_c, jnp.int32),
         "coded": jnp.asarray(dr.coded),
         "a_ref": jnp.asarray(dr.a_ref), "a_mvx": jnp.asarray(dr.a_mvx),
         "a_mvy": jnp.asarray(dr.a_mvy),
@@ -1252,6 +1263,12 @@ def _dense_prologue(cfg, r0, c0, R, C, num_refs,
 
     # Composite skip runs.
     n_mbs = H * W
+    # The merged background A-slot (skip_run||mb_type||ref) must fit 32
+    # bits: ue(skip_run) <= 23 bits requires <= 4095 MBs (same constraint
+    # as scroll.emit_p_frame — silent merge truncation otherwise).
+    assert n_mbs <= 4095, (
+        f"dense splice: {n_mbs} MBs > 4095 — merged skip-run slot would "
+        "overflow 32 bits; use slice bands")
     coded_f = coded.reshape(-1)
     idx = jnp.arange(n_mbs, dtype=jnp.int32)
     coded_idx = jnp.where(coded_f, idx, -1)
@@ -1439,8 +1456,8 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                             rect_mb_y: int, R: int, C: int, num_refs: int,
                             header_patterns, header_nbits,
                             bg_ref, bg_mv_x, bg_mv_y, bg_coded,
-                            dn: dict, first_c, donor_bits: int,
-                            nal_ref_idc: int = 0, *,
+                            dn: dict, nal_ref_idc: int = 0, *,
+                            donor_bits: int | None = None,
                             has_align: bool = False,
                             n_rbsp: int | None = None,
                             ebsp_exact: bool = False,
@@ -1454,9 +1471,15 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
     Byte-identical to emit_spliced_frame_dense with ~5x fewer padded
     symbol lanes on worst-case dense donors.
 
-    `first_c` is the host-static per-row rect column of the first coded
-    donor MB (-1 for an all-skipped row); `donor_bits` the static donor
-    payload bits (for the default budget)."""
+    `dn` is rows_device_arrays(DonorRows): every donor-dependent value —
+    row chunks, first_c (per-row rect column of the first coded MB, -1
+    for an all-skipped row), coded mask, edge roles — is a TRACED array,
+    so one compiled program serves every donor that shares the geometry
+    (rect position/size), the row chunk class, and the n_rbsp budget.
+    The dynamic skip-run slot always sits at the head of the row's donor
+    segment; first_c only selects WHERE the run value is gathered from,
+    never where it is emitted, which is what makes tracing it sound.
+    `donor_bits` (static) sizes the default budget when n_rbsp is None."""
     H, W = cfg.mb_height, cfg.mb_width
     r0, c0 = rect_mb_y, rect_mb_x
     assert r0 + R <= H and c0 + C <= W
@@ -1470,12 +1493,11 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
     n_mbs = H * W
 
     # Dynamic first-run slots: gather the composite skip run at each
-    # row's first coded donor MB (host-static flat indices).
-    first_c = np.asarray(first_c, np.int64)
-    flat_idx = jnp.asarray(
-        [(r0 + r) * W + c0 + max(int(first_c[r]), 0) for r in range(R)],
-        jnp.int32)
-    valid = jnp.asarray(first_c >= 0)
+    # row's first coded donor MB (traced per-donor indices).
+    first_c = jnp.asarray(dn["first_c"], jnp.int32)
+    flat_idx = ((r0 + jnp.arange(R, dtype=jnp.int32)) * W + c0
+                + jnp.maximum(first_c, 0))
+    valid = first_c >= 0
     dyn_p = jnp.where(valid, sr_pat[flat_idx], 0)[:, None].astype(jnp.uint32)
     dyn_n = jnp.where(valid, sr_n[flat_idx], 0)[:, None].astype(jnp.int32)
 
@@ -1573,6 +1595,9 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
         nbits = jnp.concatenate(segs_n)
 
     if n_rbsp is None:
+        if donor_bits is None:
+            # Chunk-class capacity fallback (static per program).
+            donor_bits = R * dn["row_patterns"].shape[1] * 32
         n_rbsp = splice_rbsp_budget(cfg, M, donor_bits)
     return _finish_splice(patterns, nbits, n_rbsp, nal_ref_idc,
                           has_align=has_align, ebsp_exact=ebsp_exact)

@@ -55,6 +55,7 @@ class _MBRec(ctypes.Structure):
 
 
 _NO_QP = -(2 ** 31)
+_ABI_VERSION = 3
 
 
 @functools.lru_cache(maxsize=1)
@@ -69,11 +70,33 @@ def load_library(build: bool = True):
     if not _LIB_PATH.exists():
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
+    # Reject (and rebuild) a library with a stale extern "C" surface —
+    # calling through a mismatched ABI would misread arguments silently.
+    try:
+        lib.cavlc_abi_version.restype = ctypes.c_long
+        abi_ok = lib.cavlc_abi_version() == _ABI_VERSION
+    except AttributeError:
+        abi_ok = False
+    if not abi_ok:
+        if not build:
+            return None
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "clean"],
+                           capture_output=True, check=True)
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)],
+                           capture_output=True, check=True)
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.cavlc_abi_version.restype = ctypes.c_long
+            if lib.cavlc_abi_version() != _ABI_VERSION:
+                return None
+        except (OSError, subprocess.CalledProcessError, AttributeError):
+            return None
     lib.cavlc_parse_slice.restype = ctypes.c_int
     lib.cavlc_parse_slice.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(_MBRec), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int,
     ]
     lib.cavlc_emit_slice.restype = ctypes.c_int
     lib.cavlc_emit_slice.argtypes = [
@@ -82,7 +105,7 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
-        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.c_int,
     ]
     lib.cavlc_prepare_dense.restype = ctypes.c_int
     lib.cavlc_prepare_dense.argtypes = [
@@ -93,7 +116,7 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
     lib.cavlc_mv_edge_roles.restype = ctypes.c_int
     lib.cavlc_mv_edge_roles.argtypes = [
@@ -105,8 +128,6 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
-    lib.cavlc_set_bug_compat.restype = None
-    lib.cavlc_set_bug_compat.argtypes = [ctypes.c_int]
     lib.cavlc_pack_rows.restype = ctypes.c_int
     lib.cavlc_pack_rows.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
@@ -150,7 +171,6 @@ def parse_slice_raw(rbsp: bytes, start_bit: int, mb_width: int,
     lib = load_library()
     if lib is None:
         return None
-    lib.cavlc_set_bug_compat(int(bug_compat))
     data = np.frombuffer(rbsp, np.uint8)
     total = mb_width * mb_height
     recs = (_MBRec * total)()
@@ -158,7 +178,7 @@ def parse_slice_raw(rbsp: bytes, start_bit: int, mb_width: int,
     err = lib.cavlc_parse_slice(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         len(rbsp), start_bit, mb_width, mb_height, int(is_p),
-        num_ref_idx_l0, recs, ctypes.byref(end_bit))
+        num_ref_idx_l0, recs, ctypes.byref(end_bit), int(bug_compat))
     if err:
         raise cavlc.CAVLCError(f"native CAVLC parse failed: code {err}")
     return recs, int(end_bit.value)
@@ -178,7 +198,6 @@ def emit_slice_raw(recs, mb_width: int, mb_height: int, is_p: bool,
     lib = load_library()
     if lib is None:
         return None
-    lib.cavlc_set_bug_compat(int(bug_compat))
     if capacity is None:
         capacity = len(src_rbsp) + mb_width * mb_height * 400 + 4096
     out = np.zeros(capacity, np.uint8)
@@ -191,7 +210,7 @@ def emit_slice_raw(recs, mb_width: int, mb_height: int, is_p: bool,
         aux_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         int(duplicate_final_skip), start_phase,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        capacity, ctypes.byref(nbits))
+        capacity, ctypes.byref(nbits), int(bug_compat))
     if err:
         raise cavlc.CAVLCError(f"native CAVLC emit failed: code {err}")
     n = int(nbits.value)
@@ -238,7 +257,6 @@ def parse_slice_native(rbsp: bytes, start_bit: int, mb_width: int,
     lib = load_library()
     if lib is None:
         return None
-    lib.cavlc_set_bug_compat(int(bug_compat))
 
     data = np.frombuffer(rbsp, np.uint8)
     total = mb_width * mb_height
@@ -247,7 +265,7 @@ def parse_slice_native(rbsp: bytes, start_bit: int, mb_width: int,
     err = lib.cavlc_parse_slice(
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         len(rbsp), start_bit, mb_width, mb_height, int(is_p),
-        num_ref_idx_l0, recs, ctypes.byref(end_bit))
+        num_ref_idx_l0, recs, ctypes.byref(end_bit), int(bug_compat))
     if err:
         raise cavlc.CAVLCError(f"native CAVLC parse failed: code {err}")
 
@@ -342,11 +360,11 @@ def _ring_arrays(ring, n):
 def prepare_dense_raw(recs, mb_width: int, mb_height: int, rbsp: bytes,
                       num_ref_composite: int, ref_map,
                       at_left_edge: bool, at_top_edge: bool,
-                      chunk_classes=(8, 12, 16, 24, 32, 48, 64, 104, 352)):
+                      chunk_classes=(8, 12, 16, 24, 32, 48, 64, 104, 352),
+                      *, bug_compat: bool = False):
     """Native dense prep over parsed MBRecs -> (patterns [M,S], nbits,
     coded u8[M], donor_bits, has_align), retrying chunk classes upward."""
     lib = load_library()
-    lib.cavlc_set_bug_compat(0)      # serving path: spec I_PCM nC rule
     data = np.frombuffer(rbsp, np.uint8)
     m_total = mb_width * mb_height
     rmap = np.asarray(ref_map, np.int32)
@@ -365,7 +383,7 @@ def prepare_dense_raw(recs, mb_width: int, mb_height: int, rbsp: bytes,
             _i32p(nbits), s_class,
             coded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.byref(donor_bits), ctypes.byref(has_align),
-            ctypes.byref(needed))
+            ctypes.byref(needed), int(bug_compat))
         if err == -101:
             continue
         if err:

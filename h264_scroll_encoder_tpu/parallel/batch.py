@@ -216,9 +216,9 @@ def make_batched_splice_step_dense(cfg: ComposerConfig, rect_mb_x: int,
     return jax.jit(jax.vmap(one))
 
 
+@functools.lru_cache(maxsize=None)
 def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
                                   rect_mb_y: int, rect_w: int, rect_h: int,
-                                  first_c, donor_bits: int,
                                   num_refs: int = 2, *,
                                   has_align: bool = False,
                                   n_rbsp: int | None = None,
@@ -226,18 +226,21 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
                                   compact_x: bool = False):
     """jit(vmap) of the row-contiguous dense splice kernel (see
     splice_device.pack_donor_rows): byte-identical to the per-MB dense
-    step with a fraction of the padded symbol lanes.  `first_c` /
-    `donor_bits` are the DonorRows statics.  compact_x packs background
-    MBs into 2 symbol slots (valid when every background mv_x is zero;
-    the rect-adjacent ring keeps 3 slots for its donor-influenced
-    mvd_x)."""
+    step with a fraction of the padded symbol lanes.
+
+    Every donor-dependent value (row chunks, first_c, coded mask, edge
+    roles) is a traced array inside `dn`, so ONE compiled program serves
+    all donors sharing the rect geometry, the row chunk class, and the
+    n_rbsp budget — the serving requirement that per-frame fresh donors
+    never recompile.  compact_x packs background MBs into 2 symbol slots
+    (valid when every background mv_x is zero; the rect-adjacent ring
+    keeps 3 slots for its donor-influenced mvd_x)."""
     from ..models import splice_device
 
     def one(hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn):
         return splice_device.emit_spliced_frame_rows(
             cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
             hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn,
-            first_c, donor_bits,
             has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact,
             compact_x=compact_x)
 

@@ -287,6 +287,7 @@ struct Tracker {
   bool* cur_set;
   CoeffCtx left;
   bool left_set = false;
+  int8_t ipcm_nc = 16;  // nC an I_PCM MB presents (0 = bug_compat)
 
   const CoeffCtx* left_of(int col) const {
     return (col > 0 && left_set) ? &left : nullptr;
@@ -379,11 +380,10 @@ int parse_i16x16(BitReader& br, MBRec* mb, int idx, Tracker& trk, int col) {
 
 // nC context an I_PCM MB presents to neighbors.  Spec 9.2.1: nN = 16.
 // The C reference zeroes it instead (trans_resizer.c:1241-1243 — its
-// defect #5); cavlc_set_bug_compat(1) reproduces that for byte parity.
-static int8_t g_ipcm_nc = 16;
-
-static void ipcm_ctx(CoeffCtx* c) {
-  std::memset(c, g_ipcm_nc, sizeof(*c));
+// defect #5); callers pass bug_compat=1 per call to reproduce that for
+// byte parity (the flag rides in Tracker — no process-global state).
+static void ipcm_ctx(CoeffCtx* c, int8_t nc) {
+  std::memset(c, nc, sizeof(*c));
 }
 
 int parse_ipcm(BitReader& br, MBRec* mb, Tracker& trk, int col) {
@@ -393,7 +393,7 @@ int parse_ipcm(BitReader& br, MBRec* mb, Tracker& trk, int col) {
   br.seek(br.pos() + 384 * 8);
   if (br.past_end()) return kErrEof;  // payload would read past the RBSP
   CoeffCtx ctx;
-  ipcm_ctx(&ctx);
+  ipcm_ctx(&ctx, trk.ipcm_nc);
   trk.push(col, ctx);
   return 0;
 }
@@ -574,7 +574,7 @@ void emit_mb(BitWriter& bw, const MBRec* mb, Tracker& trk, int col,
     } else {
       bw.copy_bytes(aux + (-(mb->ipcm_byte_start) - 1), 384);
     }
-    ipcm_ctx(&ctx);
+    ipcm_ctx(&ctx, trk.ipcm_nc);
     trk.push(col, ctx);
     return;
   }
@@ -642,7 +642,10 @@ extern "C" {
 
 // 1 -> reproduce the reference's zeroed I_PCM nC context (defect #5);
 // 0 (default) -> spec rule nN = 16 (H.264 9.2.1).
-void cavlc_set_bug_compat(int on) { g_ipcm_nc = on ? 0 : 16; }
+// Bumped whenever the extern "C" surface changes; the Python bridge
+// checks it and rebuilds a stale library instead of calling through a
+// mismatched ABI.
+long cavlc_abi_version(void) { return 3; }
 
 // Emit an MBRec grid (mb_width x mb_height, row-major) as slice MB data.
 // kind==0 records are P_Skip.  src supplies tail/pred/ipcm spans recorded
@@ -656,7 +659,7 @@ int cavlc_emit_slice(const MBRec* mbs, int mb_width, int mb_height,
                      int is_p, int num_ref_idx_l0, const uint8_t* src,
                      const uint8_t* aux, int duplicate_final_skip,
                      long start_phase, uint8_t* out, long out_capacity,
-                     long* out_bits) {
+                     long* out_bits, int bug_compat) {
   BitWriter bw(out, out_capacity);
   for (long i = 0; i < start_phase; ++i) bw.bit(0);
   CoeffCtx* top = new CoeffCtx[mb_width];
@@ -664,6 +667,7 @@ int cavlc_emit_slice(const MBRec* mbs, int mb_width, int mb_height,
   bool* top_set = new bool[mb_width]();
   bool* cur_set = new bool[mb_width]();
   Tracker trk{mb_width, top, cur, top_set, cur_set};
+  trk.ipcm_nc = bug_compat ? 0 : 16;
   long pending = 0;
 
   for (int row = 0; row < mb_height; ++row) {
@@ -701,13 +705,15 @@ int cavlc_emit_slice(const MBRec* mbs, int mb_width, int mb_height,
 // receives the bit position after the last macroblock.
 int cavlc_parse_slice(const uint8_t* rbsp, long nbytes, long start_bit,
                       int mb_width, int mb_height, int is_p,
-                      int num_ref_idx_l0, MBRec* out, long* end_bit) {
+                      int num_ref_idx_l0, MBRec* out, long* end_bit,
+                      int bug_compat) {
   BitReader br(rbsp, nbytes, start_bit);
   CoeffCtx* top = new CoeffCtx[mb_width];
   CoeffCtx* cur = new CoeffCtx[mb_width];
   bool* top_set = new bool[mb_width]();
   bool* cur_set = new bool[mb_width]();
   Tracker trk{mb_width, top, cur, top_set, cur_set};
+  trk.ipcm_nc = bug_compat ? 0 : 16;
   int total = mb_width * mb_height;
   int count = 0;
   int err = 0;
@@ -976,13 +982,15 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
                         const uint8_t* src, long src_len,
                         uint32_t* out_pat, int32_t* out_nb, int s_class,
                         uint8_t* out_coded, long* out_donor_bits,
-                        int* out_has_align, int* out_needed) {
+                        int* out_has_align, int* out_needed,
+                        int bug_compat) {
   static const CoeffCtx kZeroCtx = {};
   CoeffCtx* top = new CoeffCtx[C];
   CoeffCtx* cur = new CoeffCtx[C];
   bool* top_set = new bool[C]();
   bool* cur_set = new bool[C]();
-  Tracker trk{C, top, cur, top_set, cur_set, {}, false};
+  Tracker trk{C, top, cur, top_set, cur_set, {}, false,
+              (int8_t)(bug_compat ? 0 : 16)};
   long donor_bits = 0;
   int has_align = 0;
   int needed = 0;
@@ -1022,7 +1030,7 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
         if (mb->ipcm_byte_start >= 0) {
           cw.copy_bits(src, src_len, mb->ipcm_byte_start * 8, 384 * 8);
         }
-        ipcm_ctx(&ctx);
+        ipcm_ctx(&ctx, trk.ipcm_nc);
         trk.push(col, ctx);
       } else if (mb->kind == 1) {  // inter
         if (mb_type >= 3) {

@@ -405,7 +405,7 @@ def test_rows_layout_matches_dense():
             n_rbsp=budget)
         b = sd.emit_spliced_frame_rows(
             cfg, 4, 3, R, C, 2, hp, hn, zero, zero, zero, bg_coded,
-            sd.rows_device_arrays(dr), dr.first_c, dr.donor_bits,
+            sd.rows_device_arrays(dr),
             has_align=dr.has_align, n_rbsp=budget)
         la, lb = int(a[1]), int(b[1])
         assert not bool(np.asarray(a[3])) and not bool(np.asarray(b[3]))
@@ -454,10 +454,93 @@ def test_rows_compact_bg_matches_generic():
         budget = sd.splice_rbsp_budget(cfg, R * C, dr.donor_bits)
         outs = [sd.emit_spliced_frame_rows(
             cfg, c0, r0, R, C, 2, hp, hn, zero, zero, bg_mvy, bg_coded,
-            dn, dr.first_c, dr.donor_bits, has_align=dr.has_align,
+            dn, has_align=dr.has_align,
             n_rbsp=budget, compact_x=cx) for cx in (False, True)]
         (na, la, _, ova), (nb, lb, _, ovb) = outs
         assert not bool(np.asarray(ova)) and not bool(np.asarray(ovb))
         assert int(la) == int(lb), (c0, r0, C, R)
         assert (np.asarray(na)[:int(la)]
                 == np.asarray(nb)[:int(lb)]).all(), (c0, r0, C, R)
+
+
+def test_one_program_serves_many_donors():
+    """Serving requirement (fresh donors per frame must not recompile):
+    50+ random donors — sparse, dense, representative, I_PCM-bearing,
+    leading/trailing-skip layouts — flow through ONE compiled rows
+    program (first_c/coded/row chunks all traced), verified by the jit
+    cache size staying at 1, and every composed frame is byte-equal to
+    the exact host path."""
+    from h264_scroll_encoder_tpu.parallel import batch
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+
+    rng = np.random.default_rng(2024)
+    cfg = ComposerConfig(320, 240)           # 20x15 MBs
+    H, W = cfg.mb_height, cfg.mb_width
+    R, C = 5, 6
+    r0, c0 = 3, 7
+    num_refs = 2
+    frame_num = 3
+
+    donors = []
+    for k in range(52):
+        fam = k % 4
+        if fam == 0:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+        elif fam == 1:
+            g = fixtures.dense_donor_grid(rng, C, R)
+        elif fam == 2:
+            g = fixtures.representative_donor_grid(rng, C, R)
+        else:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+            g[0][0] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+            g[R - 1][C - 1] = mbt.SKIP      # trailing skip
+            g[2] = [mbt.SKIP] * C           # an all-skip row (first_c=-1)
+        donors.append(g)
+
+    # One shared program: fixed geometry, pinned row chunk class, fixed
+    # budget, phase scan always on (covers I_PCM and non-I_PCM donors).
+    CLASS = 256
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32)
+    step = batch.make_batched_splice_step_rows(
+        cfg, c0, r0, C, R, num_refs, has_align=True, n_rbsp=budget,
+        compact_x=True)
+
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    one = lambda x: x[None]
+
+    for donor in donors:
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, donor, 1)
+        bw.write_trailing_bits()
+        dd = splice_device.prepare_donor_dense_from_slice(
+            bw.getvalue(), 0, C, R, 1, num_refs,
+            rect_at_left_edge=False, rect_at_top_edge=False)
+        dr = splice_device.pack_donor_rows(dd, R, C, min_class=CLASS)
+        assert dr.row_patterns.shape[1] == CLASS
+        dn = {k: one(v) for k, v in
+              splice_device.rows_device_arrays(dr).items()}
+        nal, nal_len, _, ovf = step(one(hp), one(hn), one(zero), one(zero),
+                                    one(zero), one(bg_coded), dn)
+        assert not bool(np.asarray(ovf).any())
+        dev_bytes = np.asarray(nal[0])[: int(nal_len[0])].tobytes()
+
+        hints = FrameHints(motion_regions=(), dynamic_mb_x=c0,
+                           dynamic_mb_y=r0)
+        grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
+
+        def hdr_writer(bw2):
+            write_p_slice_header(bw2, cfg, frame_num)
+
+        host_rbsp = splice.finalize_spliced_frame(cfg, grid, num_refs,
+                                                  hdr_writer)
+        host_nal = write_nal_unit(host_rbsp, 0, 1)
+        assert dev_bytes == host_nal
+
+    assert step._cache_size() == 1, (
+        f"rows program recompiled: cache size {step._cache_size()}")
