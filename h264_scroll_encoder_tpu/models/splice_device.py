@@ -1619,3 +1619,70 @@ def donor_device_arrays(ds: DonorSymbols) -> dict:
         "coded": jnp.asarray(ds.coded),
         "ipcm": jnp.asarray(ds.ipcm),
     }
+
+
+def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
+                               donor_num_refs: int, num_ref_idx_l0: int,
+                               donor_ref_map: tuple = (0,), *,
+                               s_row: int,
+                               rect_at_left_edge: bool = False,
+                               rect_at_top_edge: bool = False,
+                               rect_at_right_edge: bool = False,
+                               left_ring=None, top_ring=None,
+                               right_ring=None, n_threads: int = 0):
+    """Serving ingest for a batch of FRESH donor payloads -> (dn, meta).
+
+    One fused native call (threaded across donors) parses each payload,
+    resolves composite-nC tokens, packs row-contiguous chunks at the
+    pinned `s_row` class and decodes composite MV edge roles; the result
+    is a dict of jnp arrays with a leading batch axis — exactly the
+    traced donor inputs of make_batched_splice_step_rows, so B sessions
+    can each carry a DIFFERENT donor through one compiled program.
+    meta = (donor_bits i64[N], has_align bool[N]) host metadata (budget
+    checks / phase-scan need).  Falls back to the per-donor Python path
+    when the native library is unavailable.
+    """
+    from .. import native_bridge
+
+    out = None
+    if native_bridge.native_available():
+        out = native_bridge.prepare_rows_batch(
+            payloads, start_bits, R, C, donor_num_refs, num_ref_idx_l0,
+            donor_ref_map, s_row,
+            at_left_edge=rect_at_left_edge, at_top_edge=rect_at_top_edge,
+            left_ring=left_ring, top_ring=top_ring, right_ring=right_ring,
+            n_threads=n_threads)
+    if out is None:
+        drs = []
+        for payload, sb in zip(payloads, start_bits):
+            dd = prepare_donor_dense_from_slice(
+                payload, sb, C, R, donor_num_refs, num_ref_idx_l0,
+                donor_ref_map,
+                rect_at_left_edge=rect_at_left_edge,
+                rect_at_top_edge=rect_at_top_edge,
+                rect_at_right_edge=rect_at_right_edge,
+                left_ring=left_ring, top_ring=top_ring,
+                right_ring=right_ring, engine="python")
+            dr = pack_donor_rows(dd, R, C, min_class=s_row)
+            if dr.row_patterns.shape[1] != s_row:
+                raise OverflowError(
+                    f"donor needs {dr.row_patterns.shape[1]} row slots, "
+                    f"class is {s_row}")
+            drs.append(dr)
+        out = {
+            "row_patterns": np.stack([d.row_patterns for d in drs]),
+            "row_nbits": np.stack([d.row_nbits for d in drs]),
+            "first_c": np.stack([d.first_c for d in drs]),
+            "coded": np.stack([d.coded for d in drs]),
+            "donor_bits": np.asarray([d.donor_bits for d in drs]),
+            "has_align": np.asarray([d.has_align for d in drs]),
+        }
+        for f in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+                  "d_ref", "d_mvx", "d_mvy"):
+            out[f] = np.stack([getattr(d, f) for d in drs])
+
+    donor_bits = out.pop("donor_bits")
+    has_align = out.pop("has_align")
+    dn = {k: jnp.asarray(v) for k, v in out.items()}
+    dn["first_c"] = dn["first_c"].astype(jnp.int32)
+    return dn, (donor_bits, has_align)

@@ -137,6 +137,25 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.cavlc_prepare_rows_batch.restype = ctypes.c_int
+    lib.cavlc_prepare_rows_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int,
+    ]
     if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
         raise RuntimeError("native MBRec layout mismatch")
     return lib
@@ -448,3 +467,96 @@ def pack_rows_native(patterns: np.ndarray, nbits: np.ndarray,
     if err:
         return None
     return out_pat, out_nb, first_c, int(donor_bits.value), needed.value
+
+
+def prepare_rows_batch(payloads, start_bits, R: int, C: int,
+                       num_ref_donor: int, num_ref_composite: int,
+                       ref_map, s_row: int, *,
+                       at_left_edge: bool = False,
+                       at_top_edge: bool = False,
+                       left_ring=None, top_ring=None, right_ring=None,
+                       n_threads: int = 0, bug_compat: bool = False):
+    """Fused, threaded serving prep for a batch of fresh donor payloads.
+
+    One native call runs parse -> composite-nC dense chunks -> row pack
+    -> MV edge roles for every payload (std::thread fan-out across
+    donors; n_threads<=0 = hardware concurrency).  Rings are the shared
+    composite border (static-chrome serving background by default).
+
+    Returns a dict of batch-stacked numpy arrays matching the traced
+    inputs of the rows splice kernel — {row_patterns [N,R,s_row],
+    row_nbits, first_c [N,R], coded [N,M], a_ref/a_mvx/a_mvy/b_*/d_*
+    [N,M]} — plus "donor_bits" [N] and "has_align" [N] host metadata.
+    Raises on any per-donor error; OverflowError when a donor needs more
+    than s_row row slots (retry with a bigger class).
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(payloads)
+    m_total = R * C
+
+    concat = np.frombuffer(b"".join(payloads), np.uint8)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(p) for p in payloads], out=offsets[1:])
+    sbits = np.asarray(start_bits, np.int64)
+    rmap = np.asarray(ref_map, np.int32)
+
+    from .models.splice_device import _default_rings
+    dl, dt, drr = _default_rings(R, C, at_left_edge, at_top_edge, False)
+    tv, tm = _ring_arrays(top_ring if top_ring is not None else dt, C + 2)
+    lv, lm = _ring_arrays(left_ring if left_ring is not None else dl, R)
+    rv, rm = _ring_arrays(right_ring if right_ring is not None else drr,
+                          max(R - 1, 0))
+
+    out_pat = np.zeros((n, R, s_row), np.uint32)
+    out_nb = np.zeros((n, R, s_row), np.int32)
+    out_first_c = np.zeros((n, R), np.int32)
+    out_coded = np.zeros((n, m_total), np.uint8)
+    out_a = np.zeros((n, m_total, 3), np.int32)
+    out_b = np.zeros((n, m_total, 3), np.int32)
+    out_d = np.zeros((n, m_total, 3), np.int32)
+    out_bits = np.zeros(n, np.int64)
+    out_align = np.zeros(n, np.int32)
+    out_err = np.zeros(n, np.int32)
+
+    def _u8p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def _i64p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+
+    lib.cavlc_prepare_rows_batch(
+        _u8p(concat), _i64p(offsets), _i64p(sbits),
+        n, R, C, num_ref_donor, num_ref_composite,
+        _i32p(rmap), len(rmap), int(at_left_edge), int(at_top_edge),
+        _i32p(tv), _u8p(tm), _i32p(lv), _u8p(lm), _i32p(rv), _u8p(rm),
+        s_row,
+        out_pat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _i32p(out_nb), _i32p(out_first_c), _u8p(out_coded),
+        _i32p(out_a), _i32p(out_b), _i32p(out_d),
+        _i64p(out_bits), _i32p(out_align), _i32p(out_err),
+        n_threads, int(bug_compat))
+
+    bad = np.flatnonzero(out_err)
+    if bad.size:
+        codes = out_err[bad]
+        if (codes == -101).all():
+            raise OverflowError(
+                f"{bad.size} donors need more than {s_row} row chunk "
+                "slots; retry with a bigger class")
+        raise cavlc.CAVLCError(
+            f"batch prep failed for donors {bad[:8].tolist()}: codes "
+            f"{codes[:8].tolist()}")
+
+    return {
+        "row_patterns": out_pat, "row_nbits": out_nb,
+        "first_c": out_first_c, "coded": out_coded.astype(bool),
+        "a_ref": out_a[:, :, 0].copy(), "a_mvx": out_a[:, :, 1].copy(),
+        "a_mvy": out_a[:, :, 2].copy(),
+        "b_ref": out_b[:, :, 0].copy(), "b_mvx": out_b[:, :, 1].copy(),
+        "b_mvy": out_b[:, :, 2].copy(),
+        "d_ref": out_d[:, :, 0].copy(), "d_mvx": out_d[:, :, 1].copy(),
+        "d_mvy": out_d[:, :, 2].copy(),
+        "donor_bits": out_bits, "has_align": out_align.astype(bool),
+    }

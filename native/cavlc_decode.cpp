@@ -17,8 +17,11 @@
 // Build: make -C native   (produces libh264tpu_cavlc.so; ctypes binding
 // in h264_scroll_encoder_tpu/native_bridge.py)
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #include "cavlc_tables.inc"
 
@@ -36,10 +39,30 @@ constexpr int kErrEof = -8;
 class BitReader {
  public:
   BitReader(const uint8_t* data, long nbytes, long start_bit)
-      : data_(data), nbits_(nbytes * 8), pos_(start_bit) {}
+      : data_(data), nbytes_(nbytes), nbits_(nbytes * 8), pos_(start_bit) {}
 
   long pos() const { return pos_; }
   void seek(long p) { pos_ = p; }
+
+  // 64-bit big-endian window whose MSB is the bit at pos_.  Bits past
+  // the buffer read as zero ("EOF reads 0" — identical to the old
+  // bit-serial reader's semantics).  After the phase shift, >=57 bits
+  // are genuine; every consumer below needs at most 39.
+  uint64_t window() const {
+    long byte = pos_ >> 3;
+    uint64_t v;
+    if (byte >= 0 && byte + 8 <= nbytes_) {
+      std::memcpy(&v, data_ + byte, 8);
+      v = __builtin_bswap64(v);
+    } else {
+      v = 0;
+      for (int i = 0; i < 8; ++i) {
+        long b = byte + i;
+        v = (v << 8) | (b >= 0 && b < nbytes_ ? data_[b] : 0);
+      }
+    }
+    return v << (pos_ & 7);
+  }
 
   int bit() {
     if (pos_ >= nbits_) { ++pos_; return 0; }  // EOF reads 0
@@ -49,26 +72,35 @@ class BitReader {
   }
 
   uint32_t bits(int n) {
-    uint32_t v = 0;
-    for (int i = 0; i < n; ++i) v = (v << 1) | bit();
+    if (n <= 0) return 0;
+    uint32_t v = (uint32_t)(window() >> (64 - n));
+    pos_ += n;
     return v;
   }
 
   uint32_t peek(int n) {
-    long save = pos_;
-    uint32_t v = bits(n);
-    pos_ = save;
-    return v;
+    if (n <= 0) return 0;
+    return (uint32_t)(window() >> (64 - n));
+  }
+
+  // Consume leading zeros up to `maxz`, plus the terminating bit.
+  // Returns min(zero_count, maxz); consumes maxz+1 bits when capped —
+  // exactly what the old per-bit loops consumed on their error paths.
+  int zeros_then_one(int maxz) {
+    uint64_t w = window();
+    int lz = w ? __builtin_clzll(w) : 64;
+    if (lz >= maxz) { pos_ += maxz + 1; return maxz; }
+    pos_ += lz + 1;
+    return lz;
   }
 
   uint32_t ue() {
-    int lz = 0;
-    while (bit() == 0 && lz < 32) ++lz;
-    if (lz == 0) return 0;
     // 32+ leading zeros cannot encode a value that is legal anywhere in
     // this grammar (and 1u<<32 is UB); return an out-of-range sentinel
     // that every caller's range check rejects.
+    int lz = zeros_then_one(32);
     if (lz >= 32) return 0xFFFFFFFFu;
+    if (lz == 0) return 0;
     return (1u << lz) - 1 + bits(lz);
   }
 
@@ -85,6 +117,7 @@ class BitReader {
 
  private:
   const uint8_t* data_;
+  long nbytes_;
   long nbits_;
   long pos_;
 };
@@ -119,39 +152,84 @@ struct CoeffCtx {
   int8_t chroma[2][4];
 };
 
+
+// ---------------------------------------------------------------------------
+// 16-bit-peek LUTs for the VLC decoders (built once at load): direct
+// index instead of a linear scan over table rows.  len==0 marks an
+// invalid prefix (decode error).
+// ---------------------------------------------------------------------------
+
+struct TokLutEnt { int8_t tc, t1, len; };
+
+// Classes: 0 = nC<2, 1 = nC<4, 2 = nC<8, 3 = chroma DC (nC>=8 decodes
+// as fixed 6-bit, no LUT needed).
+static TokLutEnt g_tok_lut[4][1 << 16];
+// decode_vlc_row LUT: value+1 in low byte (0 = invalid), len in high.
+static uint16_t g_tz4_lut[15][1 << 11];
+static uint16_t g_tzc_lut[3][1 << 11];
+static uint16_t g_rb_lut[7][1 << 11];
+
+static void fill_tok(TokLutEnt* lut, const CoeffTokenRow* table, int n) {
+  for (int i = 0; i < n; ++i) {
+    int L = table[i].len;
+    uint32_t base = table[i].code << (16 - L);
+    uint32_t span = 1u << (16 - L);
+    for (uint32_t w = 0; w < span; ++w)
+      lut[base + w] = {table[i].tc, table[i].t1, (int8_t)L};
+  }
+}
+
+static void fill_vlc(uint16_t* lut, const VlcRow* row) {
+  for (int v = 0; v < 18; ++v) {
+    int L = row[v].len;
+    if (L == 0) continue;
+    uint32_t base = row[v].code << (11 - L);
+    uint32_t span = 1u << (11 - L);
+    for (uint32_t w = 0; w < span; ++w)
+      lut[base + w] = (uint16_t)(((v + 1) & 0xFF) | (L << 8));
+  }
+}
+
+struct LutInit {
+  LutInit() {
+    fill_tok(g_tok_lut[0], kCoeffTokenNc0, kCoeffTokenNc0_len);
+    fill_tok(g_tok_lut[1], kCoeffTokenNc2, kCoeffTokenNc2_len);
+    fill_tok(g_tok_lut[2], kCoeffTokenNc4, kCoeffTokenNc4_len);
+    fill_tok(g_tok_lut[3], kCoeffTokenChromaDc, kCoeffTokenChromaDc_len);
+    for (int i = 0; i < 15; ++i) fill_vlc(g_tz4_lut[i], kTotalZeros4x4[i]);
+    for (int i = 0; i < 3; ++i)
+      fill_vlc(g_tzc_lut[i], kTotalZerosChromaDc[i]);
+    for (int i = 0; i < 7; ++i) fill_vlc(g_rb_lut[i], kRunBefore[i]);
+  }
+};
+static LutInit g_lut_init;
+
 int decode_coeff_token(BitReader& br, int nC, int* tc, int* t1) {
-  const CoeffTokenRow* table;
-  int n;
-  if (nC == -1) { table = kCoeffTokenChromaDc; n = kCoeffTokenChromaDc_len; }
-  else if (nC < 2) { table = kCoeffTokenNc0; n = kCoeffTokenNc0_len; }
-  else if (nC < 4) { table = kCoeffTokenNc2; n = kCoeffTokenNc2_len; }
-  else if (nC < 8) { table = kCoeffTokenNc4; n = kCoeffTokenNc4_len; }
+  int cls;
+  if (nC == -1) cls = 3;
+  else if (nC < 2) cls = 0;
+  else if (nC < 4) cls = 1;
+  else if (nC < 8) cls = 2;
   else {
     uint32_t code = br.bits(6);
     if (code == 3) { *tc = 0; *t1 = 0; }
     else { *tc = (int)(code >> 2) + 1; *t1 = (int)(code & 3); }
     return 0;
   }
-  for (int i = 0; i < n; ++i) {
-    if (br.peek(table[i].len) == table[i].code) {
-      br.bits(table[i].len);
-      *tc = table[i].tc;
-      *t1 = table[i].t1;
-      return 0;
-    }
-  }
-  return kErrToken;
+  const TokLutEnt& e = g_tok_lut[cls][br.peek(16)];
+  if (e.len == 0) return kErrToken;
+  br.seek(br.pos() + e.len);
+  *tc = e.tc;
+  *t1 = e.t1;
+  return 0;
 }
 
-int decode_vlc_row(BitReader& br, const VlcRow* row, int max_value) {
-  for (int v = 0; v <= max_value && v < 18; ++v) {
-    if (row[v].len == 0) continue;
-    if (br.peek(row[v].len) == row[v].code) {
-      br.bits(row[v].len);
-      return v;
-    }
-  }
-  return -1;
+int decode_vlc_lut(BitReader& br, const uint16_t* lut, int max_value) {
+  uint16_t e = lut[br.peek(11)];  // longest total_zeros/run_before: 11
+  int v = (e & 0xFF) - 1;
+  if (v < 0 || v > max_value) return -1;
+  br.seek(br.pos() + (e >> 8));
+  return v;
 }
 
 int read_block(BitReader& br, int nC, int max_coeff, BlockRec* out) {
@@ -169,8 +247,7 @@ int read_block(BitReader& br, int nC, int max_coeff, BlockRec* out) {
 
   int suffix_length = (tc > 10 && t1 < 3) ? 1 : 0;
   for (int i = 0; i < tc - t1; ++i) {
-    int prefix = 0;
-    while (br.bit() == 0 && prefix < 16) ++prefix;
+    int prefix = br.zeros_then_one(16);
     if (prefix > 15) return kErrLevel;
     int level_code = prefix << suffix_length;
     int suffix_size = suffix_length;
@@ -191,11 +268,11 @@ int read_block(BitReader& br, int nC, int max_coeff, BlockRec* out) {
 
   int total_zeros = 0;
   if (tc < max_coeff) {
-    const VlcRow* row;
+    const uint16_t* lut;
     int max_tz;
-    if (max_coeff == 4) { row = kTotalZerosChromaDc[tc - 1]; max_tz = 4 - tc; }
-    else { row = kTotalZeros4x4[tc - 1]; max_tz = max_coeff - tc; }
-    total_zeros = decode_vlc_row(br, row, max_tz);
+    if (max_coeff == 4) { lut = g_tzc_lut[tc - 1]; max_tz = 4 - tc; }
+    else { lut = g_tz4_lut[tc - 1]; max_tz = max_coeff - tc; }
+    total_zeros = decode_vlc_lut(br, lut, max_tz);
     if (total_zeros < 0) return kErrTotalZeros;
   }
   out->total_zeros = (int16_t)total_zeros;
@@ -204,7 +281,7 @@ int read_block(BitReader& br, int nC, int max_coeff, BlockRec* out) {
   for (int i = 0; i < tc - 1 && zeros_left > 0; ++i) {
     int key = zeros_left < 7 ? zeros_left : 7;
     int max_run = zeros_left < 14 ? zeros_left : 14;
-    int run = decode_vlc_row(br, kRunBefore[key - 1], max_run);
+    int run = decode_vlc_lut(br, g_rb_lut[key - 1], max_run);
     if (run < 0) return kErrRunBefore;
     zeros_left -= run;
   }
@@ -875,6 +952,12 @@ class ChunkWriter {
   long bits() const { return bits_; }
   bool has_align() const { return has_align_; }
 
+  // Zero-terminate the slot list so readers that scan until nbits==0
+  // are safe on reused (dirty) scratch buffers.
+  void terminate() {
+    if (n_ < cap_) nb_[n_] = 0;
+  }
+
  private:
   void emit(uint32_t v, int n) {
     if (n_ < cap_) {
@@ -1004,6 +1087,7 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
                      out_nb + (long)m * s_class, s_class);
       if (mb->kind == 0) {
         out_coded[m] = 0;
+        cw.terminate();
         CoeffCtx z;
         std::memset(&z, 0, sizeof(z));
         trk.push(col, z);
@@ -1083,6 +1167,7 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
       }
 
       cw.flush();
+      cw.terminate();
       if (cw.chunks() > needed) needed = cw.chunks();
       donor_bits += cw.bits();
       if (cw.has_align()) has_align = 1;
@@ -1435,6 +1520,114 @@ int cavlc_mv_edge_roles(const MBRec* mbs, int R, int C,
   delete[] mvy;
   delete[] filled;
   return err;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused serving prep, threaded across donors (round-3 fresh-donor path).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// For each of n donor P-slice payloads: parse -> composite-nC dense
+// chunks (thread-local scratch) -> row-contiguous pack -> composite MV
+// edge roles, in ONE call, fanned out over n_threads std::threads
+// (<=0: hardware_concurrency).  This is the serving ingest hot path:
+// one invocation preps a whole batch step's fresh donors with no
+// per-stage FFI round trips.
+//
+// payloads: concatenated bytes; offsets [n+1]; start_bits [n] (bit
+// position of the first MB within each payload).  Ring arrays are the
+// SHARED composite border (cavlc_mv_edge_roles layout) — the static-
+// chrome serving background.  Outputs (leading donor axis):
+//   out_pat [n,R,s_row], out_nb [n,R,s_row], out_first_c [n,R],
+//   out_coded [n,R*C], out_a/out_b/out_d [n,R*C,3],
+//   out_donor_bits [n], out_has_align [n], out_err [n].
+// Per-donor err: parse/prep error codes, or -101 when the donor needs
+// more than s_row row slots (caller retries with a bigger class).
+// Returns 0 (per-donor status is in out_err).
+int cavlc_prepare_rows_batch(
+    const uint8_t* payloads, const long* offsets, const long* start_bits,
+    int n, int R, int C, int num_ref_donor, int num_ref_composite,
+    const int32_t* ref_map, int ref_map_len,
+    int at_left_edge, int at_top_edge,
+    const int32_t* top_ring, const uint8_t* top_valid,
+    const int32_t* left_ring, const uint8_t* left_valid,
+    const int32_t* right_ring, const uint8_t* right_valid,
+    int s_row,
+    uint32_t* out_pat, int32_t* out_nb, int32_t* out_first_c,
+    uint8_t* out_coded, int32_t* out_a, int32_t* out_b, int32_t* out_d,
+    long* out_donor_bits, int32_t* out_has_align, int32_t* out_err,
+    int n_threads, int bug_compat) {
+  const long M = (long)R * C;
+  const int S = 352;  // covers the worst legal CAVLC macroblock
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? (int)hw : 1;
+  }
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+
+  std::atomic<int> next{0};
+  auto work = [&]() {
+    MBRec* recs = new MBRec[M];
+    uint32_t* dpat = new uint32_t[M * S];
+    int32_t* dnb = new int32_t[M * S];
+    uint8_t* coded = new uint8_t[M];
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      const uint8_t* p = payloads + offsets[i];
+      long nbytes = offsets[i + 1] - offsets[i];
+      long end_bit = 0;
+      int err = cavlc_parse_slice(p, nbytes, start_bits[i], C, R, 1,
+                                  num_ref_donor, recs, &end_bit,
+                                  bug_compat);
+      if (!err) {
+        long donor_bits = 0;
+        int has_align = 0, needed = 0;
+        err = cavlc_prepare_dense(recs, R, C, num_ref_composite, ref_map,
+                                  ref_map_len, at_left_edge, at_top_edge,
+                                  p, nbytes, dpat, dnb, S, coded,
+                                  &donor_bits, &has_align, &needed,
+                                  bug_compat);
+        out_has_align[i] = has_align;
+      }
+      if (!err) {
+        long row_bits = 0;
+        int needed = 0;
+        err = cavlc_pack_rows(dpat, dnb, coded, R, C, S, s_row,
+                              out_pat + (long)i * R * s_row,
+                              out_nb + (long)i * R * s_row,
+                              out_first_c + (long)i * R,
+                              &row_bits, &needed);
+        out_donor_bits[i] = row_bits;
+        std::memcpy(out_coded + (long)i * M, coded, M);
+      }
+      if (!err) {
+        err = cavlc_mv_edge_roles(recs, R, C, num_ref_composite, ref_map,
+                                  ref_map_len, top_ring, top_valid,
+                                  left_ring, left_valid, right_ring,
+                                  right_valid, out_a + (long)i * M * 3,
+                                  out_b + (long)i * M * 3,
+                                  out_d + (long)i * M * 3);
+      }
+      out_err[i] = err;
+    }
+    delete[] recs;
+    delete[] dpat;
+    delete[] dnb;
+    delete[] coded;
+  };
+
+  if (n_threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"

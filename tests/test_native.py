@@ -289,3 +289,52 @@ def test_native_pack_rows_matches_python():
         assert np.array_equal(a.row_nbits, b.row_nbits)
         assert np.array_equal(a.first_c, b.first_c)
         assert (a.donor_bits, a.has_align) == (b.donor_bits, b.has_align)
+
+
+def test_prepare_rows_batch_matches_single():
+    """The fused threaded batch prep (cavlc_prepare_rows_batch) is
+    field-identical to the per-donor prepare_donor_dense_from_slice +
+    pack_donor_rows path, across mixed donor families, with >1 threads
+    exercised."""
+    import numpy as np
+    from h264_scroll_encoder_tpu import native_bridge as nb
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    if not nb.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(41)
+    R, C = 7, 9
+    CLASS = 256
+    payloads = []
+    for k in range(12):
+        if k % 3 == 0:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+        elif k % 3 == 1:
+            g = fixtures.dense_donor_grid(rng, C, R)
+        else:
+            g = fixtures.representative_donor_grid(rng, C, R)
+            g[0][0] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, g, 1)
+        bw.write_trailing_bits()
+        payloads.append(bw.getvalue())
+
+    out = nb.prepare_rows_batch(payloads, [0] * len(payloads), R, C,
+                                1, 2, (0,), CLASS, n_threads=4)
+    for i, payload in enumerate(payloads):
+        dd = sd.prepare_donor_dense_from_slice(payload, 0, C, R, 1, 2)
+        dr = sd.pack_donor_rows(dd, R, C, min_class=CLASS)
+        assert np.array_equal(out["row_patterns"][i], dr.row_patterns), i
+        assert np.array_equal(out["row_nbits"][i], dr.row_nbits), i
+        assert np.array_equal(out["first_c"][i], dr.first_c), i
+        assert np.array_equal(out["coded"][i], dr.coded), i
+        for f in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+                  "d_ref", "d_mvx", "d_mvy"):
+            assert np.array_equal(out[f][i], getattr(dr, f)), (i, f)
+        assert int(out["donor_bits"][i]) == dr.donor_bits, i
+        assert bool(out["has_align"][i]) == dr.has_align, i

@@ -544,3 +544,82 @@ def test_one_program_serves_many_donors():
 
     assert step._cache_size() == 1, (
         f"rows program recompiled: cache size {step._cache_size()}")
+
+
+def test_fresh_donor_batch_serving():
+    """Fresh-donor serving soak: every step of every session consumes a
+    NEW donor payload through the fused threaded batch ingest
+    (prepare_donor_rows_serving) and ONE compiled batched rows program —
+    B sessions carry DIFFERENT donors in one vmapped call.  Each
+    composed frame is byte-equal to the exact host path and the program
+    never recompiles."""
+    from h264_scroll_encoder_tpu.parallel import batch
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+
+    rng = np.random.default_rng(99)
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    R, C = 4, 5
+    r0, c0 = 5, 8
+    B, T = 4, 6
+    num_refs = 2
+    frame_num = 3
+    CLASS = 256
+
+    def fresh_payload(k):
+        fam = k % 3
+        if fam == 0:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+        elif fam == 1:
+            g = fixtures.dense_donor_grid(rng, C, R)
+        else:
+            g = fixtures.representative_donor_grid(rng, C, R)
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, g, 1)
+        bw.write_trailing_bits()
+        return bw.getvalue(), g
+
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32)
+    step = batch.make_batched_splice_step_rows(
+        cfg, c0, r0, C, R, num_refs, has_align=True, n_rbsp=budget,
+        compact_x=True)
+
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    hints = FrameHints(motion_regions=(), dynamic_mb_x=c0, dynamic_mb_y=r0)
+
+    k = 0
+    for _t in range(T):
+        payloads, grids = [], []
+        for _b in range(B):
+            p, g = fresh_payload(k)
+            payloads.append(p)
+            grids.append(g)
+            k += 1
+        dn, (donor_bits, has_align) = \
+            splice_device.prepare_donor_rows_serving(
+                payloads, [0] * B, R, C, 1, num_refs, s_row=CLASS,
+                n_threads=3)
+        nal, nal_len, _, ovf = step(bcast(hp), bcast(hn), bcast(zero),
+                                    bcast(zero), bcast(zero),
+                                    bcast(bg_coded), dn)
+        assert not bool(np.asarray(ovf).any())
+        for b in range(B):
+            dev_bytes = np.asarray(nal[b])[: int(nal_len[b])].tobytes()
+            grid = splice.splice_p_frame(cfg, hints, grids[b], num_refs)
+
+            def hdr_writer(bw2):
+                write_p_slice_header(bw2, cfg, frame_num)
+
+            host_nal = write_nal_unit(
+                splice.finalize_spliced_frame(cfg, grid, num_refs,
+                                              hdr_writer), 0, 1)
+            assert dev_bytes == host_nal, (_t, b)
+
+    assert step._cache_size() == 1
