@@ -116,7 +116,8 @@ _SUB_GEOM = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
 
 def decode_p_slice_mv_field(grid: list, mb_width: int,
                             mb_height: int, *, field: MVField | None = None,
-                            origin: tuple = (0, 0)) -> MVField:
+                            origin: tuple = (0, 0),
+                            post_row=None) -> MVField:
     """Walk the MB grid in raster order reconstructing the MV field, and
     resolving hint macroblocks' mvd in place (see resolve note below).
 
@@ -128,12 +129,19 @@ def decode_p_slice_mv_field(grid: list, mb_width: int,
     partially pre-filled field (e.g. a donor rect whose left/top border
     cells carry the composite frame's neighboring MB values — see
     splice_device.donor_edge_motion); origin is the (mb_x, mb_y) of
-    grid[0][0] within that field.
+    grid[0][0] within that field.  `post_row(mb_y)` runs after each MB
+    row — ring callers use it to fill border cells that only become
+    available in decode order AFTER the row (e.g. the composite MB right
+    of the rect: it decodes before the NEXT donor row, so it may serve
+    as that row's above-right neighbor, but it must NOT be visible to
+    same-row sub-partition prediction).
     """
     if field is None:
         field = MVField(mb_width, mb_height)
     ox, oy = origin
     for mb_y in range(mb_height):
+        if post_row is not None and mb_y > 0:
+            post_row(mb_y - 1)
         for mb_x in range(mb_width):
             mb = grid[mb_y][mb_x]
             bx, by = (mb_x + ox) * 4, (mb_y + oy) * 4

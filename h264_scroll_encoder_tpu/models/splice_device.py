@@ -976,11 +976,16 @@ def donor_edge_motion(donor_grid: list, *, left_ring=None, top_ring=None,
         _fill(c, 0, top_ring[c])
     for r in range(rows):
         _fill(0, 1 + r, left_ring[r])
-    for r in range(rows - 1):
-        _fill(cols + 1, 1 + r, right_ring[r])
+
+    # The composite MB right of donor row r decodes AFTER that row (it
+    # may be the above-right neighbor of row r+1 but is invisible to
+    # row r's own sub-partition prediction), so fill it lazily per row.
+    def _post_row(r):
+        if r < rows - 1:
+            _fill(cols + 1, 1 + r, right_ring[r])
 
     decode_p_slice_mv_field(donor_grid, cols, rows, field=field,
-                            origin=(1, 1))
+                            origin=(1, 1), post_row=_post_row)
 
     m = rows * cols
     a = (np.zeros(m, np.int32), np.zeros(m, np.int32), np.zeros(m, np.int32))
@@ -1126,7 +1131,8 @@ def prepare_donor_dense_from_slice(rbsp: bytes, start_bit: int, C: int,
                                    rect_at_right_edge: bool = False,
                                    left_ring=None, top_ring=None,
                                    right_ring=None,
-                                   engine: str = "auto") -> DonorDense:
+                                   engine: str = "auto",
+                                   retarget_mvs: bool = False) -> DonorDense:
     """Serving ingest: donor P-slice payload bytes -> DonorDense.
 
     engine "native" runs parse + composite-nC token resolution + chunk
@@ -1153,6 +1159,13 @@ def prepare_donor_dense_from_slice(rbsp: bytes, start_bit: int, C: int,
     if use_native:
         recs, _ = native_bridge.parse_slice_raw(
             rbsp, start_bit, C, R, True, donor_num_refs)
+        if retarget_mvs:
+            # Successive-donor mode: rewrite mvds in place so decoded
+            # donor motion survives the composite context exactly
+            # (native twin of splice_p_frame's donor_mv_targets path).
+            native_bridge.retarget_recs_raw(
+                recs, C, R, num_ref_idx_l0, donor_ref_map,
+                left_ring, top_ring, right_ring)
         patterns, nbits, coded, donor_bits, has_align = \
             native_bridge.prepare_dense_raw(
                 recs, C, R, rbsp, num_ref_idx_l0, donor_ref_map,
@@ -1166,6 +1179,9 @@ def prepare_donor_dense_from_slice(rbsp: bytes, start_bit: int, C: int,
                           d[:, 0].copy(), d[:, 1].copy(), d[:, 2].copy(),
                           donor_bits, has_align)
 
+    if retarget_mvs:
+        raise NotImplementedError(
+            "retarget_mvs requires the native engine (make -C native)")
     from ..ops.bitio import BitReader
     br = BitReader(rbsp)
     br.skip_bits(start_bit)
@@ -1629,7 +1645,8 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
                                rect_at_top_edge: bool = False,
                                rect_at_right_edge: bool = False,
                                left_ring=None, top_ring=None,
-                               right_ring=None, n_threads: int = 0):
+                               right_ring=None, n_threads: int = 0,
+                               retarget_mvs: bool = False):
     """Serving ingest for a batch of FRESH donor payloads -> (dn, meta).
 
     One fused native call (threaded across donors) parses each payload,
@@ -1651,8 +1668,11 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
             donor_ref_map, s_row,
             at_left_edge=rect_at_left_edge, at_top_edge=rect_at_top_edge,
             left_ring=left_ring, top_ring=top_ring, right_ring=right_ring,
-            n_threads=n_threads)
+            n_threads=n_threads, retarget_mvs=retarget_mvs)
     if out is None:
+        if retarget_mvs:
+            raise NotImplementedError(
+                "retarget_mvs requires the native engine")
         drs = []
         for payload, sb in zip(payloads, start_bits):
             dd = prepare_donor_dense_from_slice(

@@ -55,7 +55,7 @@ class _MBRec(ctypes.Structure):
 
 
 _NO_QP = -(2 ** 31)
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 @functools.lru_cache(maxsize=1)
@@ -137,6 +137,14 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_int),
     ]
+    lib.cavlc_retarget_recs.restype = ctypes.c_int
+    lib.cavlc_retarget_recs.argtypes = [
+        ctypes.POINTER(_MBRec), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.cavlc_prepare_rows_batch.restype = ctypes.c_int
     lib.cavlc_prepare_rows_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
@@ -154,7 +162,7 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
         raise RuntimeError("native MBRec layout mismatch")
@@ -475,7 +483,8 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
                        at_left_edge: bool = False,
                        at_top_edge: bool = False,
                        left_ring=None, top_ring=None, right_ring=None,
-                       n_threads: int = 0, bug_compat: bool = False):
+                       n_threads: int = 0, bug_compat: bool = False,
+                       retarget_mvs: bool = False):
     """Fused, threaded serving prep for a batch of fresh donor payloads.
 
     One native call runs parse -> composite-nC dense chunks -> row pack
@@ -536,7 +545,7 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
         _i32p(out_nb), _i32p(out_first_c), _u8p(out_coded),
         _i32p(out_a), _i32p(out_b), _i32p(out_d),
         _i64p(out_bits), _i32p(out_align), _i32p(out_err),
-        n_threads, int(bug_compat))
+        n_threads, int(bug_compat), int(retarget_mvs))
 
     bad = np.flatnonzero(out_err)
     if bad.size:
@@ -560,3 +569,26 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
         "d_mvy": out_d[:, :, 2].copy(),
         "donor_bits": out_bits, "has_align": out_align.astype(bool),
     }
+
+
+def retarget_recs_raw(recs, mb_width: int, mb_height: int,
+                      num_ref_composite: int, ref_map,
+                      left_ring, top_ring, right_ring) -> None:
+    """In-place successive-donor MV retarget of a parsed MBRec grid
+    (cavlc_retarget_recs): every donor MB's decoded motion is preserved
+    exactly in the composite context; skips become explicit P_L0_16x16
+    pinned to their donor-context skip MV.  Rings: composite border
+    (same layout as mv_edge_roles_raw)."""
+    lib = load_library()
+    R, C = mb_height, mb_width
+    rmap = np.asarray(ref_map, np.int32)
+    tv, tm = _ring_arrays(top_ring, C + 2)
+    lv, lm = _ring_arrays(left_ring, R)
+    rv, rm = _ring_arrays(right_ring, max(R - 1, 0))
+    err = lib.cavlc_retarget_recs(
+        recs, R, C, num_ref_composite, _i32p(rmap), len(rmap),
+        _i32p(tv), tm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i32p(lv), lm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _i32p(rv), rm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if err:
+        raise cavlc.CAVLCError(f"native retarget failed: {err}")

@@ -220,6 +220,7 @@ def make_batched_splice_step_dense(cfg: ComposerConfig, rect_mb_x: int,
 def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
                                   rect_mb_y: int, rect_w: int, rect_h: int,
                                   num_refs: int = 2, *,
+                                  nal_ref_idc: int = 0,
                                   has_align: bool = False,
                                   n_rbsp: int | None = None,
                                   ebsp_exact: bool = False,
@@ -241,6 +242,7 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
         return splice_device.emit_spliced_frame_rows(
             cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
             hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn,
+            nal_ref_idc=nal_ref_idc,
             has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact,
             compact_x=compact_x)
 
@@ -299,3 +301,28 @@ def run_frames(cfg: ComposerConfig, state: SessionState, offsets,
     (final_state, _), outs = jax.lax.scan(body, (state, ptr0), None,
                                           length=T)
     return final_state, outs
+
+
+def compact_batch_nal(nal, nal_len, cap: int):
+    """Concatenate a batch's valid NAL bytes into one dense buffer.
+
+    nal [B, N] u8 with nal_len [B] valid bytes each -> (packed [cap] u8,
+    total i32, overflow bool): packed[:total] is stream 0's bytes, then
+    stream 1's, ... — so egress is ONE contiguous fetch per step instead
+    of B strided fetches of mostly-padding buffers (the reference
+    delivers its bytes too: src/composer.c:274-291).  `cap` is static;
+    overflow flags total > cap (nothing truncated silently — callers
+    retry with a bigger cap).  Gather form: output position j maps to
+    (stream s(j) = searchsorted(offsets, j) - 1, j - offset[s]) — no
+    sequential dependency, so XLA vectorizes the whole compaction.
+    """
+    B, N = nal.shape
+    lens = nal_len.astype(jnp.int32)
+    off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(lens, dtype=jnp.int32)])
+    total = off[-1]
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    s = jnp.clip(jnp.searchsorted(off, pos, side="right") - 1, 0, B - 1)
+    rel = jnp.clip(pos - off[s], 0, N - 1)
+    packed = jnp.where(pos < total, nal[s, rel], 0).astype(jnp.uint8)
+    return packed, total, total > jnp.int32(cap)

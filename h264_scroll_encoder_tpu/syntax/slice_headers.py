@@ -20,14 +20,16 @@ from ..config import ComposerConfig, MAX_WAYPOINTS, SLICE_TYPE_P
 from ..ops import expgolomb
 from ..ops.bitio import BitWriter
 
-# Slot budget for the P slice header symbol stream.
-P_HEADER_SLOTS = 14 + 2 * MAX_WAYPOINTS + 7
+# Slot budget for the P slice header symbol stream (incl. the two
+# optional short-term-lead reordering slots).
+P_HEADER_SLOTS = 14 + 2 * MAX_WAYPOINTS + 7 + 2
 
 
 def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
                            is_reference, long_term_idx,
                            num_waypoints, wp_long_term_idx, wp_valid,
-                           first_mb=0, slice_qp_delta: int = 0):
+                           first_mb=0, slice_qp_delta: int = 0,
+                           prev_ref_abs_diff=0):
     """P slice header as (patterns[P_HEADER_SLOTS], nbits[P_HEADER_SLOTS]).
 
     Args (traced unless noted):
@@ -41,6 +43,12 @@ def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
         2 + num_waypoints entries).
       wp_long_term_idx: int32[MAX_WAYPOINTS] registry.
       wp_valid: bool[MAX_WAYPOINTS] registry validity.
+      prev_ref_abs_diff: traced int; > 0 leads the active reference list
+        with a SHORT-TERM picture (reordering idc 0,
+        abs_diff_pic_num_minus1 = prev_ref_abs_diff - 1) ahead of the
+        long-term atlases — the successive-donor mode where frame N's
+        dynamic rect references composed frame N-1 (host twin:
+        write_p_slice_header's prev_ref_abs_diff).  0 = absent.
     """
     frame_num = jnp.asarray(frame_num, jnp.int32)
     poc_lsb = jnp.asarray(poc_lsb, jnp.int32)
@@ -49,6 +57,8 @@ def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
     num_waypoints = jnp.asarray(num_waypoints, jnp.int32)
     wp_long_term_idx = jnp.asarray(wp_long_term_idx, jnp.int32)
     wp_valid = jnp.asarray(wp_valid, bool)
+    prev_ref_abs_diff = jnp.asarray(prev_ref_abs_diff, jnp.int32)
+    st_lead = prev_ref_abs_diff > 0
 
     pats = []
     bits = []
@@ -77,9 +87,12 @@ def p_slice_header_symbols(cfg: ComposerConfig, frame_num, poc_lsb,
         sym(0, 0)
 
     sym(one, 1)                    # num_ref_idx_active_override_flag = 1
-    sym_ue(num_waypoints + 1)      # num_ref_idx_l0_active_minus1 = 2+wp-1
+    # num_ref_idx_l0_active_minus1 = [st?] + 2 atlases + waypoints - 1.
+    sym_ue(num_waypoints + 1 + st_lead.astype(jnp.int32))
 
     sym(one, 1)                    # ref_pic_list_modification_flag_l0 = 1
+    sym_ue(0, st_lead)             # idc 0: short-term, pic_num down
+    sym_ue(jnp.maximum(prev_ref_abs_diff - 1, 0), st_lead)
     sym_ue(2)
     sym_ue(0)                      # long_term_pic_num 0 (atlas A)
     sym_ue(2)

@@ -722,7 +722,7 @@ extern "C" {
 // Bumped whenever the extern "C" surface changes; the Python bridge
 // checks it and rebuilds a stale library instead of calling through a
 // mismatched ABI.
-long cavlc_abi_version(void) { return 3; }
+long cavlc_abi_version(void) { return 4; }
 
 // Emit an MBRec grid (mb_width x mb_height, row-major) as slice MB data.
 // kind==0 records are P_Skip.  src supplies tail/pred/ipcm spans recorded
@@ -1404,12 +1404,16 @@ int cavlc_mv_edge_roles(const MBRec* mbs, int R, int C,
     if (left_valid[r])
       f.fill(0, (1 + r) * 4, 4, 4, left_ring[r * 3], left_ring[r * 3 + 1],
              left_ring[r * 3 + 2]);
-  for (int r = 0; r < R - 1; ++r)
-    if (right_valid[r])
-      f.fill((C + 1) * 4, (1 + r) * 4, 4, 4, right_ring[r * 3],
-             right_ring[r * 3 + 1], right_ring[r * 3 + 2]);
+  // Right-ring cells fill LAZILY after each donor row: the composite MB
+  // right of row r decodes after that row in raster order, so it may
+  // serve row r+1's above-right prediction but must not be visible to
+  // row r's own sub-partition prediction.
 
   for (int mb_y = 0; mb_y < R && !err; ++mb_y) {
+    if (mb_y > 0 && mb_y - 1 < R - 1 && right_valid[mb_y - 1])
+      f.fill((C + 1) * 4, mb_y * 4, 4, 4, right_ring[(mb_y - 1) * 3],
+             right_ring[(mb_y - 1) * 3 + 1],
+             right_ring[(mb_y - 1) * 3 + 2]);
     for (int mb_x = 0; mb_x < C && !err; ++mb_x) {
       const MBRec* mb = &mbs[mb_y * C + mb_x];
       int bx = (1 + mb_x) * 4, by = (1 + mb_y) * 4;
@@ -1530,6 +1534,14 @@ int cavlc_mv_edge_roles(const MBRec* mbs, int R, int C,
 
 extern "C" {
 
+// Defined below (successive-donor section); used by the batch prep.
+int cavlc_retarget_recs(MBRec* mbs, int R, int C, int num_ref_composite,
+                        const int32_t* ref_map, int ref_map_len,
+                        const int32_t* top_ring, const uint8_t* top_valid,
+                        const int32_t* left_ring, const uint8_t* left_valid,
+                        const int32_t* right_ring,
+                        const uint8_t* right_valid);
+
 // For each of n donor P-slice payloads: parse -> composite-nC dense
 // chunks (thread-local scratch) -> row-contiguous pack -> composite MV
 // edge roles, in ONE call, fanned out over n_threads std::threads
@@ -1559,7 +1571,7 @@ int cavlc_prepare_rows_batch(
     uint32_t* out_pat, int32_t* out_nb, int32_t* out_first_c,
     uint8_t* out_coded, int32_t* out_a, int32_t* out_b, int32_t* out_d,
     long* out_donor_bits, int32_t* out_has_align, int32_t* out_err,
-    int n_threads, int bug_compat) {
+    int n_threads, int bug_compat, int retarget_mvs) {
   const long M = (long)R * C;
   const int S = 352;  // covers the worst legal CAVLC macroblock
   if (n_threads <= 0) {
@@ -1582,6 +1594,14 @@ int cavlc_prepare_rows_batch(
       int err = cavlc_parse_slice(p, nbytes, start_bits[i], C, R, 1,
                                   num_ref_donor, recs, &end_bit,
                                   bug_compat);
+      if (!err && retarget_mvs) {
+        // Successive-donor mode: preserve decoded donor motion exactly
+        // across the context change (see cavlc_retarget_recs).
+        err = cavlc_retarget_recs(recs, R, C, num_ref_composite, ref_map,
+                                  ref_map_len, top_ring, top_valid,
+                                  left_ring, left_valid, right_ring,
+                                  right_valid);
+      }
       if (!err) {
         long donor_bits = 0;
         int has_align = 0, needed = 0;
@@ -1628,6 +1648,217 @@ int cavlc_prepare_rows_batch(
     for (auto& th : pool) th.join();
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Successive-donor MV retargeting (round-3 device path for the
+// MASTER_DESIGN dynamic-encoder contract): preserve each donor MB's
+// DECODED motion exactly across the donor->composite context change by
+// rewriting mvds in place, so the standard prepare/pack/roles pipeline
+// then serves successive donors unchanged.  Host twin:
+// models/splice.donor_mv_targets_from_grid + splice_p_frame(hint_mv=...)
+// + finalize's composite resolution.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Shared decode/rewrite walk.  Record mode (targets == null): decode the
+// grid in the field's context, storing each partition's decoded MV into
+// rec_targets[m][mv_i] (skip MBs: derived skip MV in slot 0).  Rewrite
+// mode (targets != null): resolve refs through ref_map, set each rec's
+// mvds[mv_i] = target - prediction, fill the field with the target; skip
+// records become explicit P_L0_16x16 pinned to their target.
+int mvf_walk_grid(MBRec* mbs, int R, int C, MVField& f, int ox4, int oy4,
+                  const int32_t* ref_map, int ref_map_len,
+                  const int32_t (*targets)[16][2],
+                  int32_t (*rec_targets)[16][2],
+                  const int32_t* right_ring = nullptr,
+                  const uint8_t* right_valid = nullptr) {
+  const bool rewrite = targets != nullptr;
+  for (int mb_y = 0; mb_y < R; ++mb_y) {
+    // Lazy right-ring fill (see cavlc_mv_edge_roles comment).
+    if (right_ring && mb_y > 0 && mb_y - 1 < R - 1 &&
+        right_valid[mb_y - 1])
+      f.fill(ox4 + C * 4, oy4 + (mb_y - 1) * 4, 4, 4,
+             right_ring[(mb_y - 1) * 3], right_ring[(mb_y - 1) * 3 + 1],
+             right_ring[(mb_y - 1) * 3 + 2]);
+    for (int mb_x = 0; mb_x < C; ++mb_x) {
+      MBRec* mb = &mbs[mb_y * C + mb_x];
+      int m = mb_y * C + mb_x;
+      int bx = ox4 + mb_x * 4, by = oy4 + mb_y * 4;
+      if (mb->kind == 0) {
+        if (!rewrite) {
+          int32_t px, py;
+          mvf_skip(f, bx, by, &px, &py);
+          rec_targets[m][0][0] = px;
+          rec_targets[m][0][1] = py;
+          f.fill(bx, by, 4, 4, 0, px, py);
+        } else {
+          // Convert to explicit P_L0_16x16 pinned to the donor-context
+          // skip MV (splice_p_frame's tgt-for-skip rule).
+          int32_t r = ref_map[0];
+          int32_t px, py;
+          mvf_predict(f, bx, by, 4, r, nullptr, nullptr, nullptr,
+                      &px, &py);
+          mb->kind = 1;
+          mb->mb_type = 0;
+          mb->n_ref = 1;
+          mb->ref_idx[0] = 0;
+          mb->n_mvds = 1;
+          mb->mvds[0][0] = targets[m][0][0] - px;
+          mb->mvds[0][1] = targets[m][0][1] - py;
+          mb->cbp = 0;
+          f.fill(bx, by, 4, 4, r, targets[m][0][0], targets[m][0][1]);
+        }
+        continue;
+      }
+      if (mb->kind != 1) {  // intra: no motion
+        f.fill(bx, by, 4, 4, kIntraRef, 0, 0);
+        continue;
+      }
+      int pref[4];
+      int n_parts = mb->mb_type == 0 ? 1 : (mb->mb_type <= 2 ? 2 : 4);
+      for (int i = 0; i < n_parts; ++i) {
+        int donor_ref = (mb->mb_type == 4) ? 0
+                        : (mb->n_ref > 0 ? mb->ref_idx[i] : 0);
+        if (rewrite) {
+          if (donor_ref < 0 || donor_ref >= ref_map_len) return -102;
+          pref[i] = ref_map[donor_ref];
+        } else {
+          pref[i] = donor_ref;
+        }
+      }
+
+      auto handle = [&](int part, int mv_i, int pbx, int pby, int pw4,
+                        int ph4, int32_t px, int32_t py) {
+        if (!rewrite) {
+          rec_targets[m][mv_i][0] = px + mb->mvds[mv_i][0];
+          rec_targets[m][mv_i][1] = py + mb->mvds[mv_i][1];
+          f.fill(pbx, pby, pw4, ph4, pref[part],
+                 rec_targets[m][mv_i][0], rec_targets[m][mv_i][1]);
+        } else {
+          mb->mvds[mv_i][0] = targets[m][mv_i][0] - px;
+          mb->mvds[mv_i][1] = targets[m][mv_i][1] - py;
+          f.fill(pbx, pby, pw4, ph4, pref[part],
+                 targets[m][mv_i][0], targets[m][mv_i][1]);
+        }
+      };
+
+      if (mb->mb_type == 0) {
+        int32_t px, py;
+        mvf_predict(f, bx, by, 4, pref[0], nullptr, nullptr, nullptr,
+                    &px, &py);
+        handle(0, 0, bx, by, 4, 4, px, py);
+      } else if (mb->mb_type == 1) {  // 16x8
+        for (int part = 0; part < 2; ++part) {
+          int pby = by + part * 2;
+          int32_t r = pref[part];
+          Nbr a, b, c;
+          mvf_neighbors(f, bx, pby, 4, &a, &b, &c);
+          int32_t px, py;
+          if (part == 0 && b.av && b.r == r) { px = b.x; py = b.y; }
+          else if (part == 1 && a.av && a.r == r) { px = a.x; py = a.y; }
+          else mvf_predict(f, bx, pby, 4, r, &a, &b, &c, &px, &py);
+          handle(part, part, bx, pby, 4, 2, px, py);
+        }
+      } else if (mb->mb_type == 2) {  // 8x16
+        for (int part = 0; part < 2; ++part) {
+          int pbx = bx + part * 2;
+          int32_t r = pref[part];
+          Nbr a, b, c;
+          mvf_neighbors(f, pbx, by, 2, &a, &b, &c);
+          int32_t px, py;
+          if (part == 0 && a.av && a.r == r) { px = a.x; py = a.y; }
+          else if (part == 1 && c.av && c.r == r) { px = c.x; py = c.y; }
+          else mvf_predict(f, pbx, by, 2, r, &a, &b, &c, &px, &py);
+          handle(part, part, pbx, by, 2, 4, px, py);
+        }
+      } else {  // P_8x8 / P_8x8ref0
+        int mv_i = 0;
+        for (int sub = 0; sub < 4; ++sub) {
+          int sbx = bx + (sub % 2) * 2;
+          int sby = by + (sub / 2) * 2;
+          int smt = mb->sub_mb_types[sub];
+          int sw = kSubGeom[smt][0], sh = kSubGeom[smt][1];
+          int n_w = 2 / sw, n_h = 2 / sh;
+          for (int j = 0; j < n_h; ++j)
+            for (int i = 0; i < n_w; ++i) {
+              int pbx = sbx + i * sw, pby = sby + j * sh;
+              int32_t px, py;
+              mvf_predict(f, pbx, pby, sw, pref[sub], nullptr, nullptr,
+                          nullptr, &px, &py);
+              handle(sub, mv_i, pbx, pby, sw, sh, px, py);
+              ++mv_i;
+            }
+        }
+      }
+    }
+  }
+  return 0;
+}
+
+struct FieldBuf {
+  int32_t *ref, *mvx, *mvy;
+  uint8_t* filled;
+  MVField f;
+  FieldBuf(int w4, int h4) {
+    long cells = (long)w4 * h4;
+    ref = new int32_t[cells];
+    mvx = new int32_t[cells]();
+    mvy = new int32_t[cells]();
+    filled = new uint8_t[cells]();
+    for (long i = 0; i < cells; ++i) ref[i] = -9;
+    f = MVField{w4, h4, ref, mvx, mvy, filled};
+  }
+  ~FieldBuf() {
+    delete[] ref;
+    delete[] mvx;
+    delete[] mvy;
+    delete[] filled;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// In-place successive-donor retarget of a parsed MBRec grid (see header
+// comment above).  Rings: composite border, cavlc_mv_edge_roles layout.
+// Returns 0, or -102 on an unmappable donor ref.
+int cavlc_retarget_recs(MBRec* mbs, int R, int C, int num_ref_composite,
+                        const int32_t* ref_map, int ref_map_len,
+                        const int32_t* top_ring, const uint8_t* top_valid,
+                        const int32_t* left_ring, const uint8_t* left_valid,
+                        const int32_t* right_ring,
+                        const uint8_t* right_valid) {
+  long m_total = (long)R * C;
+  int32_t(*targets)[16][2] = new int32_t[m_total][16][2]();
+
+  {  // Pass 1: donor-context decode (frame edges, donor ref indices).
+    FieldBuf donor_f(C * 4, R * 4);
+    int err = mvf_walk_grid(mbs, R, C, donor_f.f, 0, 0, nullptr, 0,
+                            nullptr, targets);
+    if (err) { delete[] targets; return err; }
+  }
+
+  // Pass 2: composite-context rewrite inside the rings.
+  FieldBuf comp_f((C + 2) * 4, (R + 1) * 4);
+  for (int c = 0; c < C + 2; ++c)
+    if (top_valid[c])
+      comp_f.f.fill(c * 4, 0, 4, 4, top_ring[c * 3], top_ring[c * 3 + 1],
+                    top_ring[c * 3 + 2]);
+  for (int r = 0; r < R; ++r)
+    if (left_valid[r])
+      comp_f.f.fill(0, (1 + r) * 4, 4, 4, left_ring[r * 3],
+                    left_ring[r * 3 + 1], left_ring[r * 3 + 2]);
+  (void)num_ref_composite;
+  int err = mvf_walk_grid(mbs, R, C, comp_f.f, 4, 4,
+                          ref_map, ref_map_len, targets, nullptr,
+                          right_ring, right_valid);
+  delete[] targets;
+  return err;
 }
 
 }  // extern "C"

@@ -203,3 +203,32 @@ def test_waypoint_exhaustion_flagged():
         s.write_scroll_frame(k * MV_LIMIT_PX)
     with pytest.raises(OverflowError, match="waypoint registry full"):
         s.write_scroll_frame((MAX_WAYPOINTS + 1) * MV_LIMIT_PX)
+
+
+def test_compact_batch_nal():
+    """Egress compaction: packed[:total] == the concatenation of each
+    stream's valid prefix, for ragged lengths including zero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from h264_scroll_encoder_tpu.parallel.batch import compact_batch_nal
+
+    rng = np.random.default_rng(5)
+    B, N = 7, 50
+    nal = rng.integers(1, 255, (B, N), dtype=np.uint8)
+    lens = np.asarray([13, 0, 50, 1, 29, 0, 7], np.int32)
+    cap = 128
+    packed, total, ovf = jax.jit(
+        lambda a, l: compact_batch_nal(a, l, cap))(jnp.asarray(nal),
+                                                   jnp.asarray(lens))
+    expect = np.concatenate([nal[b, :lens[b]] for b in range(B)])
+    assert int(total) == expect.size
+    assert not bool(ovf)
+    assert np.array_equal(np.asarray(packed)[: int(total)], expect)
+    assert not np.asarray(packed)[int(total):].any()
+
+    # Overflow flagged when cap is too small.
+    _, _, ovf2 = jax.jit(
+        lambda a, l: compact_batch_nal(a, l, 64))(jnp.asarray(nal),
+                                                  jnp.asarray(lens))
+    assert bool(ovf2)

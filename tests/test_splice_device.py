@@ -623,3 +623,84 @@ def test_fresh_donor_batch_serving():
             assert dev_bytes == host_nal, (_t, b)
 
     assert step._cache_size() == 1
+
+
+def test_device_successive_donor_retarget_matches_host():
+    """Successive-donor device path: the native in-place MV retarget
+    (cavlc_retarget_recs) + rows kernel reproduce the host path
+    (splice_p_frame with donor_mv_targets + finalize + short-term-lead
+    header) byte-for-byte, across donor families with skips, partitions
+    and sub-8x8 motion, at interior and frame-edge rect positions."""
+    from h264_scroll_encoder_tpu import native_bridge
+    from h264_scroll_encoder_tpu.models.splice import (
+        donor_mv_targets_from_grid)
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+
+    if not native_bridge.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(31)
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    num_refs = 3                     # [prev frame | atlas A | atlas B]
+    frame_num = 4
+    abs_diff = 1
+
+    cases = [(8, 5, 6, 5, "rep"), (0, 0, 5, 4, "dense"),
+             (W - 5, H - 4, 5, 4, "sparse"), (4, 9, 7, 3, "rep")]
+    for c0, r0, C, R, fam in cases:
+        if fam == "rep":
+            donor = fixtures.representative_donor_grid(rng, C, R)
+        elif fam == "dense":
+            donor = fixtures.dense_donor_grid(rng, C, R)
+        else:
+            donor = fixtures.random_p_slice_grid(rng, C, R, 1)
+        for row in donor:
+            for i, mb in enumerate(row):
+                if mb is not mbt.SKIP and mb.kind == "ipcm":
+                    row[i] = fixtures.random_inter_mb(rng, 1)
+
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, donor, 1)
+        bw.write_trailing_bits()
+        payload = bw.getvalue()
+
+        # ---- host path (full-frame exact resolution) ----
+        targets = donor_mv_targets_from_grid(donor)
+        hints = FrameHints(motion_regions=(), dynamic_mb_x=c0,
+                           dynamic_mb_y=r0)
+        grid = splice.splice_p_frame(cfg, hints, donor, num_refs, (0,),
+                                     donor_mv_targets=targets)
+
+        def hdr_writer(bw2):
+            write_p_slice_header(bw2, cfg, frame_num, is_reference=True,
+                                 prev_ref_abs_diff=abs_diff)
+
+        host_nal = write_nal_unit(
+            splice.finalize_spliced_frame(cfg, grid, num_refs,
+                                          hdr_writer), 2, 1)
+
+        # ---- device rows path with native retarget ----
+        dd = splice_device.prepare_donor_dense_from_slice(
+            payload, 0, C, R, 1, num_refs, (0,),
+            rect_at_left_edge=(c0 == 0), rect_at_top_edge=(r0 == 0),
+            rect_at_right_edge=(c0 + C == W), retarget_mvs=True)
+        dr = splice_device.pack_donor_rows(dd, R, C)
+        hp, hn = p_slice_header_symbols(
+            cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+            is_reference=True, long_term_idx=-1,
+            num_waypoints=jnp.int32(0),
+            wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+            wp_valid=jnp.zeros(MAX_WAYPOINTS, bool),
+            prev_ref_abs_diff=abs_diff)
+        zero = jnp.zeros((H, W), jnp.int32)
+        budget = splice_device.splice_rbsp_budget(cfg, R * C,
+                                                  dr.donor_bits)
+        nal, nal_len, _, ovf = splice_device.emit_spliced_frame_rows(
+            cfg, c0, r0, R, C, num_refs, hp, hn, zero, zero, zero,
+            jnp.zeros((H, W), bool), splice_device.rows_device_arrays(dr),
+            nal_ref_idc=2, has_align=dr.has_align, n_rbsp=budget)
+        assert not bool(np.asarray(ovf))
+        dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
+        assert dev_bytes == host_nal, (c0, r0, C, R, fam)
