@@ -92,6 +92,10 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
     mbt.emit_p_slice_mbs(bw, donor, 1)
     bw.write_trailing_bits()
     payload = bw.getvalue()
+    # Warm the native library + allocator before the representative
+    # timing (the first call pays one-time load/registration costs).
+    dd = splice_device.prepare_donor_dense_from_slice(
+        payload, 0, C, R, 1, 2)
     t0 = time.perf_counter()
     dd = splice_device.prepare_donor_dense_from_slice(
         payload, 0, C, R, 1, 2)
@@ -187,7 +191,6 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
     rng = np.random.default_rng(11)
     R = C = 23
     r0, c0 = 10, 30
-    CLASS = 256
     pool = []
     for _ in range(pool_size):
         g = fixtures.representative_donor_grid(rng, C, R)
@@ -195,6 +198,16 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
         mbt.emit_p_slice_mbs(bw, g, 1)
         bw.write_trailing_bits()
         pool.append(bw.getvalue())
+
+    # Pin the tightest row chunk class that fits the whole pool (+1 class
+    # headroom): padded lanes are wasted transfer AND packer work.
+    need = 0
+    for payload in pool:
+        dd = splice_device.prepare_donor_dense_from_slice(
+            payload, 0, C, R, 1, 2)
+        dr = splice_device.pack_donor_rows(dd, R, C)
+        need = max(need, dr.row_patterns.shape[1])
+    CLASS = next(x for x in splice_device.ROW_CHUNK_CLASSES if x > need)
 
     budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32,
                                               bg_bits_per_mb=16)
@@ -230,7 +243,7 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
     t0 = time.perf_counter()
     handles = []
     for t in range(steps):
-        dn = prep(t)                                   # host ingest
+        dn = prep(t)                                   # ingest + transfer
         outs = step(hp_b, hn_b, zero_b, zero_b, zero_b, coded_b, dn)
         handles.append((outs[1], outs[3]))             # async dispatch
     lens = [np.asarray(h[0]) for h in handles]         # close the chain
@@ -240,14 +253,102 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
 
     e2e_fps = steps * batch_size / dt
 
-    # Host prep rate alone (the serving bottleneck on few-core hosts).
+    # Pure host prep rate (native batch call only — no device transfer):
+    # the serving bottleneck on few-core hosts; the transfer share above
+    # is interconnect-bound (the dev tunnel here; PCIe when co-located).
+    from h264_scroll_encoder_tpu import native_bridge
+    payloads = [pool[b % pool_size] for b in range(batch_size)]
     n_prep = 3
+    tp = time.perf_counter()
+    for _ in range(n_prep):
+        native_bridge.prepare_rows_batch(
+            payloads, [0] * batch_size, R, C, 1, 2, (0,), CLASS,
+            n_threads=0)
+    prep_dt = (time.perf_counter() - tp) / (n_prep * batch_size)
+    cores = os.cpu_count() or 1
+    wire_bytes = (CLASS * R * 5 + R * 4 + R * C * (1 + 18))
+    return (e2e_fps, prep_dt * 1e3, 1.0 / prep_dt, cores,
+            wire_bytes)
+
+
+def _successive_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=8,
+                       pool_size=32):
+    """Successive-donor serving (MASTER_DESIGN dynamic-encoder contract):
+    every step's donors are fresh AND reference the previous composed
+    frame — native in-place MV retargeting + short-term-lead header —
+    through one compiled rows program.  Returns (e2e_fps,
+    prep_ms_per_donor)."""
+    import numpy as np
+
+    from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.syntax.slice_headers import (
+        p_slice_header_symbols)
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    rng = np.random.default_rng(13)
+    R = C = 23
+    r0, c0 = 10, 30
+    pool = []
+    for _ in range(pool_size):
+        g = fixtures.representative_donor_grid(rng, C, R)
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, g, 1)
+        bw.write_trailing_bits()
+        pool.append(bw.getvalue())
+    probe, _m = splice_device.prepare_donor_rows_serving(
+        pool[:4], [0] * 4, R, C, 1, 3, s_row=64, retarget_mvs=True)
+    need = int(np.max(np.sum(np.asarray(probe["row_nbits"]) != 0,
+                             axis=-1)))
+    CLASS = next(x for x in splice_device.ROW_CHUNK_CLASSES if x > need)
+
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32,
+                                              bg_bits_per_mb=16)
+    step = batch_mod.make_batched_splice_step_rows(
+        cfg, c0, r0, C, R, num_refs=3, nal_ref_idc=2, has_align=True,
+        n_rbsp=budget, compact_x=True)
+
+    H, W = cfg.mb_height, cfg.mb_width
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(3), jnp.int32(6), is_reference=True,
+        long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool), prev_ref_abs_diff=1)
+    bcast = lambda x: jnp.broadcast_to(x, (batch_size,) + x.shape)
+    hp_b, hn_b = bcast(hp), bcast(hn)
+    zero_b, coded_b = bcast(zero), bcast(bg_coded)
+
+    def prep(t):
+        payloads = [pool[(t * batch_size + b) % pool_size]
+                    for b in range(batch_size)]
+        dn, _meta = splice_device.prepare_donor_rows_serving(
+            payloads, [0] * batch_size, R, C, 1, 3, s_row=CLASS,
+            n_threads=0, retarget_mvs=True)
+        return dn
+
+    dn = prep(0)
+    outs = step(hp_b, hn_b, zero_b, zero_b, zero_b, coded_b, dn)
+    assert not bool(np.asarray(outs[3]).any())
+
+    t0 = time.perf_counter()
+    handles = []
+    for t in range(steps):
+        dn = prep(t)
+        outs = step(hp_b, hn_b, zero_b, zero_b, zero_b, coded_b, dn)
+        handles.append(outs[1])
+    lens = [np.asarray(h) for h in handles]
+    dt = time.perf_counter() - t0
+    _ = sum(int(ln.sum()) for ln in lens)
+    n_prep = 2
     tp = time.perf_counter()
     for t in range(n_prep):
         prep(t)
     prep_dt = (time.perf_counter() - tp) / (n_prep * batch_size)
-    cores = os.cpu_count() or 1
-    return e2e_fps, prep_dt * 1e3, 1.0 / prep_dt, cores
+    return steps * batch_size / dt, prep_dt * 1e3
 
 
 def _egress_config(jax, jnp, cfg, batch_mod, batch_size=256, steps=6):
@@ -279,11 +380,19 @@ def _egress_config(jax, jnp, cfg, batch_mod, batch_size=256, steps=6):
 
     t0 = time.perf_counter()
     got_bytes = 0
+    prev = None
     for _ in range(steps):
         st, packed, total, ovf = fused(st, offs)
-        host_bytes = np.asarray(packed)            # ONE contiguous fetch
-        got_bytes += int(total)
-        assert not bool(ovf)
+        if prev is not None:
+            # Fetch step t-1's buffer while step t computes (the packed
+            # buffer is freshly allocated each step, so this is safe).
+            host_bytes = np.asarray(prev[0])       # ONE contiguous fetch
+            got_bytes += int(prev[1])
+            assert not bool(prev[2])
+        prev = (packed, total, ovf)
+    host_bytes = np.asarray(prev[0])
+    got_bytes += int(prev[1])
+    assert not bool(prev[2])
     dt = time.perf_counter() - t0
     fps = steps * batch_size / dt
     egress_mbps = steps * cap / dt / 1e6           # fetched bytes/sec
@@ -323,8 +432,8 @@ def main() -> None:
     sp_rep64, _, _, _ = _splice_config(jax, jnp, cfg, batch, donor_rep, 64)
 
     # --- fresh-donor end-to-end serving (VERDICT r2 item 1) ---
-    e2e_fps, prep_ms, prep_rate, host_cores = _fresh_donor_config(
-        jax, jnp, cfg, batch)
+    (e2e_fps, prep_ms, prep_rate, host_cores,
+     donor_wire_bytes) = _fresh_donor_config(jax, jnp, cfg, batch)
 
     # --- scroll config ---
     scroll_fps, scroll_ms, scroll_egress_fps = _scroll_config(
@@ -333,6 +442,9 @@ def main() -> None:
     # --- compacted egress (VERDICT r2 item 4) ---
     egress_fps, egress_mbps, tunnel_mbps = _egress_config(
         jax, jnp, cfg, batch)
+
+    # --- successive-donor serving (VERDICT r2 item 3) ---
+    succ_fps, succ_prep_ms = _successive_config(jax, jnp, cfg, batch)
 
     # Dispatch floor: a trivial jitted op's round trip — ~25-35 ms of
     # tunnel RPC on this dev setup, which makes any single-frame latency
@@ -372,6 +484,9 @@ def main() -> None:
             "fresh_donor_prep_donors_per_sec_per_core": round(prep_rate, 1),
             "host_cpu_cores": host_cores,
             "host_cores_for_north_star": round(5000.0 / prep_rate, 2),
+            "fresh_donor_wire_bytes_per_frame": donor_wire_bytes,
+            "successive_donor_e2e_fps": round(succ_fps, 1),
+            "successive_donor_prep_ms": round(succ_prep_ms, 3),
             "egress_compacted_fps": round(egress_fps, 1),
             "egress_compacted_MBps": round(egress_mbps, 1),
             "tunnel_raw_fetch_MBps": round(tunnel_mbps, 1),

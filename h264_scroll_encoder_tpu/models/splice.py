@@ -344,6 +344,15 @@ class MotionRegion:
     mv_x: int = 0
     mv_y: int = 0
 
+    @classmethod
+    def from_pixel_rect(cls, x: int, y: int, w: int, h: int, *,
+                        ref_idx: int = 0, mv_x: int = 0, mv_y: int = 0
+                        ) -> "MotionRegion":
+        """Pixel rect -> covering MB-aligned region (floor origin, ceil
+        extent — MASTER_DESIGN §7.1 alignment applied to motion hints)."""
+        return cls(x // 16, y // 16, -(-(x + w) // 16), -(-(y + h) // 16),
+                   ref_idx=ref_idx, mv_x=mv_x, mv_y=mv_y)
+
 
 @dataclasses.dataclass
 class FrameHints:
@@ -353,6 +362,79 @@ class FrameHints:
     motion_regions: tuple = ()
     dynamic_mb_x: int = 0
     dynamic_mb_y: int = 0
+
+    @classmethod
+    def with_dynamic_pixel_rect(cls, x: int, y: int, w: int, h: int, *,
+                                margin: int = 16,
+                                frame_width: int, frame_height: int,
+                                motion_regions: tuple = ()):
+        """MASTER_DESIGN §7.1 ergonomics: pixel rect + margin -> hints
+        whose dynamic origin is the floor-aligned expanded rect, plus the
+        rect's MB size — (FrameHints, (rect_mb_w, rect_mb_h)).
+
+        The expanded rect is clamped to the frame; the donor the caller
+        supplies must match the returned MB size (the dynamic encoder
+        encodes exactly the aligned region, docs/MASTER_DESIGN.md:52-57).
+        """
+        x0, y0, x1, y1 = align_dynamic_rect(x, y, w, h, margin)
+        x1 = min(x1, frame_width // 16 * 16)
+        y1 = min(y1, frame_height // 16 * 16)
+        hints = cls(motion_regions=motion_regions,
+                    dynamic_mb_x=x0 // 16, dynamic_mb_y=y0 // 16)
+        return hints, ((x1 - x0) // 16, (y1 - y0) // 16)
+
+    def validate(self, cfg, num_refs: int,
+                 dynamic_rect_mb: tuple | None = None) -> None:
+        """Flag not-servable hints (MASTER_DESIGN §10 fallback rule).
+
+        Raises HintsNotServable when a hint is missing/inconsistent:
+        regions out of frame or empty, ref_idx outside the active list,
+        motion beyond the 496 px hardware MV budget, or a dynamic rect
+        exceeding the 392x392 dynamic-encoder input bound
+        (docs/MASTER_DESIGN.md:52-57,213-220).  Callers route flagged
+        frames to a full conventional encode — deliberately out of scope
+        here, exactly as it is unimplemented in the reference.
+        """
+        from ..config import MV_LIMIT_PX
+
+        H, W = cfg.mb_height, cfg.mb_width
+        for i, reg in enumerate(self.motion_regions):
+            if not (0 <= reg.mb_x0 < reg.mb_x1 <= W
+                    and 0 <= reg.mb_y0 < reg.mb_y1 <= H):
+                raise HintsNotServable(
+                    f"motion region {i} empty or out of frame: "
+                    f"({reg.mb_x0},{reg.mb_y0})..({reg.mb_x1},{reg.mb_y1})"
+                    f" vs {W}x{H} MBs")
+            if not 0 <= reg.ref_idx < num_refs:
+                raise HintsNotServable(
+                    f"motion region {i} ref_idx {reg.ref_idx} outside the "
+                    f"active reference list (size {num_refs})")
+            if abs(reg.mv_x) > MV_LIMIT_PX or abs(reg.mv_y) > MV_LIMIT_PX:
+                raise HintsNotServable(
+                    f"motion region {i} MV ({reg.mv_x},{reg.mv_y}) px "
+                    f"exceeds the {MV_LIMIT_PX} px hardware budget")
+        if dynamic_rect_mb is not None:
+            rw, rh = dynamic_rect_mb
+            if rw * 16 > 392 or rh * 16 > 392:
+                raise HintsNotServable(
+                    f"dynamic rect {rw * 16}x{rh * 16} px exceeds the "
+                    "392x392 dynamic-encoder bound "
+                    "(docs/MASTER_DESIGN.md:52-57)")
+            if not (0 <= self.dynamic_mb_x
+                    and self.dynamic_mb_x + rw <= W
+                    and 0 <= self.dynamic_mb_y
+                    and self.dynamic_mb_y + rh <= H):
+                raise HintsNotServable(
+                    f"dynamic rect at MB ({self.dynamic_mb_x},"
+                    f"{self.dynamic_mb_y}) size {rw}x{rh} exceeds the "
+                    f"{W}x{H} MB frame")
+
+
+class HintsNotServable(ValueError):
+    """A frame whose hints are missing/inconsistent: the MASTER_DESIGN
+    §10 rule is to fall back to a full conventional encode — this
+    framework flags the condition (the reference leaves the fallback
+    unimplemented too, docs/MASTER_DESIGN.md:220)."""
 
 
 def align_dynamic_rect(x: int, y: int, w: int, h: int,

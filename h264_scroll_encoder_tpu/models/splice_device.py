@@ -1251,7 +1251,14 @@ def splice_rbsp_budget(cfg: ComposerConfig, m_donor: int, donor_bits: int,
 def _dense_prologue(cfg, r0, c0, R, C, num_refs,
                     bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn):
     """Shared composite-grid stage of the dense splice emitters: role
-    scatter, exact MV prediction, skip runs, background 3-slot symbols."""
+    scatter, exact MV prediction, skip runs, background 3-slot symbols.
+
+    Donor arrays may arrive in compact wire dtypes (int8/int16 — the
+    serving ingest halves tunnel/PCIe traffic that way); cast up front."""
+    dn = dict(dn)
+    for k in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+              "d_ref", "d_mvx", "d_mvy"):
+        dn[k] = dn[k].astype(jnp.int32)
     H, W = cfg.mb_height, cfg.mb_width
     donor_coded = dn["coded"].reshape(R, C)
     in_rect = jnp.zeros((H, W), bool).at[r0:r0 + R, c0:c0 + C].set(True)
@@ -1508,6 +1515,10 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
     last_incl = pro["last_incl"]
     n_mbs = H * W
 
+    # Compact wire dtypes -> compute dtypes (see _dense_prologue).
+    dn = dict(dn)
+    dn["row_nbits"] = dn["row_nbits"].astype(jnp.int32)
+
     # Dynamic first-run slots: gather the composite skip run at each
     # row's first coded donor MB (traced per-donor indices).
     first_c = jnp.asarray(dn["first_c"], jnp.int32)
@@ -1703,6 +1714,17 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
 
     donor_bits = out.pop("donor_bits")
     has_align = out.pop("has_align")
-    dn = {k: jnp.asarray(v) for k, v in out.items()}
-    dn["first_c"] = dn["first_c"].astype(jnp.int32)
-    return dn, (donor_bits, has_align)
+    # Compact wire dtypes: row_nbits fits int8 (<=32, ALIGN sentinel -1),
+    # edge roles fit int16 (qpel MVs within the 496 px budget; ref
+    # sentinels -2/-9) — halves the host->device bytes per fresh donor.
+    wire = {}
+    for k, v in out.items():
+        if k == "row_nbits":
+            wire[k] = jnp.asarray(v.astype(np.int8))
+        elif k in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+                   "d_ref", "d_mvx", "d_mvy"):
+            wire[k] = jnp.asarray(v.astype(np.int16))
+        else:
+            wire[k] = jnp.asarray(v)
+    wire["first_c"] = wire["first_c"].astype(jnp.int32)
+    return wire, (donor_bits, has_align)

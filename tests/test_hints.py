@@ -220,3 +220,55 @@ def test_session_mixed_generators_one_stream():
     manual = write_nal_unit(
         finalize_spliced_frame(cfg, grid, num_refs, hdr), 0, 1)
     assert manual in s.getvalue()
+
+
+def test_pixel_rect_helpers_and_validation():
+    """MASTER_DESIGN §7.1 alignment helpers + §10 not-servable flag."""
+    import pytest
+
+    from h264_scroll_encoder_tpu.config import ComposerConfig
+    from h264_scroll_encoder_tpu.models.splice import (
+        FrameHints, HintsNotServable, MotionRegion)
+
+    cfg = ComposerConfig(1280, 720)
+
+    # §7.1 alignment: floor origin / ceil extent after margin expansion.
+    hints, (rw, rh) = FrameHints.with_dynamic_pixel_rect(
+        96, 48, 352, 352, margin=16,
+        frame_width=1280, frame_height=720)
+    assert (hints.dynamic_mb_x, hints.dynamic_mb_y) == (5, 2)
+    assert (rw * 16, rh * 16) == (384, 384)   # (352+2*16) aligned
+    hints.validate(cfg, 2, dynamic_rect_mb=(rw, rh))
+
+    # An unaligned 360x360 rect + margin alignments can exceed the
+    # 392x392 dynamic-encoder bound — flagged, not silently composed.
+    h360, sz360 = FrameHints.with_dynamic_pixel_rect(
+        100, 50, 360, 360, margin=16,
+        frame_width=1280, frame_height=720)
+    assert sz360 == (25, 25)                  # 400x400 px
+    with pytest.raises(HintsNotServable):
+        h360.validate(cfg, 2, dynamic_rect_mb=sz360)
+
+    # Motion region from a pixel rect covers it.
+    reg = MotionRegion.from_pixel_rect(30, 17, 100, 40, mv_y=8)
+    assert (reg.mb_x0, reg.mb_y0, reg.mb_x1, reg.mb_y1) == (1, 1, 9, 4)
+
+    # Not-servable conditions are flagged, not silently composed.
+    with pytest.raises(HintsNotServable):
+        FrameHints(motion_regions=(MotionRegion(0, 0, 0, 2),)).validate(
+            cfg, 2)                       # empty region
+    with pytest.raises(HintsNotServable):
+        FrameHints(motion_regions=(MotionRegion(0, 0, 90, 2),)).validate(
+            cfg, 2)                       # out of frame
+    with pytest.raises(HintsNotServable):
+        FrameHints(motion_regions=(MotionRegion(0, 0, 4, 2,
+                                                ref_idx=5),)).validate(
+            cfg, 2)                       # ref outside active list
+    with pytest.raises(HintsNotServable):
+        FrameHints(motion_regions=(MotionRegion(0, 0, 4, 2,
+                                                mv_y=600),)).validate(
+            cfg, 2)                       # beyond the 496 px MV budget
+    with pytest.raises(HintsNotServable):
+        h2, sz = FrameHints.with_dynamic_pixel_rect(
+            0, 0, 400, 400, margin=16, frame_width=1280, frame_height=720)
+        h2.validate(cfg, 2, dynamic_rect_mb=sz)  # > 392x392 bound
