@@ -299,7 +299,7 @@ def _successive_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=8,
         bw.write_trailing_bits()
         pool.append(bw.getvalue())
     probe, _m = splice_device.prepare_donor_rows_serving(
-        pool[:4], [0] * 4, R, C, 1, 3, s_row=64, retarget_mvs=True)
+        pool, [0] * len(pool), R, C, 1, 3, s_row=512, retarget_mvs=True)
     need = int(np.max(np.sum(np.asarray(probe["row_nbits"]) != 0,
                              axis=-1)))
     CLASS = next(x for x in splice_device.ROW_CHUNK_CLASSES if x > need)

@@ -704,3 +704,85 @@ def test_device_successive_donor_retarget_matches_host():
         assert not bool(np.asarray(ovf))
         dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
         assert dev_bytes == host_nal, (c0, r0, C, R, fam)
+
+
+def test_successive_retarget_with_adjacent_moving_band():
+    """Successive-donor retarget with NON-default rings: a coded hint
+    band (moving, nonzero MV) directly borders the rect on all sides, so
+    the composite-context retarget and the rect-local ring decode must
+    reproduce the host full-frame resolution bit-for-bit."""
+    from h264_scroll_encoder_tpu import native_bridge
+    from h264_scroll_encoder_tpu.models.splice import (
+        donor_mv_targets_from_grid)
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+
+    if not native_bridge.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(57)
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    num_refs = 3
+    frame_num = 6
+    R, C = 4, 5
+    r0, c0 = 6, 7
+
+    for fam in ("rep", "dense"):
+        donor = (fixtures.representative_donor_grid(rng, C, R) if fam ==
+                 "rep" else fixtures.dense_donor_grid(rng, C, R))
+        for row in donor:
+            for i, mb in enumerate(row):
+                if mb is not mbt.SKIP and mb.kind == "ipcm":
+                    row[i] = fixtures.random_inter_mb(rng, 1)
+
+        # A moving coded band wrapping the rect (1-MB ring + beyond).
+        regions = (MotionRegion(c0 - 2, r0 - 2, c0 + C + 2, r0 + R + 2,
+                                ref_idx=1, mv_x=0, mv_y=12),)
+        targets = donor_mv_targets_from_grid(donor)
+        hints = FrameHints(motion_regions=regions, dynamic_mb_x=c0,
+                           dynamic_mb_y=r0)
+        grid = splice.splice_p_frame(cfg, hints, donor, num_refs, (0,),
+                                     donor_mv_targets=targets)
+
+        def hdr_writer(bw2):
+            write_p_slice_header(bw2, cfg, frame_num, is_reference=True,
+                                 prev_ref_abs_diff=1)
+
+        import copy
+        host_nal = write_nal_unit(
+            splice.finalize_spliced_frame(
+                cfg, [list(r) for r in copy.deepcopy(grid)], num_refs,
+                hdr_writer), 2, 1)
+
+        bg_ref, bg_mvx, bg_mvy, bg_coded = _bg_fields_from_host_grid(
+            cfg, grid)
+        bg_coded[r0:r0 + R, c0:c0 + C] = False
+        left, top, right = splice_device.rings_from_bg(
+            bg_ref, bg_mvx, bg_mvy, c0, r0, R, C)
+
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, donor, 1)
+        bw.write_trailing_bits()
+        dd = splice_device.prepare_donor_dense_from_slice(
+            bw.getvalue(), 0, C, R, 1, num_refs, (0,),
+            left_ring=left, top_ring=top, right_ring=right,
+            retarget_mvs=True)
+        dr = splice_device.pack_donor_rows(dd, R, C)
+        hp, hn = p_slice_header_symbols(
+            cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+            is_reference=True, long_term_idx=-1,
+            num_waypoints=jnp.int32(0),
+            wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+            wp_valid=jnp.zeros(MAX_WAYPOINTS, bool),
+            prev_ref_abs_diff=1)
+        budget = splice_device.splice_rbsp_budget(cfg, R * C,
+                                                  dr.donor_bits)
+        nal, nal_len, _, ovf = splice_device.emit_spliced_frame_rows(
+            cfg, c0, r0, R, C, num_refs, hp, hn, jnp.asarray(bg_ref),
+            jnp.asarray(bg_mvx), jnp.asarray(bg_mvy),
+            jnp.asarray(bg_coded), splice_device.rows_device_arrays(dr),
+            nal_ref_idc=2, has_align=dr.has_align, n_rbsp=budget)
+        assert not bool(np.asarray(ovf))
+        dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
+        assert dev_bytes == host_nal, fam
