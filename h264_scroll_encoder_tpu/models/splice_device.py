@@ -1656,7 +1656,9 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
                                rect_at_top_edge: bool = False,
                                rect_at_right_edge: bool = False,
                                left_ring=None, top_ring=None,
-                               right_ring=None, n_threads: int = 0,
+                               right_ring=None,
+                               rings_per_donor: bool = False,
+                               n_threads: int = 0,
                                retarget_mvs: bool = False):
     """Serving ingest for a batch of FRESH donor payloads -> (dn, meta).
 
@@ -1679,11 +1681,13 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
             donor_ref_map, s_row,
             at_left_edge=rect_at_left_edge, at_top_edge=rect_at_top_edge,
             left_ring=left_ring, top_ring=top_ring, right_ring=right_ring,
+            rings_per_donor=rings_per_donor,
             n_threads=n_threads, retarget_mvs=retarget_mvs)
     if out is None:
-        if retarget_mvs:
+        if retarget_mvs or rings_per_donor:
             raise NotImplementedError(
-                "retarget_mvs requires the native engine")
+                "retarget_mvs / rings_per_donor require the native "
+                "engine")
         drs = []
         for payload, sb in zip(payloads, start_bits):
             dd = prepare_donor_dense_from_slice(

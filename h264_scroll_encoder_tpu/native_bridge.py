@@ -55,7 +55,7 @@ class _MBRec(ctypes.Structure):
 
 
 _NO_QP = -(2 ** 31)
-_ABI_VERSION = 4
+_ABI_VERSION = 5
 
 
 @functools.lru_cache(maxsize=1)
@@ -162,7 +162,7 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
         raise RuntimeError("native MBRec layout mismatch")
@@ -483,6 +483,7 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
                        at_left_edge: bool = False,
                        at_top_edge: bool = False,
                        left_ring=None, top_ring=None, right_ring=None,
+                       rings_per_donor: bool = False,
                        n_threads: int = 0, bug_compat: bool = False,
                        retarget_mvs: bool = False):
     """Fused, threaded serving prep for a batch of fresh donor payloads.
@@ -513,10 +514,36 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
 
     from .models.splice_device import _default_rings
     dl, dt, drr = _default_rings(R, C, at_left_edge, at_top_edge, False)
-    tv, tm = _ring_arrays(top_ring if top_ring is not None else dt, C + 2)
-    lv, lm = _ring_arrays(left_ring if left_ring is not None else dl, R)
-    rv, rm = _ring_arrays(right_ring if right_ring is not None else drr,
-                          max(R - 1, 0))
+    top_ring = dt if top_ring is None else top_ring
+    left_ring = dl if left_ring is None else left_ring
+    right_ring = drr if right_ring is None else right_ring
+
+    # Per-donor rings (rings_per_donor=True): each ring argument is a
+    # list of n ring lists (sessions with different composite
+    # backgrounds) — stacked with a leading donor axis.  With the
+    # default shared rings, any None argument above took the
+    # static-chrome default for ALL donors.
+    per_donor = rings_per_donor
+    if per_donor:
+        assert len(top_ring) == n and len(left_ring) == n \
+            and len(right_ring) == n, "need one ring set per donor"
+        tvs, tms, lvs, lms, rvs, rms = [], [], [], [], [], []
+        for i in range(n):
+            a, b = _ring_arrays(top_ring[i], C + 2)
+            tvs.append(a); tms.append(b)
+            a, b = _ring_arrays(left_ring[i], R)
+            lvs.append(a); lms.append(b)
+            a, b = _ring_arrays(right_ring[i], max(R - 1, 0))
+            rvs.append(a); rms.append(b)
+        tv, tm = np.stack(tvs), np.stack(tms)
+        lv, lm = np.stack(lvs), np.stack(lms)
+        rv, rm = np.stack(rvs), np.stack(rms)
+        tv = np.ascontiguousarray(tv); lv = np.ascontiguousarray(lv)
+        rv = np.ascontiguousarray(rv)
+    else:
+        tv, tm = _ring_arrays(top_ring, C + 2)
+        lv, lm = _ring_arrays(left_ring, R)
+        rv, rm = _ring_arrays(right_ring, max(R - 1, 0))
 
     out_pat = np.zeros((n, R, s_row), np.uint32)
     out_nb = np.zeros((n, R, s_row), np.int32)
@@ -545,7 +572,7 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
         _i32p(out_nb), _i32p(out_first_c), _u8p(out_coded),
         _i32p(out_a), _i32p(out_b), _i32p(out_d),
         _i64p(out_bits), _i32p(out_align), _i32p(out_err),
-        n_threads, int(bug_compat), int(retarget_mvs))
+        n_threads, int(bug_compat), int(retarget_mvs), int(per_donor))
 
     bad = np.flatnonzero(out_err)
     if bad.size:

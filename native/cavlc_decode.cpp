@@ -722,7 +722,7 @@ extern "C" {
 // Bumped whenever the extern "C" surface changes; the Python bridge
 // checks it and rebuilds a stale library instead of calling through a
 // mismatched ABI.
-long cavlc_abi_version(void) { return 4; }
+long cavlc_abi_version(void) { return 5; }
 
 // Emit an MBRec grid (mb_width x mb_height, row-major) as slice MB data.
 // kind==0 records are P_Skip.  src supplies tail/pred/ipcm spans recorded
@@ -1556,6 +1556,9 @@ int cavlc_retarget_recs(MBRec* mbs, int R, int C, int num_ref_composite,
 //   out_pat [n,R,s_row], out_nb [n,R,s_row], out_first_c [n,R],
 //   out_coded [n,R*C], out_a/out_b/out_d [n,R*C,3],
 //   out_donor_bits [n], out_has_align [n], out_err [n].
+// rings_per_donor == 1: the ring arrays carry a leading donor axis
+// (top [n,(C+2),3] / [n,(C+2)] etc.) — sessions with different
+// composite backgrounds; 0: one shared ring set.
 // Per-donor err: parse/prep error codes, or -101 when the donor needs
 // more than s_row row slots (caller retries with a bigger class).
 // Returns 0 (per-donor status is in out_err).
@@ -1571,7 +1574,8 @@ int cavlc_prepare_rows_batch(
     uint32_t* out_pat, int32_t* out_nb, int32_t* out_first_c,
     uint8_t* out_coded, int32_t* out_a, int32_t* out_b, int32_t* out_d,
     long* out_donor_bits, int32_t* out_has_align, int32_t* out_err,
-    int n_threads, int bug_compat, int retarget_mvs) {
+    int n_threads, int bug_compat, int retarget_mvs,
+    int rings_per_donor) {
   const long M = (long)R * C;
   const int S = 352;  // covers the worst legal CAVLC macroblock
   if (n_threads <= 0) {
@@ -1594,13 +1598,23 @@ int cavlc_prepare_rows_batch(
       int err = cavlc_parse_slice(p, nbytes, start_bits[i], C, R, 1,
                                   num_ref_donor, recs, &end_bit,
                                   bug_compat);
+      const int32_t* tr = top_ring;
+      const uint8_t* tv = top_valid;
+      const int32_t* lr = left_ring;
+      const uint8_t* lv = left_valid;
+      const int32_t* rr = right_ring;
+      const uint8_t* rv = right_valid;
+      if (rings_per_donor) {
+        long tn = C + 2, ln = R, rn = R > 1 ? R - 1 : 0;
+        tr += (long)i * tn * 3; tv += (long)i * tn;
+        lr += (long)i * ln * 3; lv += (long)i * ln;
+        rr += (long)i * rn * 3; rv += (long)i * rn;
+      }
       if (!err && retarget_mvs) {
         // Successive-donor mode: preserve decoded donor motion exactly
         // across the context change (see cavlc_retarget_recs).
         err = cavlc_retarget_recs(recs, R, C, num_ref_composite, ref_map,
-                                  ref_map_len, top_ring, top_valid,
-                                  left_ring, left_valid, right_ring,
-                                  right_valid);
+                                  ref_map_len, tr, tv, lr, lv, rr, rv);
       }
       if (!err) {
         long donor_bits = 0;
@@ -1625,9 +1639,8 @@ int cavlc_prepare_rows_batch(
       }
       if (!err) {
         err = cavlc_mv_edge_roles(recs, R, C, num_ref_composite, ref_map,
-                                  ref_map_len, top_ring, top_valid,
-                                  left_ring, left_valid, right_ring,
-                                  right_valid, out_a + (long)i * M * 3,
+                                  ref_map_len, tr, tv, lr, lv, rr, rv,
+                                  out_a + (long)i * M * 3,
                                   out_b + (long)i * M * 3,
                                   out_d + (long)i * M * 3);
       }

@@ -338,3 +338,54 @@ def test_prepare_rows_batch_matches_single():
             assert np.array_equal(out[f][i], getattr(dr, f)), (i, f)
         assert int(out["donor_bits"][i]) == dr.donor_bits, i
         assert bool(out["has_align"][i]) == dr.has_align, i
+
+
+def test_prepare_rows_batch_per_donor_rings():
+    """rings_per_donor: each donor preps against ITS session's composite
+    border; results match per-donor single prep with those rings."""
+    import numpy as np
+    from h264_scroll_encoder_tpu import native_bridge as nb
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    if not nb.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(71)
+    R, C = 5, 6
+    CLASS = 256
+    payloads, rings = [], []
+    for k in range(6):
+        g = fixtures.representative_donor_grid(rng, C, R)
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, g, 1)
+        bw.write_trailing_bits()
+        payloads.append(bw.getvalue())
+        # Session k scrolls at a different speed: its border cells carry
+        # (ref 1, mv_y = 8k qpel).
+        mv = 8 * k
+        rings.append((
+            [(1, 0, mv)] * R,                 # left
+            [(1, 0, mv)] * (C + 2),           # top
+            [(1, 0, mv)] * (R - 1),           # right
+        ))
+
+    out = nb.prepare_rows_batch(
+        payloads, [0] * 6, R, C, 1, 2, (0,), CLASS,
+        left_ring=[r[0] for r in rings],
+        top_ring=[r[1] for r in rings],
+        right_ring=[r[2] for r in rings],
+        rings_per_donor=True, n_threads=3)
+    for i, payload in enumerate(payloads):
+        dd = sd.prepare_donor_dense_from_slice(
+            payload, 0, C, R, 1, 2,
+            left_ring=rings[i][0], top_ring=rings[i][1],
+            right_ring=rings[i][2])
+        dr = sd.pack_donor_rows(dd, R, C, min_class=CLASS)
+        assert np.array_equal(out["row_patterns"][i], dr.row_patterns), i
+        for f in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+                  "d_ref", "d_mvx", "d_mvy"):
+            assert np.array_equal(out[f][i], getattr(dr, f)), (i, f)
