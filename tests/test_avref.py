@@ -578,3 +578,124 @@ def test_successive_splice_with_waypoints():
                           donor_refs_previous=True)
     s.write_scroll_frame(512)
     _assert_conforms(s.getvalue())
+
+
+def test_x264_fresh_donor_batch_serving():
+    """Real x264 P-slices through the fused batch ingest and ONE
+    compiled rows program: per-session distinct donors AND per-session
+    slice-QP headers, byte-equal to the host splice path, every
+    session's stream decoding with zero libavcodec errors."""
+    import jax.numpy as jnp
+
+    from h264_scroll_encoder_tpu import native_bridge
+    from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice, splice_device
+    from h264_scroll_encoder_tpu.models.splice import parse_slice_header
+    from h264_scroll_encoder_tpu.ops.bitio import BitReader
+    from h264_scroll_encoder_tpu.parallel import batch
+    from h264_scroll_encoder_tpu.syntax import parse
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+    from h264_scroll_encoder_tpu.syntax.slice_headers import (
+        p_slice_header_symbols, write_p_slice_header)
+
+    if not native_bridge.native_available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(83)
+    B = 4
+    vh, vw = 80, 96
+    donors = []              # (payload, start_bit, num_refs, qp_delta_hdr)
+    grids = []
+    cfg = ComposerConfig(320, 240)
+    for b in range(B):
+        base = rng.integers(30, 200, (vh + 8, vw), dtype=np.uint8)
+        f0 = (base[:vh], np.full((vh // 2, vw // 2), 100, np.uint8),
+              np.full((vh // 2, vw // 2), 140, np.uint8))
+        f1 = (base[4:4 + vh],) + f0[1:]
+        clip = avref.encode_x264([f0, f1], qp=20 + 2 * b, keyint=99,
+                                 refs=1, extra_params="no-deblock=1")
+        sps = pps = None
+        p_unit = None
+        for u in parse.iter_nal_units(clip):
+            if u.nal_unit_type == 7:
+                sps = parse.parse_sps(u.rbsp)
+            elif u.nal_unit_type == 8:
+                pps = parse.parse_pps(u.rbsp)
+            elif u.nal_unit_type == 1 and p_unit is None:
+                p_unit = u
+        br = BitReader(p_unit.rbsp)
+        hdr = parse_slice_header(
+            br, is_idr=False, nal_ref_idc=p_unit.nal_ref_idc,
+            log2_max_frame_num=sps.log2_max_frame_num,
+            pps_num_ref_idx_l0_default=(
+                pps.num_ref_idx_l0_default_active_minus1 + 1))
+        qp_delta = (26 + pps.pic_init_qp_minus26 + hdr.qp_delta
+                    - (26 + cfg.pic_init_qp_minus26))
+        donors.append((p_unit.rbsp, br.bit_position,
+                       hdr.num_ref_idx_l0, qp_delta))
+        br2 = BitReader(p_unit.rbsp)
+        hdr2 = parse_slice_header(
+            br2, is_idr=False, nal_ref_idc=p_unit.nal_ref_idc,
+            log2_max_frame_num=sps.log2_max_frame_num,
+            pps_num_ref_idx_l0_default=(
+                pps.num_ref_idx_l0_default_active_minus1 + 1))
+        grids.append(mbt.parse_p_slice_mbs(br2, vw // 16, vh // 16,
+                                           hdr2.num_ref_idx_l0))
+
+    R, C = vh // 16, vw // 16
+    r0, c0 = 6, 8
+    frame_num = 3
+    CLASS = 512
+    assert len({d[2] for d in donors}) == 1, "mixed donor ref counts"
+
+    dn, _meta = splice_device.prepare_donor_rows_serving(
+        [d[0] for d in donors], [d[1] for d in donors], R, C,
+        donors[0][2], 2, s_row=CLASS, n_threads=2)
+
+    H, W = cfg.mb_height, cfg.mb_width
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+    hps, hns = [], []
+    for _p, _sb, _nr, qpd in donors:
+        hp, hn = p_slice_header_symbols(
+            cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+            is_reference=False, long_term_idx=-1,
+            num_waypoints=jnp.int32(0),
+            wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+            wp_valid=jnp.zeros(MAX_WAYPOINTS, bool),
+            slice_qp_delta=qpd)
+        hps.append(hp)
+        hns.append(hn)
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32)
+    step = batch.make_batched_splice_step_rows(
+        cfg, c0, r0, C, R, num_refs=2, has_align=True, n_rbsp=budget,
+        compact_x=True)
+    bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    nal, nal_len, _, ovf = step(
+        jnp.stack(hps), jnp.stack(hns), bcast(zero), bcast(zero),
+        bcast(zero), bcast(bg_coded), dn)
+    assert not bool(np.asarray(ovf).any())
+
+    hints = FrameHints(motion_regions=(), dynamic_mb_x=c0,
+                       dynamic_mb_y=r0)
+    for b in range(B):
+        dev_bytes = np.asarray(nal[b])[: int(nal_len[b])].tobytes()
+        grid = splice.splice_p_frame(cfg, hints, grids[b], 2)
+        qpd = donors[b][3]
+
+        def hdr_writer(bw2):
+            write_p_slice_header(bw2, cfg, frame_num,
+                                 slice_qp_delta=qpd)
+
+        host_nal = write_nal_unit(
+            splice.finalize_spliced_frame(cfg, grid, 2, hdr_writer),
+            0, 1)
+        assert dev_bytes == host_nal, b
+
+        s = ComposerSession(cfg)
+        s.write_parameter_sets()
+        s.write_test_atlases(striped=True)
+        stream = s.getvalue() + dev_bytes
+        _pics, nerrors = avref.decode_pictures(stream)
+        assert nerrors == 0, (b, nerrors)
