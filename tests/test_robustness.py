@@ -130,3 +130,42 @@ def test_session_falls_back_to_exact_ebsp_on_overflow():
     for off in (0, 9, 23, 40, 100):
         s.write_scroll_frame(off)
     assert s.getvalue() == reference
+
+
+def test_batch_ingest_hostile_payloads():
+    """The fused batch ingest surfaces per-donor errors for truncated /
+    garbage / wrong-geometry payloads instead of crashing or silently
+    accepting them — and a valid donor in the same batch still preps."""
+    import numpy as np
+    import pytest
+
+    from h264_scroll_encoder_tpu import native_bridge as nb
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.ops import cavlc
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    if not nb.native_available():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(17)
+    R, C = 4, 5
+    good_grid = fixtures.representative_donor_grid(rng, C, R)
+    bw = BitWriter()
+    mbt.emit_p_slice_mbs(bw, good_grid, 1)
+    bw.write_trailing_bits()
+    good = bw.getvalue()
+
+    hostile = [
+        good[: len(good) // 3],              # truncated mid-MB
+        bytes(rng.integers(0, 256, 64, dtype=np.uint8)),  # garbage
+        b"\x00" * 40,                        # zero bits (ue runs off)
+        good,                                # valid control
+    ]
+    with pytest.raises(cavlc.CAVLCError):
+        nb.prepare_rows_batch(hostile, [0] * 4, R, C, 1, 2, (0,), 256,
+                              n_threads=2)
+
+    # The valid donor alone preps fine after the batch rejection.
+    out = nb.prepare_rows_batch([good], [0], R, C, 1, 2, (0,), 256)
+    assert out["coded"].shape == (1, R * C)
