@@ -1051,6 +1051,90 @@ int map_refs(const MBRec* mb, int num_ref_comp, const int32_t* ref_map,
   return mb_type;
 }
 
+// One coded macroblock's dense-chunk emission (composite-nC token
+// re-resolution + verbatim spans) — shared by cavlc_prepare_dense and
+// the fused row ingest.  Returns 0 or -102 (unmappable donor ref).
+// Caller flushes/terminates the writer and pushes nothing afterward —
+// trk is updated here.
+int emit_dense_mb(ChunkWriter& cw, const MBRec* mb, Tracker& trk,
+                  int col, int row, int num_ref_composite,
+                  const int32_t* ref_map, int ref_map_len,
+                  int at_left_edge, int at_top_edge,
+                  const uint8_t* src, long src_len) {
+  static const CoeffCtx kZeroCtx = {};
+  const CoeffCtx* left = trk.left_of(col);
+  if (!left && !at_left_edge) left = &kZeroCtx;
+  const CoeffCtx* topc = trk.top_of(col);
+  if (!topc && row == 0 && !at_top_edge) topc = &kZeroCtx;
+  CoeffCtx ctx;
+  std::memset(&ctx, 0, sizeof(ctx));
+
+  int refs[4];
+  int n_ref_out = 0;
+  int mb_type = map_refs(mb, num_ref_composite, ref_map, ref_map_len,
+                         refs, &n_ref_out);
+  if (mb_type < 0) return -102;
+  cw.ue((uint32_t)mb_type);
+
+  if (mb->kind == 4) {  // I_PCM
+    cw.align_sentinel();
+    if (mb->ipcm_byte_start >= 0) {
+      cw.copy_bits(src, src_len, mb->ipcm_byte_start * 8, 384 * 8);
+    }
+    ipcm_ctx(&ctx, trk.ipcm_nc);
+    trk.push(col, ctx);
+  } else if (mb->kind == 1) {  // inter
+    if (mb_type >= 3) {
+      for (int i = 0; i < 4; ++i)
+        cw.ue((uint32_t)mb->sub_mb_types[i]);
+    }
+    for (int i = 0; i < n_ref_out; ++i) {
+      if (num_ref_composite == 2) cw.put(1 - (refs[i] & 1), 1);
+      else cw.ue((uint32_t)refs[i]);
+    }
+    for (int i = 0; i < mb->n_mvds; ++i) {
+      cw.se(mb->mvds[i][0]);
+      cw.se(mb->mvds[i][1]);
+    }
+    cw.ue(kCbpInterInv[mb->cbp]);
+    if (mb->cbp > 0) {
+      cw.se(mb->qp_delta);
+      cw_emit_luma_inter(cw, mb, &ctx, left, topc, src, src_len);
+      cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
+    }
+    trk.push(col, ctx);
+  } else if (mb->kind == 2) {  // I_4x4 (in P taxonomy)
+    cw.copy_bits(src, src_len, mb->pred_bits_start, mb->pred_bits_len);
+    cw.ue((uint32_t)mb->chroma_pred);
+    cw.ue(kCbpIntraInv[mb->cbp]);
+    if (mb->cbp > 0) {
+      cw.se(mb->qp_delta);
+      cw_emit_luma_inter(cw, mb, &ctx, left, topc, src, src_len);
+      cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
+    }
+    trk.push(col, ctx);
+  } else {  // kind == 3: I_16x16
+    int cbp_luma = (mb->i16_idx / 12) ? 15 : 0;
+    cw.ue((uint32_t)mb->chroma_pred);
+    cw.se(mb->qp_delta);
+    int dc_nc = luma_nc(0, &ctx, left, topc);
+    cw_emit_block(cw, mb->blocks[0], dc_nc, src, src_len);
+    for (int i8 = 0; i8 < 4; ++i8) {
+      for (int i4 = 0; i4 < 4; ++i4) {
+        int raster = kScanToRaster[i8 * 4 + i4];
+        if (cbp_luma & (1 << i8)) {
+          int nC = luma_nc(raster, &ctx, left, topc);
+          cw_emit_block(cw, mb->blocks[1 + raster], nC, src, src_len);
+          ctx.luma[raster] = (int8_t)mb->blocks[1 + raster].tc;
+        }
+      }
+    }
+    cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
+    trk.push(col, ctx);
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -1067,7 +1151,6 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
                         uint8_t* out_coded, long* out_donor_bits,
                         int* out_has_align, int* out_needed,
                         int bug_compat) {
-  static const CoeffCtx kZeroCtx = {};
   CoeffCtx* top = new CoeffCtx[C];
   CoeffCtx* cur = new CoeffCtx[C];
   bool* top_set = new bool[C]();
@@ -1094,77 +1177,10 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
         continue;
       }
       out_coded[m] = 1;
-
-      const CoeffCtx* left = trk.left_of(col);
-      if (!left && !at_left_edge) left = &kZeroCtx;
-      const CoeffCtx* topc = trk.top_of(col);
-      if (!topc && row == 0 && !at_top_edge) topc = &kZeroCtx;
-      CoeffCtx ctx;
-      std::memset(&ctx, 0, sizeof(ctx));
-
-      int refs[4];
-      int n_ref_out = 0;
-      int mb_type = map_refs(mb, num_ref_composite, ref_map, ref_map_len,
-                             refs, &n_ref_out);
-      if (mb_type < 0) { err = -102; break; }
-      cw.ue((uint32_t)mb_type);
-
-      if (mb->kind == 4) {  // I_PCM
-        cw.align_sentinel();
-        if (mb->ipcm_byte_start >= 0) {
-          cw.copy_bits(src, src_len, mb->ipcm_byte_start * 8, 384 * 8);
-        }
-        ipcm_ctx(&ctx, trk.ipcm_nc);
-        trk.push(col, ctx);
-      } else if (mb->kind == 1) {  // inter
-        if (mb_type >= 3) {
-          for (int i = 0; i < 4; ++i)
-            cw.ue((uint32_t)mb->sub_mb_types[i]);
-        }
-        for (int i = 0; i < n_ref_out; ++i) {
-          if (num_ref_composite == 2) cw.put(1 - (refs[i] & 1), 1);
-          else cw.ue((uint32_t)refs[i]);
-        }
-        for (int i = 0; i < mb->n_mvds; ++i) {
-          cw.se(mb->mvds[i][0]);
-          cw.se(mb->mvds[i][1]);
-        }
-        cw.ue(kCbpInterInv[mb->cbp]);
-        if (mb->cbp > 0) {
-          cw.se(mb->qp_delta);
-          cw_emit_luma_inter(cw, mb, &ctx, left, topc, src, src_len);
-          cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
-        }
-        trk.push(col, ctx);
-      } else if (mb->kind == 2) {  // I_4x4 (in P taxonomy)
-        cw.copy_bits(src, src_len, mb->pred_bits_start, mb->pred_bits_len);
-        cw.ue((uint32_t)mb->chroma_pred);
-        cw.ue(kCbpIntraInv[mb->cbp]);
-        if (mb->cbp > 0) {
-          cw.se(mb->qp_delta);
-          cw_emit_luma_inter(cw, mb, &ctx, left, topc, src, src_len);
-          cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
-        }
-        trk.push(col, ctx);
-      } else {  // kind == 3: I_16x16
-        int cbp_luma = (mb->i16_idx / 12) ? 15 : 0;
-        cw.ue((uint32_t)mb->chroma_pred);
-        cw.se(mb->qp_delta);
-        int dc_nc = luma_nc(0, &ctx, left, topc);
-        cw_emit_block(cw, mb->blocks[0], dc_nc, src, src_len);
-        for (int i8 = 0; i8 < 4; ++i8) {
-          for (int i4 = 0; i4 < 4; ++i4) {
-            int raster = kScanToRaster[i8 * 4 + i4];
-            if (cbp_luma & (1 << i8)) {
-              int nC = luma_nc(raster, &ctx, left, topc);
-              cw_emit_block(cw, mb->blocks[1 + raster], nC, src, src_len);
-              ctx.luma[raster] = (int8_t)mb->blocks[1 + raster].tc;
-            }
-          }
-        }
-        cw_emit_chroma(cw, mb, &ctx, left, topc, src, src_len);
-        trk.push(col, ctx);
-      }
+      err = emit_dense_mb(cw, mb, trk, col, row, num_ref_composite,
+                          ref_map, ref_map_len, at_left_edge,
+                          at_top_edge, src, src_len);
+      if (err) break;
 
       cw.flush();
       cw.terminate();
@@ -1542,6 +1558,21 @@ int cavlc_retarget_recs(MBRec* mbs, int R, int C, int num_ref_composite,
                         const int32_t* right_ring,
                         const uint8_t* right_valid);
 
+// Defined below (fused row ingest); used by the batch prep.
+int cavlc_ingest_rows(const MBRec* mbs, int R, int C,
+                      int num_ref_composite, const int32_t* ref_map,
+                      int ref_map_len, int at_left_edge, int at_top_edge,
+                      const uint8_t* src, long src_len,
+                      const int32_t* top_ring, const uint8_t* top_valid,
+                      const int32_t* left_ring, const uint8_t* left_valid,
+                      const int32_t* right_ring,
+                      const uint8_t* right_valid, int s_row,
+                      uint32_t* out_pat, int32_t* out_nb,
+                      int32_t* out_first_c, uint8_t* out_coded,
+                      int32_t* out_a, int32_t* out_b, int32_t* out_d,
+                      long* out_donor_bits, int* out_has_align,
+                      int* out_needed, int bug_compat);
+
 // For each of n donor P-slice payloads: parse -> composite-nC dense
 // chunks (thread-local scratch) -> row-contiguous pack -> composite MV
 // edge roles, in ONE call, fanned out over n_threads std::threads
@@ -1577,7 +1608,6 @@ int cavlc_prepare_rows_batch(
     int n_threads, int bug_compat, int retarget_mvs,
     int rings_per_donor) {
   const long M = (long)R * C;
-  const int S = 352;  // covers the worst legal CAVLC macroblock
   if (n_threads <= 0) {
     unsigned hw = std::thread::hardware_concurrency();
     n_threads = hw ? (int)hw : 1;
@@ -1587,9 +1617,6 @@ int cavlc_prepare_rows_batch(
   std::atomic<int> next{0};
   auto work = [&]() {
     MBRec* recs = new MBRec[M];
-    uint32_t* dpat = new uint32_t[M * S];
-    int32_t* dnb = new int32_t[M * S];
-    uint8_t* coded = new uint8_t[M];
     int i;
     while ((i = next.fetch_add(1)) < n) {
       const uint8_t* p = payloads + offsets[i];
@@ -1617,39 +1644,29 @@ int cavlc_prepare_rows_batch(
                                   ref_map_len, tr, tv, lr, lv, rr, rv);
       }
       if (!err) {
-        long donor_bits = 0;
-        int has_align = 0, needed = 0;
-        err = cavlc_prepare_dense(recs, R, C, num_ref_composite, ref_map,
-                                  ref_map_len, at_left_edge, at_top_edge,
-                                  p, nbytes, dpat, dnb, S, coded,
-                                  &donor_bits, &has_align, &needed,
-                                  bug_compat);
-        out_has_align[i] = has_align;
-      }
-      if (!err) {
+        // Fused single walk: row chunks + composite MV roles together
+        // (identical outputs to the prepare_dense -> pack_rows ->
+        // mv_edge_roles pipeline, one pass over the records).
         long row_bits = 0;
-        int needed = 0;
-        err = cavlc_pack_rows(dpat, dnb, coded, R, C, S, s_row,
-                              out_pat + (long)i * R * s_row,
-                              out_nb + (long)i * R * s_row,
-                              out_first_c + (long)i * R,
-                              &row_bits, &needed);
+        int has_align = 0, needed = 0;
+        err = cavlc_ingest_rows(recs, R, C, num_ref_composite, ref_map,
+                                ref_map_len, at_left_edge, at_top_edge,
+                                p, nbytes, tr, tv, lr, lv, rr, rv, s_row,
+                                out_pat + (long)i * R * s_row,
+                                out_nb + (long)i * R * s_row,
+                                out_first_c + (long)i * R,
+                                out_coded + (long)i * M,
+                                out_a + (long)i * M * 3,
+                                out_b + (long)i * M * 3,
+                                out_d + (long)i * M * 3,
+                                &row_bits, &has_align, &needed,
+                                bug_compat);
         out_donor_bits[i] = row_bits;
-        std::memcpy(out_coded + (long)i * M, coded, M);
-      }
-      if (!err) {
-        err = cavlc_mv_edge_roles(recs, R, C, num_ref_composite, ref_map,
-                                  ref_map_len, tr, tv, lr, lv, rr, rv,
-                                  out_a + (long)i * M * 3,
-                                  out_b + (long)i * M * 3,
-                                  out_d + (long)i * M * 3);
+        out_has_align[i] = has_align;
       }
       out_err[i] = err;
     }
     delete[] recs;
-    delete[] dpat;
-    delete[] dnb;
-    delete[] coded;
   };
 
   if (n_threads <= 1) {
@@ -1683,30 +1700,25 @@ namespace {
 // mode (targets != null): resolve refs through ref_map, set each rec's
 // mvds[mv_i] = target - prediction, fill the field with the target; skip
 // records become explicit P_L0_16x16 pinned to their target.
-int mvf_walk_grid(MBRec* mbs, int R, int C, MVField& f, int ox4, int oy4,
-                  const int32_t* ref_map, int ref_map_len,
-                  const int32_t (*targets)[16][2],
-                  int32_t (*rec_targets)[16][2],
-                  const int32_t* right_ring = nullptr,
-                  const uint8_t* right_valid = nullptr) {
+// One macroblock's motion decode/rewrite step (see mvf_walk_grid).
+// map_record: in record mode, resolve refs through ref_map (composite
+// roles walk) instead of donor-identity (retarget pass 1);
+// rec_targets may be null when the caller only needs the field filled.
+int mvf_step_mb(MBRec* mb, int m, int bx, int by, MVField& f,
+                const int32_t* ref_map, int ref_map_len,
+                const int32_t (*targets)[16][2],
+                int32_t (*rec_targets)[16][2], bool map_record) {
   const bool rewrite = targets != nullptr;
-  for (int mb_y = 0; mb_y < R; ++mb_y) {
-    // Lazy right-ring fill (see cavlc_mv_edge_roles comment).
-    if (right_ring && mb_y > 0 && mb_y - 1 < R - 1 &&
-        right_valid[mb_y - 1])
-      f.fill(ox4 + C * 4, oy4 + (mb_y - 1) * 4, 4, 4,
-             right_ring[(mb_y - 1) * 3], right_ring[(mb_y - 1) * 3 + 1],
-             right_ring[(mb_y - 1) * 3 + 2]);
-    for (int mb_x = 0; mb_x < C; ++mb_x) {
-      MBRec* mb = &mbs[mb_y * C + mb_x];
-      int m = mb_y * C + mb_x;
-      int bx = ox4 + mb_x * 4, by = oy4 + mb_y * 4;
+  {
+    {
       if (mb->kind == 0) {
         if (!rewrite) {
           int32_t px, py;
           mvf_skip(f, bx, by, &px, &py);
-          rec_targets[m][0][0] = px;
-          rec_targets[m][0][1] = py;
+          if (rec_targets) {
+            rec_targets[m][0][0] = px;
+            rec_targets[m][0][1] = py;
+          }
           f.fill(bx, by, 4, 4, 0, px, py);
         } else {
           // Convert to explicit P_L0_16x16 pinned to the donor-context
@@ -1725,18 +1737,18 @@ int mvf_walk_grid(MBRec* mbs, int R, int C, MVField& f, int ox4, int oy4,
           mb->cbp = 0;
           f.fill(bx, by, 4, 4, r, targets[m][0][0], targets[m][0][1]);
         }
-        continue;
+        return 0;
       }
       if (mb->kind != 1) {  // intra: no motion
         f.fill(bx, by, 4, 4, kIntraRef, 0, 0);
-        continue;
+        return 0;
       }
       int pref[4];
       int n_parts = mb->mb_type == 0 ? 1 : (mb->mb_type <= 2 ? 2 : 4);
       for (int i = 0; i < n_parts; ++i) {
         int donor_ref = (mb->mb_type == 4) ? 0
                         : (mb->n_ref > 0 ? mb->ref_idx[i] : 0);
-        if (rewrite) {
+        if (rewrite || map_record) {
           if (donor_ref < 0 || donor_ref >= ref_map_len) return -102;
           pref[i] = ref_map[donor_ref];
         } else {
@@ -1747,10 +1759,13 @@ int mvf_walk_grid(MBRec* mbs, int R, int C, MVField& f, int ox4, int oy4,
       auto handle = [&](int part, int mv_i, int pbx, int pby, int pw4,
                         int ph4, int32_t px, int32_t py) {
         if (!rewrite) {
-          rec_targets[m][mv_i][0] = px + mb->mvds[mv_i][0];
-          rec_targets[m][mv_i][1] = py + mb->mvds[mv_i][1];
-          f.fill(pbx, pby, pw4, ph4, pref[part],
-                 rec_targets[m][mv_i][0], rec_targets[m][mv_i][1]);
+          int32_t tx = px + mb->mvds[mv_i][0];
+          int32_t ty = py + mb->mvds[mv_i][1];
+          if (rec_targets) {
+            rec_targets[m][mv_i][0] = tx;
+            rec_targets[m][mv_i][1] = ty;
+          }
+          f.fill(pbx, pby, pw4, ph4, pref[part], tx, ty);
         } else {
           mb->mvds[mv_i][0] = targets[m][mv_i][0] - px;
           mb->mvds[mv_i][1] = targets[m][mv_i][1] - py;
@@ -1807,6 +1822,30 @@ int mvf_walk_grid(MBRec* mbs, int R, int C, MVField& f, int ox4, int oy4,
             }
         }
       }
+    }
+  }
+  return 0;
+}
+
+int mvf_walk_grid(MBRec* mbs, int R, int C, MVField& f, int ox4, int oy4,
+                  const int32_t* ref_map, int ref_map_len,
+                  const int32_t (*targets)[16][2],
+                  int32_t (*rec_targets)[16][2],
+                  const int32_t* right_ring = nullptr,
+                  const uint8_t* right_valid = nullptr) {
+  for (int mb_y = 0; mb_y < R; ++mb_y) {
+    // Lazy right-ring fill (see cavlc_mv_edge_roles comment).
+    if (right_ring && mb_y > 0 && mb_y - 1 < R - 1 &&
+        right_valid[mb_y - 1])
+      f.fill(ox4 + C * 4, oy4 + (mb_y - 1) * 4, 4, 4,
+             right_ring[(mb_y - 1) * 3], right_ring[(mb_y - 1) * 3 + 1],
+             right_ring[(mb_y - 1) * 3 + 2]);
+    for (int mb_x = 0; mb_x < C; ++mb_x) {
+      int m = mb_y * C + mb_x;
+      int err = mvf_step_mb(&mbs[m], m, ox4 + mb_x * 4, oy4 + mb_y * 4,
+                            f, ref_map, ref_map_len, targets,
+                            rec_targets, false);
+      if (err) return err;
     }
   }
   return 0;
@@ -1872,6 +1911,133 @@ int cavlc_retarget_recs(MBRec* mbs, int R, int C, int num_ref_composite,
                           right_ring, right_valid);
   delete[] targets;
   return err;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused row ingest: one walk emits the row-contiguous chunk stream AND
+// decodes the composite MV field (edge roles) — replacing the
+// prepare_dense -> pack_rows -> mv_edge_roles three-pass pipeline in the
+// batch serving path (identical outputs; one pass over the records, no
+// intermediate per-MB chunk arrays).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int cavlc_ingest_rows(const MBRec* mbs, int R, int C,
+                      int num_ref_composite, const int32_t* ref_map,
+                      int ref_map_len, int at_left_edge, int at_top_edge,
+                      const uint8_t* src, long src_len,
+                      const int32_t* top_ring, const uint8_t* top_valid,
+                      const int32_t* left_ring, const uint8_t* left_valid,
+                      const int32_t* right_ring,
+                      const uint8_t* right_valid, int s_row,
+                      uint32_t* out_pat, int32_t* out_nb,
+                      int32_t* out_first_c, uint8_t* out_coded,
+                      int32_t* out_a, int32_t* out_b, int32_t* out_d,
+                      long* out_donor_bits, int* out_has_align,
+                      int* out_needed, int bug_compat) {
+  // Composite nC tracker.
+  CoeffCtx* top = new CoeffCtx[C];
+  CoeffCtx* cur = new CoeffCtx[C];
+  bool* top_set = new bool[C]();
+  bool* cur_set = new bool[C]();
+  Tracker trk{C, top, cur, top_set, cur_set, {}, false,
+              (int8_t)(bug_compat ? 0 : 16)};
+  auto cleanup = [&]() {
+    delete[] top;
+    delete[] cur;
+    delete[] top_set;
+    delete[] cur_set;
+  };
+
+  // Composite MV field with the border rings (right ring fills lazily).
+  FieldBuf fb((C + 2) * 4, (R + 1) * 4);
+  for (int c = 0; c < C + 2; ++c)
+    if (top_valid[c])
+      fb.f.fill(c * 4, 0, 4, 4, top_ring[c * 3], top_ring[c * 3 + 1],
+                top_ring[c * 3 + 2]);
+  for (int r = 0; r < R; ++r)
+    if (left_valid[r])
+      fb.f.fill(0, (1 + r) * 4, 4, 4, left_ring[r * 3],
+                left_ring[r * 3 + 1], left_ring[r * 3 + 2]);
+
+  long donor_bits = 0;
+  int has_align = 0;
+  int needed = 0;
+  int err = 0;
+
+  for (int row = 0; row < R && !err; ++row) {
+    if (row > 0 && row - 1 < R - 1 && right_valid[row - 1])
+      fb.f.fill((C + 1) * 4, row * 4, 4, 4, right_ring[(row - 1) * 3],
+                right_ring[(row - 1) * 3 + 1],
+                right_ring[(row - 1) * 3 + 2]);
+    ChunkWriter cw(out_pat + (long)row * s_row,
+                   out_nb + (long)row * s_row, s_row);
+    int last = -1;
+    out_first_c[row] = -1;
+    for (int col = 0; col < C && !err; ++col) {
+      int m = row * C + col;
+      MBRec* mb = const_cast<MBRec*>(&mbs[m]);
+      int bx = 4 + col * 4, by = 4 + row * 4;
+      if (mb->kind == 0) {
+        out_coded[m] = 0;
+        CoeffCtx z;
+        std::memset(&z, 0, sizeof(z));
+        trk.push(col, z);
+        err = mvf_step_mb(mb, m, bx, by, fb.f, ref_map, ref_map_len,
+                          nullptr, nullptr, true);
+        continue;
+      }
+      out_coded[m] = 1;
+      if (last < 0) {
+        out_first_c[row] = col;
+      } else {
+        cw.ue((uint32_t)(col - last - 1));
+      }
+      last = col;
+      err = emit_dense_mb(cw, mb, trk, col, row, num_ref_composite,
+                          ref_map, ref_map_len, at_left_edge,
+                          at_top_edge, src, src_len);
+      if (!err)
+        err = mvf_step_mb(mb, m, bx, by, fb.f, ref_map, ref_map_len,
+                          nullptr, nullptr, true);
+    }
+    cw.flush();
+    cw.terminate();
+    if (cw.chunks() > needed) needed = cw.chunks();
+    donor_bits += cw.bits();
+    if (cw.has_align()) has_align = 1;
+    trk.end_row();
+  }
+
+  if (!err) {
+    for (int r = 0; r < R; ++r)
+      for (int c = 0; c < C; ++c) {
+        int m = r * C + c;
+        int by = (1 + r) * 4, bx = (1 + c) * 4;
+        long ia = (long)(by + 0) * fb.f.w4 + (bx + 3);
+        long ib = (long)(by + 3) * fb.f.w4 + (bx + 0);
+        long id = (long)(by + 3) * fb.f.w4 + (bx + 3);
+        out_a[m * 3] = fb.ref[ia];
+        out_a[m * 3 + 1] = fb.mvx[ia];
+        out_a[m * 3 + 2] = fb.mvy[ia];
+        out_b[m * 3] = fb.ref[ib];
+        out_b[m * 3 + 1] = fb.mvx[ib];
+        out_b[m * 3 + 2] = fb.mvy[ib];
+        out_d[m * 3] = fb.ref[id];
+        out_d[m * 3 + 1] = fb.mvx[id];
+        out_d[m * 3 + 2] = fb.mvy[id];
+      }
+  }
+
+  cleanup();
+  *out_needed = needed;
+  *out_donor_bits = donor_bits;
+  *out_has_align = has_align;
+  if (err) return err;
+  return (needed > s_row) ? -101 : 0;
 }
 
 }  // extern "C"
