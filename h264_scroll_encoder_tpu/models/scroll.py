@@ -349,13 +349,14 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     """
     h, w = ref.shape
     n_mbs = h * w
-    # The merged A-slot (skip_run||mb_type||ref) must fit 32 bits:
-    # ue(skip_run) <= 23 bits requires <= 4095 MBs (at 8160 MBs, e.g.
-    # 1920x1088, it reaches 27 bits and the merge would truncate
-    # silently).  Oversized frames must use MB-row slice bands.
-    assert n_mbs <= 4095, (
-        f"emit_p_frame: {n_mbs} MBs > 4095 — merged skip-run slot would "
-        "overflow 32 bits; split the frame into slice bands")
+    # The merged A-slot (skip_run||mb_type||ref) fits 32 bits only up to
+    # 4095 MBs (ue(skip_run) <= 23); larger frames (1920x1088 = 8160 MBs
+    # ... up to 65535 MBs, where ue(skip_run) reaches the full 32) use
+    # the WIDE layout below: the skip run gets its own slot.
+    wide = n_mbs > 4095
+    assert n_mbs <= 65535, (
+        f"emit_p_frame: {n_mbs} MBs > 65535 — ue(skip_run) would exceed "
+        "32 bits; split the frame into slice bands")
 
     pred_x, pred_y = mv_pred_grid(ref, mv_x, mv_y)
     mvd_x = (mv_x - pred_x).reshape(-1)
@@ -390,25 +391,30 @@ def emit_p_frame(cfg: ComposerConfig, header_patterns, header_nbits,
     mvy_pat, mvy_n = expgolomb.se(mvd_y)
     cbp_pat, cbp_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
 
-    a_pat, a_n = bitpack.merge_symbol_pairs(sr_pat, sr_n, mbt_pat, mbt_n)
-    a_pat, a_n = bitpack.merge_symbol_pairs(a_pat, a_n, ref_pat, ref_n)
+    if wide:
+        a_pat, a_n = bitpack.merge_symbol_pairs(mbt_pat, mbt_n,
+                                                ref_pat, ref_n)
+    else:
+        a_pat, a_n = bitpack.merge_symbol_pairs(sr_pat, sr_n,
+                                                mbt_pat, mbt_n)
+        a_pat, a_n = bitpack.merge_symbol_pairs(a_pat, a_n, ref_pat, ref_n)
     c_pat, c_n = bitpack.merge_symbol_pairs(mvy_pat, mvy_n, cbp_pat, cbp_n)
 
     coded_i = coded.astype(jnp.int32)
     zero = jnp.uint32(0)
     if compact_x:
+        # compact precondition (every mv_x zero) keeps mvd_x at the
+        # 1-bit se(0), so even the wide mbt||ref||mvd_x merge is <= 9.
         a_pat, a_n = bitpack.merge_symbol_pairs(a_pat, a_n,
                                                 mvx_pat, mvx_n)
-        mb_patterns = jnp.stack(
-            [jnp.where(coded, a_pat, zero),
-             jnp.where(coded, c_pat, zero)], axis=1)
-        mb_nbits = jnp.stack([a_n * coded_i, c_n * coded_i], axis=1)
+        cols = [(a_pat, a_n), (c_pat, c_n)]
     else:
-        mb_patterns = jnp.stack(
-            [jnp.where(coded, a_pat, zero), jnp.where(coded, mvx_pat, zero),
-             jnp.where(coded, c_pat, zero)], axis=1)
-        mb_nbits = jnp.stack(
-            [a_n * coded_i, mvx_n * coded_i, c_n * coded_i], axis=1)
+        cols = [(a_pat, a_n), (mvx_pat, mvx_n), (c_pat, c_n)]
+    if wide:
+        cols = [(sr_pat, sr_n)] + cols
+    mb_patterns = jnp.stack(
+        [jnp.where(coded, cp, zero) for cp, _ in cols], axis=1)
+    mb_nbits = jnp.stack([cn * coded_i for _, cn in cols], axis=1)
 
     # Trailing skip run after the last coded MB (only if > 0); if no MB is
     # coded at all the whole slice is one skip run.

@@ -192,3 +192,25 @@ def test_adversarial_dense_splice_parity(family):
     from h264_scroll_encoder_tpu.models.splice import MotionRegion
     regions = (MotionRegion(0, 0, 12, 1, ref_idx=0, mv_y=8),)
     _run_dense_case(cfg, donor, 3, 4, 2, 3, regions)
+
+
+def test_scroll_1080p_parity(ref_binaries, tmp_path):
+    """Frames beyond 4095 MBs (1920x1088 = 8160) — the wide symbol
+    layout (skip run in its own slot) — byte parity vs the C binary."""
+    exe = ref_binaries.get("h264_scroll_encoder")
+    if exe is None:
+        pytest.skip("h264_scroll_encoder unavailable")
+
+    w, h = 1920, 1088
+    n, speed = 5, 24
+    out = tmp_path / "ref_1080p.h264"
+    _run_ref(exe, ["-t", "-n", str(n), "-S", str(speed),
+                   "-w", str(w), "-H", str(h), "-o", str(out)])
+    s = ComposerSession(ComposerConfig(w, h))
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    for off in triangle_offsets(n, speed, h - 16, start_offset=496):
+        s.write_scroll_or_waypoint_frame(off)
+    ours = s.getvalue()
+    ref = out.read_bytes()
+    assert ours == ref, f"1080p: {nal_diff(ours, ref)}"
