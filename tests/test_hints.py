@@ -272,3 +272,47 @@ def test_pixel_rect_helpers_and_validation():
         h2, sz = FrameHints.with_dynamic_pixel_rect(
             0, 0, 400, 400, margin=16, frame_width=1280, frame_height=720)
         h2.validate(cfg, 2, dynamic_rect_mb=sz)  # > 392x392 bound
+
+
+def test_hint_frame_wide_layout_1080p():
+    """Frames > 4095 MBs through the hint kernel: the wide symbol layout
+    with and without compact_x produces identical bytes, and the stream
+    passes structural verification."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS, ComposerConfig
+    from h264_scroll_encoder_tpu.models.hints import hint_fields
+    from h264_scroll_encoder_tpu.models.splice import (FrameHints,
+                                                       MotionRegion)
+    from h264_scroll_encoder_tpu.models import scroll as scroll_model
+    from h264_scroll_encoder_tpu.syntax.slice_headers import (
+        p_slice_header_symbols)
+
+    cfg = ComposerConfig(1920, 1088)
+    assert cfg.total_mbs > 4095
+    hints = FrameHints(motion_regions=(
+        MotionRegion(0, 0, cfg.mb_width, 12, ref_idx=0, mv_y=40),
+        MotionRegion(20, 40, 60, 60, ref_idx=1, mv_y=-16)))
+    ref, mvx, mvy = hint_fields(cfg, hints)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(3), jnp.int32(6), is_reference=False,
+        long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    outs = []
+    for cx in (False, True):
+        nal, nal_len, _, ovf = scroll_model.emit_p_frame(
+            cfg, hp, hn, ref, mvx, mvy, num_refs=2, nal_ref_idc=0,
+            enable_pskip=True, compact_x=cx)
+        assert not bool(np.asarray(ovf))
+        outs.append(np.asarray(nal)[: int(nal_len)].tobytes())
+    assert outs[0] == outs[1]
+
+    from h264_scroll_encoder_tpu.session import ComposerSession
+    from h264_scroll_encoder_tpu.verify import verify_stream
+    s = ComposerSession(cfg)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    rep = verify_stream(s.getvalue() + outs[0])
+    assert rep.ok, rep.errors
