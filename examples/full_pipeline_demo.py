@@ -88,4 +88,4 @@ def main(out_path: str = "/tmp/full_pipeline.h264") -> None:
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    main(*[a for a in sys.argv[1:] if not a.startswith("--")])
