@@ -21,6 +21,9 @@ import numpy as np
 
 
 def main() -> None:
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from h264_scroll_encoder_tpu.utils import jaxcache
     jaxcache.enable()
 
