@@ -1286,12 +1286,14 @@ def _dense_prologue(cfg, r0, c0, R, C, num_refs,
 
     # Composite skip runs.
     n_mbs = H * W
-    # The merged background A-slot (skip_run||mb_type||ref) must fit 32
-    # bits: ue(skip_run) <= 23 bits requires <= 4095 MBs (same constraint
-    # as scroll.emit_p_frame — silent merge truncation otherwise).
-    assert n_mbs <= 4095, (
-        f"dense splice: {n_mbs} MBs > 4095 — merged skip-run slot would "
-        "overflow 32 bits; use slice bands")
+    # The merged background A-slot (skip_run||mb_type||ref) fits 32 bits
+    # only up to 4095 MBs (ue(skip_run) <= 23); larger frames use the
+    # WIDE background layout (skip run in its own slot, scroll.
+    # emit_p_frame's rule) up to 65535 MBs.
+    wide = n_mbs > 4095
+    assert n_mbs <= 65535, (
+        f"dense splice: {n_mbs} MBs > 65535 — ue(skip_run) would exceed "
+        "32 bits; use slice bands")
     coded_f = coded.reshape(-1)
     idx = jnp.arange(n_mbs, dtype=jnp.int32)
     coded_idx = jnp.where(coded_f, idx, -1)
@@ -1301,15 +1303,21 @@ def _dense_prologue(cfg, r0, c0, R, C, num_refs,
     skip_run = idx - last_before - 1
     sr_pat, sr_n = expgolomb.ue(skip_run.astype(jnp.uint32))
 
-    # Background MB symbols: [sr||mb_type||ref, mvd_x, mvd_y||cbp].
+    # Background MB symbols: [sr||mb_type||ref, mvd_x, mvd_y||cbp]
+    # (<=4095 MBs), or wide [sr, mb_type||ref, mvd_x, mvd_y||cbp].
     mbt_pat, mbt_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
     ref_pat, ref_n = expgolomb.te(bg_ref.reshape(-1).astype(jnp.uint32),
                                   num_refs)
     mvx_pat, mvx_n = expgolomb.se(mvd_x.reshape(-1))
     mvy_pat, mvy_n = expgolomb.se(mvd_y.reshape(-1))
     cbp_pat, cbp_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
-    a_pat, a_n = bitpack.merge_symbol_pairs(sr_pat, sr_n, mbt_pat, mbt_n)
-    a_pat, a_n = bitpack.merge_symbol_pairs(a_pat, a_n, ref_pat, ref_n)
+    if wide:
+        a_pat, a_n = bitpack.merge_symbol_pairs(mbt_pat, mbt_n,
+                                                ref_pat, ref_n)
+    else:
+        a_pat, a_n = bitpack.merge_symbol_pairs(sr_pat, sr_n,
+                                                mbt_pat, mbt_n)
+        a_pat, a_n = bitpack.merge_symbol_pairs(a_pat, a_n, ref_pat, ref_n)
     c_pat, c_n = bitpack.merge_symbol_pairs(mvy_pat, mvy_n, cbp_pat, cbp_n)
 
     bg_active = coded_f & ~in_rect.reshape(-1)
@@ -1321,20 +1329,26 @@ def _dense_prologue(cfg, r0, c0, R, C, num_refs,
         "sr_pat": sr_pat, "sr_n": sr_n,
         "coded_f": coded_f, "last_incl": last_incl,
         "donor_coded": donor_coded,
+        "wide": wide,
     }
 
 
 def _bg3(pro, H, W):
-    """Generic 3-slot background symbol grids [H, W, 3]."""
+    """Generic background symbol grids [H, W, S_bg] (S_bg = 3, or 4 in
+    the wide layout where the skip run has its own slot)."""
     bg_active = pro["bg_active"]
     bg_i = bg_active.astype(jnp.int32)
     zero = jnp.uint32(0)
-    bg_p = jnp.stack([jnp.where(bg_active, pro["a_pat"], zero),
-                      jnp.where(bg_active, pro["mvx_pat"], zero),
-                      jnp.where(bg_active, pro["c_pat"], zero)],
-                     axis=1).reshape(H, W, 3)
-    bg_n = jnp.stack([pro["a_n"] * bg_i, pro["mvx_n"] * bg_i,
-                      pro["c_n"] * bg_i], axis=1).reshape(H, W, 3)
+    cols = [(pro["a_pat"], pro["a_n"]),
+            (pro["mvx_pat"], pro["mvx_n"]),
+            (pro["c_pat"], pro["c_n"])]
+    if pro["wide"]:
+        cols = [(pro["sr_pat"], pro["sr_n"])] + cols
+    s_bg = len(cols)
+    bg_p = jnp.stack([jnp.where(bg_active, cp, zero) for cp, _ in cols],
+                     axis=1).reshape(H, W, s_bg)
+    bg_n = jnp.stack([cn * bg_i for _, cn in cols],
+                     axis=1).reshape(H, W, s_bg)
     return bg_p, bg_n
 
 
@@ -1392,15 +1406,16 @@ def emit_spliced_frame_dense(cfg: ComposerConfig, rect_mb_x: int,
                    0)], axis=2)
 
     # Three statically-shaped bands in raster order.
+    s_bg = bg_p.shape[-1]
     rect_p = jnp.concatenate(
-        [bg_p[r0:r0 + R, :c0].reshape(R, c0 * 3),
+        [bg_p[r0:r0 + R, :c0].reshape(R, c0 * s_bg),
          donor_p.reshape(R, C * (1 + S)),
-         bg_p[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+         bg_p[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * s_bg)],
         axis=1).reshape(-1)
     rect_n = jnp.concatenate(
-        [bg_n[r0:r0 + R, :c0].reshape(R, c0 * 3),
+        [bg_n[r0:r0 + R, :c0].reshape(R, c0 * s_bg),
          donor_n.reshape(R, C * (1 + S)),
-         bg_n[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+         bg_n[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * s_bg)],
         axis=1).reshape(-1)
 
     tail_skips = jnp.int32(n_mbs) - 1 - last_incl[-1]
@@ -1533,15 +1548,16 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
     ts_n = jnp.where(tail_skips > 0, ts_n, 0)
 
     if not compact_x:
+        s_bg = bg_p.shape[-1]
         rect_p = jnp.concatenate(
-            [bg_p[r0:r0 + R, :c0].reshape(R, c0 * 3),
+            [bg_p[r0:r0 + R, :c0].reshape(R, c0 * s_bg),
              dyn_p, dn["row_patterns"],
-             bg_p[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+             bg_p[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * s_bg)],
             axis=1).reshape(-1)
         rect_n = jnp.concatenate(
-            [bg_n[r0:r0 + R, :c0].reshape(R, c0 * 3),
+            [bg_n[r0:r0 + R, :c0].reshape(R, c0 * s_bg),
              dyn_n, dn["row_nbits"],
-             bg_n[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * 3)],
+             bg_n[r0:r0 + R, c0 + C:].reshape(R, (W - c0 - C) * s_bg)],
             axis=1).reshape(-1)
         patterns = jnp.concatenate(
             [header_patterns, bg_p[:r0].reshape(-1), rect_p,
@@ -1550,6 +1566,9 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
             [header_nbits, bg_n[:r0].reshape(-1), rect_n,
              bg_n[r0 + R:].reshape(-1), ts_n[None]])
     else:
+        assert not pro["wide"], (
+            "compact_x background layout requires <= 4095 MBs (the "
+            "merged sr slot); use compact_x=False for larger frames")
         # Compact background: 2 symbol slots per MB (A||mvd_x, mvd_y||cbp)
         # — valid when every background mv_x is zero, in which case
         # mvd_x is the 1-bit se(0) EXCEPT where the MV prediction sees

@@ -786,3 +786,61 @@ def test_successive_retarget_with_adjacent_moving_band():
         assert not bool(np.asarray(ovf))
         dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
         assert dev_bytes == host_nal, fam
+
+
+def test_splice_1080p_wide_layout_matches_host():
+    """Dynamic-rect splice on a frame beyond 4095 MBs (1920x1088): the
+    wide background layout through the rows kernel, byte-equal to the
+    host path."""
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+
+    rng = np.random.default_rng(101)
+    cfg = ComposerConfig(1920, 1088)
+    H, W = cfg.mb_height, cfg.mb_width
+    assert cfg.total_mbs > 4095
+    R, C = 4, 5
+    r0, c0 = 30, 60
+    num_refs = 2
+    frame_num = 3
+
+    donor = fixtures.representative_donor_grid(rng, C, R)
+    for row in donor:
+        for i, mb in enumerate(row):
+            if mb is not mbt.SKIP and mb.kind == "ipcm":
+                row[i] = fixtures.random_inter_mb(rng, 1)
+
+    hints = FrameHints(motion_regions=(
+        MotionRegion(0, 0, W, 10, ref_idx=1, mv_x=0, mv_y=24),),
+        dynamic_mb_x=c0, dynamic_mb_y=r0)
+    grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
+
+    def hdr_writer(bw2):
+        write_p_slice_header(bw2, cfg, frame_num)
+
+    host_nal = write_nal_unit(
+        splice.finalize_spliced_frame(cfg, grid, num_refs, hdr_writer),
+        0, 1)
+
+    bw = BitWriter()
+    mbt.emit_p_slice_mbs(bw, donor, 1)
+    bw.write_trailing_bits()
+    dd = splice_device.prepare_donor_dense_from_slice(
+        bw.getvalue(), 0, C, R, 1, num_refs)
+    dr = splice_device.pack_donor_rows(dd, R, C)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    bg_ref = jnp.zeros((H, W), jnp.int32).at[:10].set(1)
+    bg_mvy = jnp.zeros((H, W), jnp.int32).at[:10].set(24 * 4)
+    bg_coded = jnp.zeros((H, W), bool).at[:10].set(True)
+    zero = jnp.zeros((H, W), jnp.int32)
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, dr.donor_bits)
+    nal, nal_len, _, ovf = splice_device.emit_spliced_frame_rows(
+        cfg, c0, r0, R, C, num_refs, hp, hn, bg_ref, zero, bg_mvy,
+        bg_coded, splice_device.rows_device_arrays(dr),
+        has_align=dr.has_align, n_rbsp=budget)
+    assert not bool(np.asarray(ovf))
+    dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
+    assert dev_bytes == host_nal
