@@ -1558,6 +1558,19 @@ int cavlc_retarget_recs(MBRec* mbs, int R, int C, int num_ref_composite,
                         const int32_t* right_ring,
                         const uint8_t* right_valid);
 
+// Defined below (single-pass ingest); used by the batch prep.
+int cavlc_ingest_slice_rows(
+    const uint8_t* rbsp, long nbytes, long start_bit, int R, int C,
+    int num_ref_donor, int num_ref_composite, const int32_t* ref_map,
+    int ref_map_len, int at_left_edge, int at_top_edge,
+    const int32_t* top_ring, const uint8_t* top_valid,
+    const int32_t* left_ring, const uint8_t* left_valid,
+    const int32_t* right_ring, const uint8_t* right_valid, int s_row,
+    uint32_t* out_pat, int32_t* out_nb, int32_t* out_first_c,
+    uint8_t* out_coded, int32_t* out_a, int32_t* out_b, int32_t* out_d,
+    long* out_donor_bits, int* out_has_align, int* out_needed,
+    int bug_compat);
+
 // Defined below (fused row ingest); used by the batch prep.
 int cavlc_ingest_rows(const MBRec* mbs, int R, int C,
                       int num_ref_composite, const int32_t* ref_map,
@@ -1621,10 +1634,6 @@ int cavlc_prepare_rows_batch(
     while ((i = next.fetch_add(1)) < n) {
       const uint8_t* p = payloads + offsets[i];
       long nbytes = offsets[i + 1] - offsets[i];
-      long end_bit = 0;
-      int err = cavlc_parse_slice(p, nbytes, start_bits[i], C, R, 1,
-                                  num_ref_donor, recs, &end_bit,
-                                  bug_compat);
       const int32_t* tr = top_ring;
       const uint8_t* tv = top_valid;
       const int32_t* lr = left_ring;
@@ -1637,33 +1646,49 @@ int cavlc_prepare_rows_batch(
         lr += (long)i * ln * 3; lv += (long)i * ln;
         rr += (long)i * rn * 3; rv += (long)i * rn;
       }
-      if (!err && retarget_mvs) {
-        // Successive-donor mode: preserve decoded donor motion exactly
-        // across the context change (see cavlc_retarget_recs).
-        err = cavlc_retarget_recs(recs, R, C, num_ref_composite, ref_map,
-                                  ref_map_len, tr, tv, lr, lv, rr, rv);
-      }
-      if (!err) {
-        // Fused single walk: row chunks + composite MV roles together
-        // (identical outputs to the prepare_dense -> pack_rows ->
-        // mv_edge_roles pipeline, one pass over the records).
-        long row_bits = 0;
-        int has_align = 0, needed = 0;
-        err = cavlc_ingest_rows(recs, R, C, num_ref_composite, ref_map,
-                                ref_map_len, at_left_edge, at_top_edge,
-                                p, nbytes, tr, tv, lr, lv, rr, rv, s_row,
-                                out_pat + (long)i * R * s_row,
-                                out_nb + (long)i * R * s_row,
-                                out_first_c + (long)i * R,
-                                out_coded + (long)i * M,
-                                out_a + (long)i * M * 3,
-                                out_b + (long)i * M * 3,
-                                out_d + (long)i * M * 3,
-                                &row_bits, &has_align, &needed,
+      long row_bits = 0;
+      int has_align = 0, needed = 0;
+      int err;
+      if (!retarget_mvs) {
+        // True single pass: parse + composite re-emit + MV field in one
+        // bitstream walk (no MBRec array round trip).
+        err = cavlc_ingest_slice_rows(
+            p, nbytes, start_bits[i], R, C, num_ref_donor,
+            num_ref_composite, ref_map, ref_map_len, at_left_edge,
+            at_top_edge, tr, tv, lr, lv, rr, rv, s_row,
+            out_pat + (long)i * R * s_row,
+            out_nb + (long)i * R * s_row,
+            out_first_c + (long)i * R, out_coded + (long)i * M,
+            out_a + (long)i * M * 3, out_b + (long)i * M * 3,
+            out_d + (long)i * M * 3, &row_bits, &has_align, &needed,
+            bug_compat);
+      } else {
+        // Successive-donor mode: the in-place retarget needs the full
+        // record grid (two passes), then the fused record walk.
+        long end_bit = 0;
+        err = cavlc_parse_slice(p, nbytes, start_bits[i], C, R, 1,
+                                num_ref_donor, recs, &end_bit,
                                 bug_compat);
-        out_donor_bits[i] = row_bits;
-        out_has_align[i] = has_align;
+        if (!err)
+          err = cavlc_retarget_recs(recs, R, C, num_ref_composite,
+                                    ref_map, ref_map_len, tr, tv, lr,
+                                    lv, rr, rv);
+        if (!err)
+          err = cavlc_ingest_rows(recs, R, C, num_ref_composite, ref_map,
+                                  ref_map_len, at_left_edge, at_top_edge,
+                                  p, nbytes, tr, tv, lr, lv, rr, rv,
+                                  s_row, out_pat + (long)i * R * s_row,
+                                  out_nb + (long)i * R * s_row,
+                                  out_first_c + (long)i * R,
+                                  out_coded + (long)i * M,
+                                  out_a + (long)i * M * 3,
+                                  out_b + (long)i * M * 3,
+                                  out_d + (long)i * M * 3,
+                                  &row_bits, &has_align, &needed,
+                                  bug_compat);
       }
+      out_donor_bits[i] = row_bits;
+      out_has_align[i] = has_align;
       out_err[i] = err;
     }
     delete[] recs;
@@ -2010,6 +2035,182 @@ int cavlc_ingest_rows(const MBRec* mbs, int R, int C,
     donor_bits += cw.bits();
     if (cw.has_align()) has_align = 1;
     trk.end_row();
+  }
+
+  if (!err) {
+    for (int r = 0; r < R; ++r)
+      for (int c = 0; c < C; ++c) {
+        int m = r * C + c;
+        int by = (1 + r) * 4, bx = (1 + c) * 4;
+        long ia = (long)(by + 0) * fb.f.w4 + (bx + 3);
+        long ib = (long)(by + 3) * fb.f.w4 + (bx + 0);
+        long id = (long)(by + 3) * fb.f.w4 + (bx + 3);
+        out_a[m * 3] = fb.ref[ia];
+        out_a[m * 3 + 1] = fb.mvx[ia];
+        out_a[m * 3 + 2] = fb.mvy[ia];
+        out_b[m * 3] = fb.ref[ib];
+        out_b[m * 3 + 1] = fb.mvx[ib];
+        out_b[m * 3 + 2] = fb.mvy[ib];
+        out_d[m * 3] = fb.ref[id];
+        out_d[m * 3 + 1] = fb.mvx[id];
+        out_d[m * 3 + 2] = fb.mvy[id];
+      }
+  }
+
+  cleanup();
+  *out_needed = needed;
+  *out_donor_bits = donor_bits;
+  *out_has_align = has_align;
+  if (err) return err;
+  return (needed > s_row) ? -101 : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// True single-pass ingest (fresh-donor serving): walk the donor P-slice
+// bitstream ONCE, and for each macroblock immediately (a) re-emit its
+// composite-context chunk stream into the row layout and (b) step the
+// composite MV field — no intermediate MBRec array, no second walk.
+// Semantics identical to cavlc_parse_slice + cavlc_ingest_rows
+// (differential-tested through the batch wrapper).  Retarget mode still
+// needs the two-pass record structure and keeps the array path.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int cavlc_ingest_slice_rows(
+    const uint8_t* rbsp, long nbytes, long start_bit, int R, int C,
+    int num_ref_donor, int num_ref_composite, const int32_t* ref_map,
+    int ref_map_len, int at_left_edge, int at_top_edge,
+    const int32_t* top_ring, const uint8_t* top_valid,
+    const int32_t* left_ring, const uint8_t* left_valid,
+    const int32_t* right_ring, const uint8_t* right_valid, int s_row,
+    uint32_t* out_pat, int32_t* out_nb, int32_t* out_first_c,
+    uint8_t* out_coded, int32_t* out_a, int32_t* out_b, int32_t* out_d,
+    long* out_donor_bits, int* out_has_align, int* out_needed,
+    int bug_compat) {
+  BitReader br(rbsp, nbytes, start_bit);
+  // Donor-context tracker (drives DECODE nC) and composite-context
+  // tracker (drives re-encoded token nC) advance together.
+  CoeffCtx* ptop = new CoeffCtx[C];
+  CoeffCtx* pcur = new CoeffCtx[C];
+  bool* ptop_set = new bool[C]();
+  bool* pcur_set = new bool[C]();
+  Tracker ptrk{C, ptop, pcur, ptop_set, pcur_set};
+  ptrk.ipcm_nc = bug_compat ? 0 : 16;
+  CoeffCtx* etop = new CoeffCtx[C];
+  CoeffCtx* ecur = new CoeffCtx[C];
+  bool* etop_set = new bool[C]();
+  bool* ecur_set = new bool[C]();
+  Tracker etrk{C, etop, ecur, etop_set, ecur_set};
+  etrk.ipcm_nc = bug_compat ? 0 : 16;
+  auto cleanup = [&]() {
+    delete[] ptop; delete[] pcur; delete[] ptop_set; delete[] pcur_set;
+    delete[] etop; delete[] ecur; delete[] etop_set; delete[] ecur_set;
+  };
+
+  FieldBuf fb((C + 2) * 4, (R + 1) * 4);
+  for (int c = 0; c < C + 2; ++c)
+    if (top_valid[c])
+      fb.f.fill(c * 4, 0, 4, 4, top_ring[c * 3], top_ring[c * 3 + 1],
+                top_ring[c * 3 + 2]);
+  for (int r = 0; r < R; ++r)
+    if (left_valid[r])
+      fb.f.fill(0, (1 + r) * 4, 4, 4, left_ring[r * 3],
+                left_ring[r * 3 + 1], left_ring[r * 3 + 2]);
+
+  long donor_bits = 0;
+  int has_align = 0;
+  int needed = 0;
+  int err = 0;
+  int total = R * C;
+  int count = 0;
+  int cur_row = -1;
+  int last_col = -1;
+  ChunkWriter cw(out_pat, out_nb, s_row);  // rebound per row below
+  MBRec rec;
+
+  auto begin_row = [&](int row) {
+    if (cur_row >= 0) {
+      cw.flush();
+      cw.terminate();
+      if (cw.chunks() > needed) needed = cw.chunks();
+      donor_bits += cw.bits();
+      if (cw.has_align()) has_align = 1;
+      ptrk.end_row();
+      etrk.end_row();
+    }
+    cur_row = row;
+    last_col = -1;
+    out_first_c[row] = -1;
+    cw = ChunkWriter(out_pat + (long)row * s_row,
+                     out_nb + (long)row * s_row, s_row);
+    if (row > 0 && row - 1 < R - 1 && right_valid[row - 1])
+      fb.f.fill((C + 1) * 4, row * 4, 4, 4, right_ring[(row - 1) * 3],
+                right_ring[(row - 1) * 3 + 1],
+                right_ring[(row - 1) * 3 + 2]);
+  };
+
+  while (count < total && !err) {
+    uint32_t skip_run = br.ue();
+    for (uint32_t sk = 0; sk < skip_run && count < total; ++sk) {
+      int row = count / C, col = count % C;
+      if (col == 0) begin_row(row);
+      CoeffCtx z;
+      std::memset(&z, 0, sizeof(z));
+      ptrk.push(col, z);
+      etrk.push(col, z);
+      out_coded[count] = 0;
+      rec.kind = 0;
+      err = mvf_step_mb(&rec, count, 4 + col * 4, 4 + row * 4, fb.f,
+                        ref_map, ref_map_len, nullptr, nullptr, true);
+      ++count;
+      if (err) break;
+    }
+    if (count >= total || err) break;
+    int row = count / C, col = count % C;
+    if (col == 0) begin_row(row);
+
+    init_mb(&rec);
+    uint32_t t = br.ue();
+    rec.mb_type = (int32_t)t;
+    if (t <= 4) err = parse_inter(br, &rec, (int)t, num_ref_donor,
+                                  ptrk, col);
+    else if (t == 5) err = parse_i4x4(br, &rec, ptrk, col);
+    else if (t <= 29) err = parse_i16x16(br, &rec, (int)t - 6, ptrk, col);
+    else if (t == 30) err = parse_ipcm(br, &rec, ptrk, col);
+    else err = kErrMbType;
+    if (!err && br.past_end()) err = kErrEof;
+    if (err) break;
+
+    out_coded[count] = 1;
+    if (last_col < 0) {
+      out_first_c[row] = col;
+    } else {
+      cw.ue((uint32_t)(col - last_col - 1));
+    }
+    last_col = col;
+    err = emit_dense_mb(cw, &rec, etrk, col, row, num_ref_composite,
+                        ref_map, ref_map_len, at_left_edge, at_top_edge,
+                        rbsp, nbytes);
+    if (!err)
+      err = mvf_step_mb(&rec, count, 4 + col * 4, 4 + row * 4, fb.f,
+                        ref_map, ref_map_len, nullptr, nullptr, true);
+    ++count;
+  }
+  if (!err && cur_row >= 0) {
+    cw.flush();
+    cw.terminate();
+    if (cw.chunks() > needed) needed = cw.chunks();
+    donor_bits += cw.bits();
+    if (cw.has_align()) has_align = 1;
+  }
+  // Rows never reached (trailing all-skip rows ended the stream early,
+  // or the loop exited at a row boundary): mark them all-skipped.
+  if (!err) {
+    for (int row = (count + C - 1) / C; row < R; ++row)
+      out_first_c[row] = -1;
   }
 
   if (!err) {
