@@ -877,16 +877,22 @@ constexpr int32_t kAlignSentinel = -1;
 
 inline uint32_t read_bits_span(const uint8_t* src, long src_len_bytes,
                                long pos, int n) {
-  // n <= 24; clamped 4-byte big-endian load.
+  // n <= 32; 64-bit windowed big-endian load (fast path one memcpy +
+  // bswap; clamped byte loop only near the buffer end).
   long byte = pos >> 3;
-  int off = (int)(pos & 7);
-  uint32_t v = 0;
-  for (int i = 0; i < 4; ++i) {
-    uint8_t b = (byte + i < src_len_bytes) ? src[byte + i] : 0;
-    v = (v << 8) | b;
+  uint64_t v;
+  if (byte >= 0 && byte + 8 <= src_len_bytes) {
+    std::memcpy(&v, src + byte, 8);
+    v = __builtin_bswap64(v);
+  } else {
+    v = 0;
+    for (int i = 0; i < 8; ++i) {
+      long b = byte + i;
+      v = (v << 8) | (b >= 0 && b < src_len_bytes ? src[b] : 0);
+    }
   }
-  return (v >> (32 - off - n)) & ((n >= 32) ? 0xFFFFFFFFu
-                                            : ((1u << n) - 1));
+  v <<= (pos & 7);
+  return (uint32_t)(v >> (64 - n));
 }
 
 class ChunkWriter {
@@ -923,7 +929,7 @@ class ChunkWriter {
                  long n) {
     long i = 0;
     while (i < n) {
-      int take = (int)((n - i) < 24 ? (n - i) : 24);
+      int take = (int)((n - i) < 32 ? (n - i) : 32);
       put(read_bits_span(src, src_len_bytes, start + i, take), take);
       i += take;
     }
