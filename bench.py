@@ -52,6 +52,19 @@ def _scroll_config(jax, jnp, cfg, batch_mod):
     fps = total / dt
     p50_batchstep_ms = dt / (n_reps * frames_per_scan) * 1000.0
 
+    # Compression-efficiency anchors vs BASELINE.md: composed P-frame
+    # size in the MV-pred-only class (~3.0 KB at 720p) and the P_Skip
+    # class (~1.7 KB; the reference documents but ships it disabled).
+    sz_step = batch_mod.make_batched_step(cfg, emit_waypoints=False)
+    stz = batch_mod.SessionState.create(batch_size)
+    _, outs_sz = sz_step(stz, jnp.asarray(offsets[4], jnp.int32))
+    bytes_parity = float(np.median(np.asarray(outs_sz[1])))
+    skip_step = batch_mod.make_batched_step(cfg, enable_pskip=True,
+                                            emit_waypoints=False)
+    stz = batch_mod.SessionState.create(batch_size)
+    _, outs_sz = skip_step(stz, jnp.asarray(offsets[4], jnp.int32))
+    bytes_pskip = float(np.median(np.asarray(outs_sz[1])))
+
     # Egress-inclusive: one batched step per dispatch, NAL bytes fetched
     # to the host each step (tunnel-bound on this dev setup — a lower
     # bound on co-located serving egress throughput).
@@ -69,7 +82,7 @@ def _scroll_config(jax, jnp, cfg, batch_mod):
         got += nal_host.shape[0]
     dt_eg = time.perf_counter() - t0
     fps_egress = got / dt_eg
-    return fps, p50_batchstep_ms, fps_egress
+    return fps, p50_batchstep_ms, fps_egress, bytes_parity, bytes_pskip
 
 
 def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
@@ -465,8 +478,8 @@ def main() -> None:
      donor_wire_bytes) = _fresh_donor_config(jax, jnp, cfg, batch)
 
     # --- scroll config ---
-    scroll_fps, scroll_ms, scroll_egress_fps = _scroll_config(
-        jax, jnp, cfg, batch)
+    (scroll_fps, scroll_ms, scroll_egress_fps, scroll_bytes,
+     scroll_bytes_pskip) = _scroll_config(jax, jnp, cfg, batch)
 
     # --- compacted egress (VERDICT r2 item 4) ---
     (egress_fps, egress_mbps, tunnel_mbps,
@@ -506,6 +519,8 @@ def main() -> None:
             "splice_rep_fps_batch64": round(sp_rep64, 1),
             "scroll_fps": round(scroll_fps, 1),
             "scroll_batchstep_ms": round(scroll_ms, 3),
+            "scroll_nal_bytes_median": round(scroll_bytes, 1),
+            "scroll_nal_bytes_median_pskip": round(scroll_bytes_pskip, 1),
             "scroll_fps_with_host_egress_tunnel_bound": round(
                 scroll_egress_fps, 1),
             "fresh_donor_e2e_fps": round(e2e_fps, 1),
