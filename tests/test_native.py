@@ -389,3 +389,24 @@ def test_prepare_rows_batch_per_donor_rings():
         for f in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
                   "d_ref", "d_mvx", "d_mvy"):
             assert np.array_equal(out[f][i], getattr(dr, f)), (i, f)
+
+
+@pytest.mark.parametrize("target", ["tsan_check", "asan_check"])
+def test_native_sanitizers(target):
+    """Thread- and address/UB-sanitized runs of the threaded batch
+    ingest (native/sanitize_check.cpp): the round-3 std::thread fan-out
+    is the one concurrent code path in the framework — TSAN proves the
+    worker outputs race-free, ASAN/UBSAN the memory model (the
+    single-threaded reference needed neither, SURVEY.md §5)."""
+    import subprocess
+    from pathlib import Path
+
+    native = Path(__file__).resolve().parent.parent / "native"
+    build = subprocess.run(["make", "-C", str(native), target],
+                           capture_output=True, text=True)
+    if build.returncode != 0:
+        pytest.skip(f"{target} build unavailable: {build.stderr[-200:]}")
+    run = subprocess.run([str(native / target)], capture_output=True,
+                         text=True, timeout=300)
+    assert run.returncode == 0, (run.stdout, run.stderr)
+    assert "sanitize_check OK" in run.stdout
