@@ -279,7 +279,10 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
             n_threads=0)
     prep_dt = (time.perf_counter() - tp) / (n_prep * batch_size)
     cores = os.cpu_count() or 1
-    wire_bytes = (CLASS * R * 5 + R * 4 + R * C * (1 + 18))
+    # patterns u32 + nbits i8 per row slot, first_c i32, coded u8,
+    # edge-only roles (3R+2C vectors x 3 comps x i16).
+    wire_bytes = (CLASS * R * 5 + R * 4 + R * C
+                  + (3 * R + 2 * C) * 3 * 2)
     return (e2e_fps, prep_dt * 1e3, 1.0 / prep_dt, cores,
             wire_bytes)
 
