@@ -157,8 +157,10 @@ def main(out_path: str = "/tmp/video_in_corner.h264") -> None:
 
 
 def main_batched(out_path: str = "/tmp/video_in_corner_720p.h264",
-                 batch: int = 4) -> None:
-    """1280x720 batched device path of the same composition."""
+                 batch: int = 4, *, width: int = 1280, height: int = 720,
+                 rx: int = 40, ry: int = 25) -> None:
+    """Batched device path of the same composition (default 1280x720;
+    tests run it at smaller geometry)."""
     if "--cpu" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -209,9 +211,9 @@ def main_batched(out_path: str = "/tmp/video_in_corner_720p.h264",
             p_units.append(u)
     dW, dH = sps.width // 16, sps.height // 16
 
-    cfg = ComposerConfig(1280, 720)
+    cfg = ComposerConfig(width, height)
     H, W = cfg.mb_height, cfg.mb_width
-    rx, ry = 40, 25                       # clip rect, inside static chrome
+    # clip rect inside static chrome (below the scrolling band)
     BAND_H = 8                            # scrolling band rows 0..7
     RESEED_EVERY = 4
 

@@ -699,3 +699,23 @@ def test_x264_fresh_donor_batch_serving():
         stream = s.getvalue() + dev_bytes
         _pics, nerrors = avref.decode_pictures(stream)
         assert nerrors == 0, (b, nerrors)
+
+
+def test_batched_successive_serving_session():
+    """The flagship batched device composition (scrolling band + an x264
+    clip playing in the rect via successive-donor retarget + periodic
+    I_PCM re-seeds) as a CI test at small geometry: byte-identical to
+    the host session path, zero libavcodec errors, interiors
+    pixel-exact within the re-seed margin contract (the 720p variant is
+    examples/video_in_corner_demo.py --batched)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "video_in_corner_demo",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "video_in_corner_demo.py"))
+    demo = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(demo)
+    demo.main_batched("/tmp/vic_test_small.h264", batch=2,
+                      width=320, height=240, rx=12, ry=9)
