@@ -180,7 +180,7 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
 
 
 def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
-                        pool_size=64):
+                        pool_size=64, family="representative"):
     """Fresh-donor end-to-end serving: EVERY step of EVERY session
     consumes a new donor payload — host ingest (fused threaded native
     prep), host->device transfer, and the batched device splice are all
@@ -204,9 +204,11 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
     rng = np.random.default_rng(11)
     R = C = 23
     r0, c0 = 10, 30
+    fab = (fixtures.dense_donor_grid if family == "dense"
+           else fixtures.representative_donor_grid)
     pool = []
     for _ in range(pool_size):
-        g = fixtures.representative_donor_grid(rng, C, R)
+        g = fab(rng, C, R)
         bw = BitWriter()
         mbt.emit_p_slice_mbs(bw, g, 1)
         bw.write_trailing_bits()
@@ -479,6 +481,10 @@ def main() -> None:
     # --- fresh-donor end-to-end serving (VERDICT r2 item 1) ---
     (e2e_fps, prep_ms, prep_rate, host_cores,
      donor_wire_bytes) = _fresh_donor_config(jax, jnp, cfg, batch)
+    (e2e_dense_fps, prep_dense_ms, prep_dense_rate, _hc,
+     dense_wire_bytes) = _fresh_donor_config(jax, jnp, cfg, batch,
+                                             steps=8, pool_size=32,
+                                             family="dense")
 
     # --- scroll config ---
     (scroll_fps, scroll_ms, scroll_egress_fps, scroll_bytes,
@@ -532,6 +538,10 @@ def main() -> None:
             "host_cpu_cores": host_cores,
             "host_cores_for_north_star": round(5000.0 / prep_rate, 2),
             "fresh_donor_wire_bytes_per_frame": donor_wire_bytes,
+            "fresh_donor_dense_e2e_fps": round(e2e_dense_fps, 1),
+            "fresh_donor_dense_prep_ms_per_donor": round(
+                prep_dense_ms, 3),
+            "fresh_donor_dense_wire_bytes_per_frame": dense_wire_bytes,
             "successive_donor_e2e_fps": round(succ_fps, 1),
             "successive_donor_prep_ms": round(succ_prep_ms, 3),
             "egress_compacted_fps": round(egress_fps, 1),
