@@ -1635,7 +1635,9 @@ int cavlc_prepare_rows_batch(
 
   std::atomic<int> next{0};
   auto work = [&]() {
-    MBRec* recs = new MBRec[M];
+    // The record grid is only needed by the two-pass retarget mode; the
+    // single-pass ingest walks the bitstream directly.
+    MBRec* recs = retarget_mvs ? new MBRec[M] : nullptr;
     int i;
     while ((i = next.fetch_add(1)) < n) {
       const uint8_t* p = payloads + offsets[i];
