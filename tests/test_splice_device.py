@@ -844,3 +844,74 @@ def test_splice_1080p_wide_layout_matches_host():
     assert not bool(np.asarray(ovf))
     dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
     assert dev_bytes == host_nal
+
+
+def test_degenerate_rect_geometries():
+    """1-row, 1-column and 1x1 donor rects through the rows kernel
+    (empty right rings, first/last row coincide) — byte parity vs the
+    host path at interior and frame-edge placements."""
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+
+    rng = np.random.default_rng(7)
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    num_refs = 2
+    frame_num = 3
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+
+    cases = [(1, 6, 4, 5), (1, 6, 0, 0), (5, 1, 7, 3), (5, 1, W - 1, 9),
+             (1, 1, 10, 10), (1, 1, W - 1, H - 1), (2, 1, 0, 5)]
+    for (R, C, c0, r0) in cases:
+        donor = fixtures.representative_donor_grid(rng, C, R)
+        for row in donor:
+            for i, mb in enumerate(row):
+                if mb is not mbt.SKIP and mb.kind == "ipcm":
+                    row[i] = fixtures.random_inter_mb(rng, 1)
+        hints = FrameHints(motion_regions=(), dynamic_mb_x=c0,
+                           dynamic_mb_y=r0)
+        grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
+
+        def hdr_writer(bw2):
+            write_p_slice_header(bw2, cfg, frame_num)
+
+        host_nal = write_nal_unit(
+            splice.finalize_spliced_frame(cfg, grid, num_refs,
+                                          hdr_writer), 0, 1)
+
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, donor, 1)
+        bw.write_trailing_bits()
+        dd = splice_device.prepare_donor_dense_from_slice(
+            bw.getvalue(), 0, C, R, 1, num_refs,
+            rect_at_left_edge=(c0 == 0), rect_at_top_edge=(r0 == 0),
+            rect_at_right_edge=(c0 + C == W))
+        dr = splice_device.pack_donor_rows(dd, R, C)
+        budget = splice_device.splice_rbsp_budget(cfg, R * C,
+                                                  dr.donor_bits)
+        nal, nal_len, _, ovf = splice_device.emit_spliced_frame_rows(
+            cfg, c0, r0, R, C, num_refs, hp, hn, zero, zero, zero,
+            bg_coded, splice_device.rows_device_arrays(dr),
+            has_align=dr.has_align, n_rbsp=budget)
+        assert not bool(np.asarray(ovf)), (R, C, c0, r0)
+        dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
+        assert dev_bytes == host_nal, (R, C, c0, r0)
+
+        # Same donors through the fused batch ingest.
+        dn, _meta = splice_device.prepare_donor_rows_serving(
+            [bw.getvalue()], [0], R, C, 1, num_refs,
+            s_row=dr.row_patterns.shape[1],
+            rect_at_left_edge=(c0 == 0), rect_at_top_edge=(r0 == 0),
+            rect_at_right_edge=(c0 + C == W))
+        dn1 = {k: v[0] for k, v in dn.items()}
+        nal3, nal_len3, _, ovf3 = splice_device.emit_spliced_frame_rows(
+            cfg, c0, r0, R, C, num_refs, hp, hn, zero, zero, zero,
+            bg_coded, dn1, has_align=True, n_rbsp=budget)
+        assert not bool(np.asarray(ovf3)), (R, C, c0, r0)
+        assert np.asarray(nal3)[: int(nal_len3)].tobytes() == host_nal, (
+            R, C, c0, r0)
