@@ -719,3 +719,20 @@ def test_batched_successive_serving_session():
     spec.loader.exec_module(demo)
     demo.main_batched("/tmp/vic_test_small.h264", batch=2,
                       width=320, height=240, rx=12, ry=9)
+
+
+def test_wide_layout_1080p_decodes_clean():
+    """1920x1088 composed scroll (the wide symbol layout, >4095 MBs)
+    decodes with zero libavcodec errors and the expected frame count."""
+    from h264_scroll_encoder_tpu.cli import triangle_offsets
+
+    s = ComposerSession(ComposerConfig(1920, 1088), enable_pskip=True)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    n = 4
+    for off in triangle_offsets(n, 24, 1088 - 16):
+        s.write_scroll_or_waypoint_frame(off)
+    data = s.getvalue()
+    _pics, nerrors = avref.decode_pictures(data)
+    assert nerrors == 0
+    assert len(_pics) == 2 + n
