@@ -316,3 +316,20 @@ def test_hint_frame_wide_layout_1080p():
     s.write_test_atlases(striped=True)
     rep = verify_stream(s.getvalue() + outs[0])
     assert rep.ok, rep.errors
+
+
+def test_4k_scroll_frame_smoke():
+    """3840x2160 (32,400 MBs — near the 65,535 wide-layout bound): one
+    composed scroll frame passes structural verification."""
+    import numpy as np
+
+    from h264_scroll_encoder_tpu.config import ComposerConfig
+    from h264_scroll_encoder_tpu.session import ComposerSession
+    from h264_scroll_encoder_tpu.verify import verify_stream
+
+    s = ComposerSession(ComposerConfig(3840, 2160), enable_pskip=True)
+    s.write_parameter_sets()
+    s.write_test_atlases(striped=True)
+    s.write_scroll_frame(48)
+    rep = verify_stream(s.getvalue())
+    assert rep.ok, rep.errors
