@@ -227,7 +227,6 @@ def main_batched(out_path: str = "/tmp/video_in_corner_720p.h264",
     host = ComposerSession(cfg)
     host.write_parameter_sets()
     host.write_test_atlases(striped=True)
-    header_len = len(host.getvalue())
 
     def bg_fields(scroll_px, ref_shift):
         bg_ref = jnp.zeros((H, W), jnp.int32).at[:BAND_H].set(ref_shift)
@@ -371,7 +370,7 @@ def main_batched(out_path: str = "/tmp/video_in_corner_720p.h264",
           f"0 decoder errors; successive-donor device splice "
           f"~{fps:.0f} fps at batch {batch} (incl. host prep, "
           f"small-sample)")
-    del header_len
+
 
 
 if __name__ == "__main__":
