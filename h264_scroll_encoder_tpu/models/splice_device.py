@@ -1770,6 +1770,7 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
             payloads, start_bits, R, C, donor_num_refs, num_ref_idx_l0,
             donor_ref_map, s_row,
             at_left_edge=rect_at_left_edge, at_top_edge=rect_at_top_edge,
+            at_right_edge=rect_at_right_edge,
             left_ring=left_ring, top_ring=top_ring, right_ring=right_ring,
             rings_per_donor=rings_per_donor,
             n_threads=n_threads, retarget_mvs=retarget_mvs)

@@ -482,6 +482,7 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
                        ref_map, s_row: int, *,
                        at_left_edge: bool = False,
                        at_top_edge: bool = False,
+                       at_right_edge: bool = False,
                        left_ring=None, top_ring=None, right_ring=None,
                        rings_per_donor: bool = False,
                        n_threads: int = 0, bug_compat: bool = False,
@@ -513,7 +514,8 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
     rmap = np.asarray(ref_map, np.int32)
 
     from .models.splice_device import _default_rings
-    dl, dt, drr = _default_rings(R, C, at_left_edge, at_top_edge, False)
+    dl, dt, drr = _default_rings(R, C, at_left_edge, at_top_edge,
+                                 at_right_edge)
     top_ring = dt if top_ring is None else top_ring
     left_ring = dl if left_ring is None else left_ring
     right_ring = drr if right_ring is None else right_ring

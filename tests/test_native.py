@@ -410,3 +410,40 @@ def test_native_sanitizers(target):
                          text=True, timeout=300)
     assert run.returncode == 0, (run.stdout, run.stderr)
     assert "sanitize_check OK" in run.stdout
+
+
+def test_prepare_rows_batch_right_edge_rect():
+    """A rect touching the frame's RIGHT edge: batch-prep default rings
+    must mark the right border unavailable (regression: the batch
+    wrapper once hardcoded at_right_edge=False, silently giving donor
+    above-right prediction a phantom (0,0,0) neighbor)."""
+    import numpy as np
+    from h264_scroll_encoder_tpu import native_bridge as nb
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    if not nb.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(9)
+    R, C = 5, 4
+    CLASS = 256
+    g = fixtures.representative_donor_grid(rng, C, R)
+    bw = BitWriter()
+    mbt.emit_p_slice_mbs(bw, g, 1)
+    bw.write_trailing_bits()
+    payload = bw.getvalue()
+
+    out = nb.prepare_rows_batch([payload], [0], R, C, 1, 2, (0,), CLASS,
+                                at_right_edge=True)
+    dd = sd.prepare_donor_dense_from_slice(
+        payload, 0, C, R, 1, 2, rect_at_right_edge=True)
+    dr = sd.pack_donor_rows(dd, R, C, min_class=CLASS)
+    assert np.array_equal(out["row_patterns"][0], dr.row_patterns)
+    for f in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+              "d_ref", "d_mvx", "d_mvy"):
+        assert np.array_equal(out[f][0], getattr(dr, f)), f
+    assert int(out["donor_bits"][0]) == dr.donor_bits
