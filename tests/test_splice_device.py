@@ -915,3 +915,25 @@ def test_degenerate_rect_geometries():
         assert not bool(np.asarray(ovf3)), (R, C, c0, r0)
         assert np.asarray(nal3)[: int(nal_len3)].tobytes() == host_nal, (
             R, C, c0, r0)
+
+
+def test_moved_ref_map_with_skips_guarded():
+    """donor_ref_map[0] != 0 without retargeting must raise loudly on
+    the device prep paths (donor P_Skips hardwire composite ref 0 —
+    silent composition would reference the wrong picture)."""
+    import pytest
+
+    rng = np.random.default_rng(3)
+    R, C = 3, 4
+    grid = fixtures.random_p_slice_grid(rng, C, R, 1)
+    grid[1][1] = mbt.SKIP
+    bw = BitWriter()
+    mbt.emit_p_slice_mbs(bw, grid, 1)
+    bw.write_trailing_bits()
+    with pytest.raises(NotImplementedError):
+        splice_device.prepare_donor_dense_from_slice(
+            bw.getvalue(), 0, C, R, 1, 3, donor_ref_map=(1,))
+    with pytest.raises(NotImplementedError):
+        splice_device.prepare_donor_rows_serving(
+            [bw.getvalue()], [0], R, C, 1, 3, donor_ref_map=(1,),
+            s_row=64)
