@@ -1229,15 +1229,6 @@ def prepare_donor_dense_from_slice(rbsp: bytes, start_bit: int, C: int,
         top_ring = dt if top_ring is None else top_ring
         right_ring = dr if right_ring is None else right_ring
 
-    if donor_ref_map[0] != 0 and not retarget_mvs:
-        # Donor P_Skip hardwires composite ref 0; with a moved map the
-        # device prep would keep skips at the wrong reference (the host
-        # path converts them to explicit MBs, splice.splice_p_frame).
-        # retarget_mvs performs that conversion on the device path.
-        raise NotImplementedError(
-            "donor_ref_map[0] != 0 without retarget_mvs: donor P_Skips "
-            "would reference the wrong picture — use retarget_mvs=True "
-            "or the host path (models/splice.splice_p_frame)")
     if use_native:
         recs, _ = native_bridge.parse_slice_raw(
             rbsp, start_bit, C, R, True, donor_num_refs)
@@ -1779,11 +1770,6 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
     """
     from .. import native_bridge
 
-    if donor_ref_map[0] != 0 and not retarget_mvs:
-        raise NotImplementedError(
-            "donor_ref_map[0] != 0 without retarget_mvs: donor P_Skips "
-            "would reference the wrong picture — use retarget_mvs=True "
-            "or the host path (models/splice.splice_p_frame)")
     out = None
     if native_bridge.native_available():
         out = native_bridge.prepare_rows_batch(

@@ -413,6 +413,11 @@ def prepare_dense_raw(recs, mb_width: int, mb_height: int, rbsp: bytes,
             ctypes.byref(needed), int(bug_compat))
         if err == -101:
             continue
+        if err == -103:
+            raise NotImplementedError(
+                "donor P_Skips with donor_ref_map[0] != 0: skips "
+                "hardwire composite ref 0 — use retarget_mvs=True "
+                "(explicit conversion) or the host path")
         if err:
             raise cavlc.CAVLCError(f"native dense prep failed: {err}")
         return (patterns, nbits, coded.astype(bool),
@@ -583,6 +588,11 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
             raise OverflowError(
                 f"{bad.size} donors need more than {s_row} row chunk "
                 "slots; retry with a bigger class")
+        if (codes == -103).any():
+            raise NotImplementedError(
+                "donor P_Skips with donor_ref_map[0] != 0: skips "
+                "hardwire composite ref 0 — use retarget_mvs=True "
+                "(explicit conversion) or the host path")
         raise cavlc.CAVLCError(
             f"batch prep failed for donors {bad[:8].tolist()}: codes "
             f"{codes[:8].tolist()}")

@@ -1175,6 +1175,10 @@ int cavlc_prepare_dense(const MBRec* mbs, int R, int C,
       ChunkWriter cw(out_pat + (long)m * s_class,
                      out_nb + (long)m * s_class, s_class);
       if (mb->kind == 0) {
+        // P_Skip hardwires composite ref 0; with a moved map the skip
+        // would reference the wrong picture (the host path converts
+        // skips to explicit MBs; the retarget ingest does too).
+        if (ref_map[0] != 0) { err = -103; break; }
         out_coded[m] = 0;
         cw.terminate();
         CoeffCtx z;
@@ -2015,6 +2019,7 @@ int cavlc_ingest_rows(const MBRec* mbs, int R, int C,
       MBRec* mb = const_cast<MBRec*>(&mbs[m]);
       int bx = 4 + col * 4, by = 4 + row * 4;
       if (mb->kind == 0) {
+        if (ref_map[0] != 0) { err = -103; break; }  // see prepare_dense
         out_coded[m] = 0;
         CoeffCtx z;
         std::memset(&z, 0, sizeof(z));
@@ -2162,6 +2167,7 @@ int cavlc_ingest_slice_rows(
 
   while (count < total && !err) {
     uint32_t skip_run = br.ue();
+    if (skip_run > 0 && ref_map[0] != 0) { err = -103; break; }
     for (uint32_t sk = 0; sk < skip_run && count < total; ++sk) {
       int row = count / C, col = count % C;
       if (col == 0) begin_row(row);

@@ -212,6 +212,15 @@ def test_native_dense_prep_matches_python():
     for case in cases:
         R, C = case["R"], case["C"]
         grid = fixtures.random_p_slice_grid(rng, C, R, case["donor_refs"])
+        if case["ref_map"][0] != 0:
+            # Moved maps reject donor P_Skips (error -103: skips
+            # hardwire composite ref 0); differential-test the mapped
+            # prep on a skip-free grid.
+            for row in grid:
+                for i, mb in enumerate(row):
+                    if mb is mbt.SKIP:
+                        row[i] = fixtures.random_inter_mb(
+                            rng, case["donor_refs"])
         # Ensure coverage: an I_PCM and a dense sub-8x8 MB somewhere.
         grid[0][1] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
         mb = fixtures.random_inter_mb(rng, case["donor_refs"])
