@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ..config import (ComposerConfig, MAX_EBSP_INSERTIONS, MAX_WAYPOINTS,
                       MV_LIMIT_PX)
 from ..ops import bitpack, ebsp, expgolomb
-from ..syntax.slice_headers import P_HEADER_SLOTS, p_slice_header_symbols
+from ..syntax.slice_headers import p_slice_header_symbols
 
 # Absolute worst-case bits per macroblock: skip-run ue(<=3600) 23 +
 # mb_type 1 + ref te/ue 7 + two mvd se(<=3968 qpel) 25+25 + cbp 1 < 88.

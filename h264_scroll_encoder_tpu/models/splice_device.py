@@ -32,7 +32,7 @@ import numpy as np
 from ..config import ComposerConfig
 from ..ops import bitpack, ebsp, expgolomb
 from ..ops import cavlc_tables as T
-from ..syntax.slice_headers import P_HEADER_SLOTS, p_slice_header_symbols
+from ..syntax.slice_headers import p_slice_header_symbols
 from . import mb_transcode as mbt
 from . import scroll as scroll_model
 
