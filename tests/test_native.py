@@ -456,3 +456,58 @@ def test_prepare_rows_batch_right_edge_rect():
               "d_ref", "d_mvx", "d_mvy"):
         assert np.array_equal(out[f][0], getattr(dr, f)), f
     assert int(out["donor_bits"][0]) == dr.donor_bits
+
+
+def test_prepare_rows_batch_fuzz_geometries():
+    """Randomized fuzz: 20 random (R, C, family, edge-flag) configs
+    through the single-pass batch ingest vs the staged per-donor path —
+    field-identical everywhere."""
+    import numpy as np
+    from h264_scroll_encoder_tpu import native_bridge as nb
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    if not nb.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(20240817)
+    fams = (fixtures.random_p_slice_grid, fixtures.dense_donor_grid,
+            fixtures.representative_donor_grid)
+    for trial in range(20):
+        R = int(rng.integers(1, 9))
+        C = int(rng.integers(1, 11))
+        fab = fams[trial % 3]
+        g = (fab(rng, C, R, 1) if fab is fixtures.random_p_slice_grid
+             else fab(rng, C, R))
+        if trial % 4 == 0:
+            g[int(rng.integers(R))][int(rng.integers(C))] = \
+                fixtures.random_ipcm_mb(rng, in_p_slice=True)
+        at_l = bool(rng.integers(2))
+        at_t = bool(rng.integers(2))
+        at_r = bool(rng.integers(2)) and not at_l
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, g, 1)
+        bw.write_trailing_bits()
+        payload = bw.getvalue()
+
+        CLASS = 512
+        out = nb.prepare_rows_batch(
+            [payload], [0], R, C, 1, 2, (0,), CLASS,
+            at_left_edge=at_l, at_top_edge=at_t, at_right_edge=at_r)
+        dd = sd.prepare_donor_dense_from_slice(
+            payload, 0, C, R, 1, 2, rect_at_left_edge=at_l,
+            rect_at_top_edge=at_t, rect_at_right_edge=at_r)
+        dr = sd.pack_donor_rows(dd, R, C, min_class=CLASS)
+        ctx = (trial, R, C, at_l, at_t, at_r)
+        assert np.array_equal(out["row_patterns"][0], dr.row_patterns), ctx
+        assert np.array_equal(out["row_nbits"][0], dr.row_nbits), ctx
+        assert np.array_equal(out["first_c"][0], dr.first_c), ctx
+        assert np.array_equal(out["coded"][0], dr.coded), ctx
+        for f in ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+                  "d_ref", "d_mvx", "d_mvy"):
+            assert np.array_equal(out[f][0], getattr(dr, f)), ctx + (f,)
+        assert int(out["donor_bits"][0]) == dr.donor_bits, ctx
+        assert bool(out["has_align"][0]) == dr.has_align, ctx
