@@ -222,7 +222,7 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
             payload, 0, C, R, 1, 2)
         dr = splice_device.pack_donor_rows(dd, R, C)
         need = max(need, dr.row_patterns.shape[1])
-    CLASS = next(x for x in splice_device.ROW_CHUNK_CLASSES if x > need)
+    CLASS = splice_device.row_chunk_class(need)
 
     budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32,
                                               bg_bits_per_mb=16)
@@ -320,7 +320,7 @@ def _successive_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=8,
         pool, [0] * len(pool), R, C, 1, 3, s_row=512, retarget_mvs=True)
     need = int(np.max(np.sum(np.asarray(probe["row_nbits"]) != 0,
                              axis=-1)))
-    CLASS = next(x for x in splice_device.ROW_CHUNK_CLASSES if x > need)
+    CLASS = splice_device.row_chunk_class(need)
 
     budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32,
                                               bg_bits_per_mb=16)

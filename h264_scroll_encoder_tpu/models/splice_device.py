@@ -782,6 +782,20 @@ ROW_CHUNK_CLASSES = (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
                      768, 1024, 1536, 2048)
 
 
+def row_chunk_class(need: int) -> int:
+    """Smallest ROW_CHUNK_CLASSES entry with need <= class.
+
+    Single source of truth for class selection (pack_donor_rows and
+    callers pinning a class share it); raises OverflowError past the
+    largest class instead of silently mis-sizing."""
+    s_row = next((x for x in ROW_CHUNK_CLASSES if need <= x),
+                 ROW_CHUNK_CLASSES[-1])
+    if need > s_row:
+        raise OverflowError(
+            f"donor row needs {need} chunk slots > max class {s_row}")
+    return s_row
+
+
 @dataclasses.dataclass
 class DonorRows:
     """Row-contiguous dense donor layout.
@@ -835,12 +849,7 @@ def pack_donor_rows(dd: DonorDense, R: int, C: int, *,
         if got is not None:
             pat, nb, first_c, donor_bits, need = got
             need = max(need, min_class)
-            s_row = next((x for x in ROW_CHUNK_CLASSES if need <= x),
-                         ROW_CHUNK_CLASSES[-1])
-            if need > s_row:
-                raise OverflowError(
-                    f"donor row needs {need} chunk slots > max class "
-                    f"{s_row}")
+            s_row = row_chunk_class(need)
             has_align = bool((np.asarray(dd.nbits) == ALIGN_SENTINEL).any())
             return DonorRows(pat[:, :s_row].copy(), nb[:, :s_row].copy(),
                              first_c, np.asarray(dd.coded, bool),
@@ -883,11 +892,7 @@ def pack_donor_rows(dd: DonorDense, R: int, C: int, *,
         rows.append(f.chunks)
 
     need = max(max((len(ch) for ch in rows), default=1), min_class)
-    s_row = next((x for x in ROW_CHUNK_CLASSES if need <= x),
-                 ROW_CHUNK_CLASSES[-1])
-    if need > s_row:
-        raise OverflowError(
-            f"donor row needs {need} chunk slots > max class {s_row}")
+    s_row = row_chunk_class(need)
     patterns = np.zeros((R, s_row), np.uint32)
     nbits = np.zeros((R, s_row), np.int32)
     for r, chunks in enumerate(rows):
@@ -899,6 +904,26 @@ def pack_donor_rows(dd: DonorDense, R: int, C: int, *,
                      dd.b_ref, dd.b_mvx, dd.b_mvy,
                      dd.d_ref, dd.d_mvx, dd.d_mvy,
                      donor_bits, has_align)
+
+
+def _check_roles_fit_int16(wire: dict) -> None:
+    """Guard the int16 edge-role narrowing cast.
+
+    A hostile (or out-of-MV-budget) donor whose decoded qpel MVs exceed
+    int16 would silently wrap into a corrupt composite stream; in-budget
+    donors are far inside the range (496 px = 1984 qpel).  Raises a
+    per-donor error naming the offending batch rows instead."""
+    for k, v in wire.items():
+        a = np.abs(np.asarray(v).astype(np.int64))
+        if a.size == 0 or (a <= 32767).all():
+            continue
+        over = (a.reshape(a.shape[0], -1) if a.ndim > 1
+                else a.reshape(1, -1)).max(axis=-1) > 32767
+        raise ValueError(
+            f"donor edge-role field '{k}' exceeds the int16 wire range "
+            f"(|v| > 32767 qpel; MV budget is 1984 qpel = 496 px) for "
+            f"donor rows {np.flatnonzero(over)[:8].tolist()} — rejecting "
+            "the donor instead of silently wrapping")
 
 
 def _edge_roles_wire(roles: dict, R: int, C: int) -> dict:
@@ -982,7 +1007,9 @@ def rows_device_arrays(dr: DonorRows) -> dict:
         "first_c": jnp.asarray(dr.first_c, jnp.int32),
         "coded": jnp.asarray(dr.coded),
     }
-    for k, v in _edge_roles_wire(roles, R, C).items():
+    edge = _edge_roles_wire(roles, R, C)
+    _check_roles_fit_int16(edge)
+    for k, v in edge.items():
         out[k] = jnp.asarray(np.asarray(v).astype(np.int16))
     return out
 
@@ -1829,7 +1856,9 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
             wire[k] = jnp.asarray(v.astype(np.int8))
         else:
             wire[k] = jnp.asarray(v)
-    for k, v in _edge_roles_wire(roles, R, C).items():
+    edge = _edge_roles_wire(roles, R, C)
+    _check_roles_fit_int16(edge)
+    for k, v in edge.items():
         wire[k] = jnp.asarray(np.ascontiguousarray(v).astype(np.int16))
     wire["first_c"] = wire["first_c"].astype(jnp.int32)
     return wire, (donor_bits, has_align)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import functools
 import subprocess
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -58,6 +59,22 @@ _NO_QP = -(2 ** 31)
 _ABI_VERSION = 5
 
 
+def _warn_degraded(stage: str, exc: Exception | None = None) -> None:
+    """A failed build/load silently degrades to the ~30x slower Python
+    path — make the degradation visible, with the compiler's stderr."""
+    detail = ""
+    if isinstance(exc, subprocess.CalledProcessError) and exc.stderr:
+        err = exc.stderr
+        if isinstance(err, bytes):
+            err = err.decode(errors="replace")
+        detail = f"\nmake stderr:\n{err.strip()[-2000:]}"
+    elif exc is not None:
+        detail = f": {exc!r}"
+    warnings.warn(
+        f"native CAVLC library {stage}; falling back to the pure-Python "
+        f"engine (slow){detail}", RuntimeWarning, stacklevel=3)
+
+
 @functools.lru_cache(maxsize=1)
 def load_library(build: bool = True):
     """Load (building if needed) the native library; None on failure."""
@@ -65,7 +82,8 @@ def load_library(build: bool = True):
         try:
             subprocess.run(["make", "-C", str(_NATIVE_DIR)],
                            capture_output=True, check=True)
-        except (OSError, subprocess.CalledProcessError):
+        except (OSError, subprocess.CalledProcessError) as e:
+            _warn_degraded("build failed", e)
             return None
     if not _LIB_PATH.exists():
         return None
@@ -88,8 +106,12 @@ def load_library(build: bool = True):
             lib = ctypes.CDLL(str(_LIB_PATH))
             lib.cavlc_abi_version.restype = ctypes.c_long
             if lib.cavlc_abi_version() != _ABI_VERSION:
+                _warn_degraded(
+                    "ABI-mismatch rebuild produced a library whose "
+                    f"cavlc_abi_version() != {_ABI_VERSION}")
                 return None
-        except (OSError, subprocess.CalledProcessError, AttributeError):
+        except (OSError, subprocess.CalledProcessError, AttributeError) as e:
+            _warn_degraded("ABI-mismatch rebuild failed", e)
             return None
     lib.cavlc_parse_slice.restype = ctypes.c_int
     lib.cavlc_parse_slice.argtypes = [
@@ -584,18 +606,29 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
     bad = np.flatnonzero(out_err)
     if bad.size:
         codes = out_err[bad]
-        if (codes == -101).all():
-            raise OverflowError(
-                f"{bad.size} donors need more than {s_row} row chunk "
-                "slots; retry with a bigger class")
-        if (codes == -103).any():
+        overflow = bad[codes == -101]
+        contract = bad[codes == -103]
+        parse = bad[(codes != -101) & (codes != -103)]
+        # Genuine parse errors dominate (a bigger class won't fix them),
+        # but the -101 retry subset is still reported so callers see it.
+        if parse.size:
+            msg = (f"batch prep failed for donors {parse[:8].tolist()}: "
+                   f"codes {out_err[parse][:8].tolist()}")
+            if overflow.size:
+                msg += (f"; additionally {overflow.size} donors exceeded "
+                        f"the {s_row}-slot row chunk class (-101)")
+            raise cavlc.CAVLCError(msg)
+        if contract.size:
             raise NotImplementedError(
                 "donor P_Skips with donor_ref_map[0] != 0: skips "
                 "hardwire composite ref 0 — use retarget_mvs=True "
-                "(explicit conversion) or the host path")
-        raise cavlc.CAVLCError(
-            f"batch prep failed for donors {bad[:8].tolist()}: codes "
-            f"{codes[:8].tolist()}")
+                "(explicit conversion) or the host path "
+                f"(donors {contract[:8].tolist()}"
+                + (f"; {overflow.size} also hit -101 class overflow"
+                   if overflow.size else "") + ")")
+        raise OverflowError(
+            f"{overflow.size} donors need more than {s_row} row chunk "
+            "slots; retry with a bigger class")
 
     return {
         "row_patterns": out_pat, "row_nbits": out_nb,

@@ -169,3 +169,33 @@ def test_batch_ingest_hostile_payloads():
     # The valid donor alone preps fine after the batch rejection.
     out = nb.prepare_rows_batch([good], [0], R, C, 1, 2, (0,), 256)
     assert out["coded"].shape == (1, R * C)
+
+
+def test_edge_role_int16_wire_guard():
+    """ADVICE r3: the int16 edge-role wire cast must reject (not wrap)
+    donor MVs outside int16 — a wrapped MV silently corrupts the
+    composite stream."""
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+
+    R = C = 3
+    roles = {f"{p}_{f}": np.zeros((2, R * C), np.int32)
+             for p in ("a", "b", "d") for f in ("ref", "mvx", "mvy")}
+    # In-range roles pass.
+    sd._check_roles_fit_int16(sd._edge_roles_wire(roles, R, C))
+    # An out-of-range qpel MV in the edge read-set raises, naming the
+    # offending batch row.
+    roles["a_mvy"][1, C - 1] = 40_000
+    with pytest.raises(ValueError, match=r"rows \[1\]"):
+        sd._check_roles_fit_int16(sd._edge_roles_wire(roles, R, C))
+
+
+def test_row_chunk_class_selection():
+    """Exact-fit class is used; past-the-max raises OverflowError."""
+    from h264_scroll_encoder_tpu.models import splice_device as sd
+
+    assert sd.row_chunk_class(1) == sd.ROW_CHUNK_CLASSES[0]
+    assert sd.row_chunk_class(16) == 16          # exact fit, not 24
+    assert sd.row_chunk_class(17) == 24
+    assert sd.row_chunk_class(2048) == 2048
+    with pytest.raises(OverflowError):
+        sd.row_chunk_class(2049)
