@@ -3,21 +3,28 @@
 BASELINE config "dynamic-rect splice: pre-encoded 360x360 CAVLC MBs
 composited into 1280x720 P-frames".  Division of labor:
 
-  host (numpy + native C++ parser): parse the donor slice (bit-serial by
-    nature), express every donor macroblock as fixed-slot symbol arrays —
-    pre-residual syntax and residual-block *tails* as verbatim <=32-bit
-    chunks, plus per-block (total_coeff, trailing_ones) metadata.
+  host (native C++ parser, numpy fallback): parse the donor slice
+    (bit-serial by nature), resolve every residual block's nC / 
+    coeff_token in the *composite* geometry (rect position is static per
+    compiled program, so composite nC is host-computable at prep time),
+    and pre-pack each donor macroblock's entire bit-string into dense
+    <=32-bit chunks — row-contiguous with host-encoded interior skip
+    runs (pack_donor_rows), or per-MB chunk classes (prepare_donor_dense).
 
-  device (one jitted program): recompute every residual block's nC in the
-    *composite* geometry (a stencil over total_coeff grids — outside-rect
-    macroblocks are P_Skip/MV-only with tc=0), look up the repaired
-    coeff_token patterns from constant tables, lay donor symbols into the
+  device (one jitted program): lay the donor chunk stream into the
     frame's macroblock symbol grid alongside background/motion-region
-    MBs and skip runs, then run the standard pack -> emulation prevention
-    -> NAL pipeline.
+    MBs and skip runs — every donor-dependent value (chunks, first_c,
+    coded mask, composite MV edge roles) is a traced array, so one
+    compiled program serves arbitrarily many donors per geometry class —
+    then run the standard pack -> emulation prevention -> NAL pipeline.
 
 Rect geometry is static per compiled program (position may vary per
-session config; content varies per frame).
+session config; content varies per frame).  The original slotted
+device-repair kernel (device-side nC stencil + token lookup per residual
+block) was superseded by this host-resolved dense layout — ~10x fewer
+device symbols — and deleted in round 4; see ops/cavlc.luma_nC/chroma_nC
+for the canonical nC rule and _host_luma_nc/_host_chroma_nc below for
+the composite-geometry stencil.
 """
 
 from __future__ import annotations
@@ -60,7 +67,7 @@ CLASS_NC0, CLASS_NC2, CLASS_NC4, CLASS_FLC, CLASS_CHROMA = 0, 1, 2, 3, 4
 
 # Sentinel nbits for pcm_alignment_zero_bits slots: the actual width
 # depends on the final stream bit position and is resolved on device by
-# the phase scan in emit_spliced_frame.
+# the phase scan in _finish_splice.
 ALIGN_SENTINEL = -1
 
 
@@ -240,7 +247,7 @@ def prepare_donor_symbols(donor_grid: list, num_ref_idx_l0: int,
                 # I_PCM: mb_type, pcm_alignment_zero_bits (position-
                 # dependent — encoded as an ALIGN slot with sentinel
                 # nbits=-1, resolved on device by the phase scan in
-                # emit_spliced_frame), then 384 sample bytes as 96
+                # _finish_splice), then 384 sample bytes as 96
                 # 32-bit chunks spread over the tail-chunk slots.
                 ds.ipcm[m] = True
                 # Spec 9.2.1: I_PCM neighbors see nN = 16 (see
@@ -263,8 +270,8 @@ def prepare_donor_symbols(donor_grid: list, num_ref_idx_l0: int,
                     ds.tail_patterns[m, k // tc, k % tc] = v
                     ds.tail_nbits[m, k // tc, k % tc] = 32
                 # tok_present stays False: no coeff_tokens — the sample
-                # chunks pass through via the ipcm tail mask in
-                # donor_mb_symbols.
+                # chunks pass through verbatim via the tail slots when
+                # the dense chunk fuser flattens this MB.
                 continue
 
             w = _SlotWriter(PRE_SLOTS)
@@ -314,364 +321,17 @@ def prepare_donor_symbols(donor_grid: list, num_ref_idx_l0: int,
 
 
 # ---------------------------------------------------------------------------
-# Device: composite nC stencil + token lookup + frame assembly.
-# ---------------------------------------------------------------------------
-
-def _nc_rule(nA, availA, nB, availB):
-    both = availA & availB
-    return jnp.where(both, (nA + nB + 1) >> 1,
-                     jnp.where(availA, nA, jnp.where(availB, nB, 0)))
-
-
-def _luma_nc_grid(luma_tc, rect_at_left_edge, rect_at_top_edge):
-    """nC per luma 4x4 block: [R, C, 16] -> [R, C, 16].
-
-    Composite neighbors outside the rect are coded-with-zero-residual
-    macroblocks (tc=0, *available*) except past the frame edge.
-    """
-    R, C = luma_tc.shape[:2]
-    g = luma_tc.reshape(R, C, 4, 4).transpose(0, 2, 1, 3).reshape(R * 4,
-                                                                  C * 4)
-    ga = jnp.pad(g, ((1, 0), (1, 0)))  # zero = outside-rect tc
-    nA = ga[1:, :-1]
-    nB = ga[:-1, 1:]
-    col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
-    availA = ~(rect_at_left_edge & (col == 0))
-    availB = ~(rect_at_top_edge & (row == 0))
-    nc = _nc_rule(nA, availA, nB, availB)
-    return nc.reshape(R, 4, C, 4).transpose(0, 2, 1, 3).reshape(R, C, 16)
-
-
-def _chroma_nc_grid(chroma_tc, rect_at_left_edge, rect_at_top_edge):
-    """[R, C, 2, 4] -> [R, C, 2, 4] (2x2 blocks per plane)."""
-    R, C = chroma_tc.shape[:2]
-    out = []
-    for plane in range(2):
-        g = chroma_tc[:, :, plane].reshape(R, C, 2, 2)
-        g = g.transpose(0, 2, 1, 3).reshape(R * 2, C * 2)
-        ga = jnp.pad(g, ((1, 0), (1, 0)))
-        nA = ga[1:, :-1]
-        nB = ga[:-1, 1:]
-        col = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
-        availA = ~(rect_at_left_edge & (col == 0))
-        availB = ~(rect_at_top_edge & (row == 0))
-        nc = _nc_rule(nA, availA, nB, availB)
-        out.append(nc.reshape(R, 2, C, 2).transpose(0, 2, 1, 3)
-                   .reshape(R, C, 4))
-    return jnp.stack(out, axis=2)
-
-
-def donor_mb_symbols(ds_dev: dict, R: int, C: int,
-                     rect_at_left_edge: bool, rect_at_top_edge: bool):
-    """Device: donor MB slot arrays [M, MB_SLOTS] with repaired tokens."""
-    luma_nc = _luma_nc_grid(ds_dev["luma_tc"].reshape(R, C, 16),
-                            rect_at_left_edge, rect_at_top_edge)
-    chroma_nc = _chroma_nc_grid(ds_dev["chroma_tc"].reshape(R, C, 2, 4),
-                                rect_at_left_edge, rect_at_top_edge)
-    M = R * C
-    luma_nc = luma_nc.reshape(M, 16)
-    chroma_nc = chroma_nc.reshape(M, 8)
-
-    block_id = ds_dev["tok_block_id"]          # [M, N_BLOCKS]
-    # nC per token: luma ids 0..16 map to luma raster (id 0 -> raster 0),
-    # chroma DC -> class CHROMA directly, chroma AC ids 19.. -> plane/blk.
-    luma_raster = jnp.clip(jnp.where(block_id == 0, 0, block_id - 1), 0, 15)
-    nc_luma = jnp.take_along_axis(luma_nc, luma_raster, axis=1)
-    ac_idx = jnp.clip(block_id - 19, 0, 7)
-    nc_chroma = jnp.take_along_axis(chroma_nc, ac_idx, axis=1)
-
-    is_cdc = (block_id == 17) | (block_id == 18)
-    is_cac = block_id >= 19
-    nc = jnp.where(is_cac, nc_chroma, nc_luma)
-    cls = jnp.where(
-        is_cdc, CLASS_CHROMA,
-        jnp.where(nc < 2, CLASS_NC0,
-                  jnp.where(nc < 4, CLASS_NC2,
-                            jnp.where(nc < 8, CLASS_NC4, CLASS_FLC))))
-
-    pat_np, len_np = token_tables()
-    pat_tab, len_tab = jnp.asarray(pat_np), jnp.asarray(len_np)
-    tc = jnp.clip(ds_dev["tok_tc"], 0, 16)
-    t1 = jnp.clip(ds_dev["tok_t1"], 0, 3)
-    tok_pat = pat_tab[cls, tc, t1]
-    tok_len = jnp.where(ds_dev["tok_present"], len_tab[cls, tc, t1], 0)
-
-    # Assemble per-MB slots: [pre | per block: token + tails].  I_PCM MBs
-    # carry their 384 sample bytes in the tail chunks with no tokens.
-    ipcm = ds_dev["ipcm"][:, None, None]
-    tail_keep = ds_dev["tok_present"][:, :, None] | ipcm
-    blocks_p = jnp.concatenate(
-        [tok_pat[:, :, None], ds_dev["tail_patterns"]], axis=2)
-    blocks_n = jnp.concatenate(
-        [jnp.where(ds_dev["ipcm"][:, None], 0, tok_len)[:, :, None],
-         jnp.where(tail_keep, ds_dev["tail_nbits"], 0)], axis=2)
-    patterns = jnp.concatenate(
-        [ds_dev["pre_patterns"], blocks_p.reshape(M, -1)], axis=1)
-    nbits = jnp.concatenate(
-        [ds_dev["pre_nbits"], blocks_n.reshape(M, -1)], axis=1)
-    return patterns, nbits  # [M, MB_SLOTS]
-
-
-def emit_spliced_frame(cfg: ComposerConfig, rect_mb_x: int, rect_mb_y: int,
-                       R: int, C: int, num_refs: int,
-                       header_patterns, header_nbits,
-                       bg_ref, bg_mv_x, bg_mv_y, bg_coded,
-                       ds_dev: dict, donor_ref, donor_mv_x, donor_mv_y,
-                       nal_ref_idc: int = 0, *, ebsp_exact: bool = False):
-    """Device splice: one P-frame with the donor rect embedded.
-
-    bg_* are full-frame [H, W] fields for background/motion-region MBs
-    (bg_coded False = P_Skip); donor_* are MB-level approximations of the
-    donor macroblocks' motion (used only for neighboring prediction — the
-    margin ring absorbs the boundary error per MASTER_DESIGN §7.1).
-    """
-    H, W = cfg.mb_height, cfg.mb_width
-    r0, c0 = rect_mb_y, rect_mb_x
-    assert r0 + R <= H and c0 + C <= W
-
-    donor_coded = ds_dev["coded"].reshape(R, C)
-    in_rect = jnp.zeros((H, W), bool).at[r0:r0 + R, c0:c0 + C].set(True)
-
-    # Composite fields for MV prediction.
-    ref = bg_ref.at[r0:r0 + R, c0:c0 + C].set(donor_ref.reshape(R, C))
-    mv_x = bg_mv_x.at[r0:r0 + R, c0:c0 + C].set(donor_mv_x.reshape(R, C))
-    mv_y = bg_mv_y.at[r0:r0 + R, c0:c0 + C].set(donor_mv_y.reshape(R, C))
-    coded = jnp.where(in_rect, False, bg_coded)
-    coded = coded.at[r0:r0 + R, c0:c0 + C].set(donor_coded)
-
-    pred_x, pred_y = scroll_model.mv_pred_grid(ref, mv_x, mv_y)
-    mvd_x = mv_x - pred_x
-    mvd_y = mv_y - pred_y
-
-    # Skip-run per coded MB over the composite grid.
-    n_mbs = H * W
-    coded_f = coded.reshape(-1)
-    idx = jnp.arange(n_mbs, dtype=jnp.int32)
-    coded_idx = jnp.where(coded_f, idx, -1)
-    last_incl = jax.lax.associative_scan(jnp.maximum, coded_idx)
-    last_before = jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), last_incl[:-1]])
-    skip_run = idx - last_before - 1
-    sr_pat, sr_n = expgolomb.ue(skip_run.astype(jnp.uint32))
-    sr_n = sr_n * coded_f.astype(jnp.int32)
-    sr_pat = jnp.where(coded_f, sr_pat, 0).astype(jnp.uint32)
-
-    # Background (hint) MB symbols: 3 merged slots like emit_p_frame.
-    mbt_pat, mbt_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
-    ref_pat, ref_n = expgolomb.te(ref.reshape(-1).astype(jnp.uint32),
-                                  num_refs)
-    mvx_pat, mvx_n = expgolomb.se(mvd_x.reshape(-1))
-    mvy_pat, mvy_n = expgolomb.se(mvd_y.reshape(-1))
-    cbp_pat, cbp_n = expgolomb.ue(jnp.zeros((n_mbs,), jnp.uint32))
-    a_pat, a_n = bitpack.merge_symbol_pairs(mbt_pat, mbt_n, ref_pat, ref_n)
-    c_pat, c_n = bitpack.merge_symbol_pairs(mvy_pat, mvy_n, cbp_pat, cbp_n)
-    bg_active = coded_f & ~in_rect.reshape(-1)
-    bg_i = bg_active.astype(jnp.int32)
-    zero = jnp.uint32(0)
-    bg_syms_p = jnp.stack([jnp.where(bg_active, a_pat, zero),
-                           jnp.where(bg_active, mvx_pat, zero),
-                           jnp.where(bg_active, c_pat, zero)], axis=1)
-    bg_syms_n = jnp.stack([a_n * bg_i, mvx_n * bg_i, c_n * bg_i], axis=1)
-
-    # Donor MB symbols (token repair on device).
-    d_pat, d_n = donor_mb_symbols(ds_dev, R, C, c0 == 0, r0 == 0)
-    d_n = jnp.where(donor_coded.reshape(-1, 1), d_n, 0)
-
-    # Assemble the global symbol stream in raster order: static layout.
-    sr_pat2 = sr_pat.reshape(H, W)
-    sr_n2 = sr_n.reshape(H, W)
-    segs_p, segs_n = [], []
-    for row in range(H):
-        if r0 <= row < r0 + R:
-            left = slice(row * W, row * W + c0)
-            right = slice(row * W + c0 + C, (row + 1) * W)
-            segs_p += [jnp.concatenate(
-                [sr_pat2[row, :c0, None], bg_syms_p[left]], axis=1
-            ).reshape(-1)]
-            segs_n += [jnp.concatenate(
-                [sr_n2[row, :c0, None], bg_syms_n[left]], axis=1
-            ).reshape(-1)]
-            dslice = slice((row - r0) * C, (row - r0 + 1) * C)
-            segs_p += [jnp.concatenate(
-                [sr_pat2[row, c0:c0 + C, None], d_pat[dslice]], axis=1
-            ).reshape(-1)]
-            segs_n += [jnp.concatenate(
-                [sr_n2[row, c0:c0 + C, None], d_n[dslice]], axis=1
-            ).reshape(-1)]
-            segs_p += [jnp.concatenate(
-                [sr_pat2[row, c0 + C:, None], bg_syms_p[right]], axis=1
-            ).reshape(-1)]
-            segs_n += [jnp.concatenate(
-                [sr_n2[row, c0 + C:, None], bg_syms_n[right]], axis=1
-            ).reshape(-1)]
-        else:
-            sl = slice(row * W, (row + 1) * W)
-            segs_p += [jnp.concatenate(
-                [sr_pat2[row, :, None], bg_syms_p[sl]], axis=1).reshape(-1)]
-            segs_n += [jnp.concatenate(
-                [sr_n2[row, :, None], bg_syms_n[sl]], axis=1).reshape(-1)]
-
-    tail_skips = jnp.int32(n_mbs) - 1 - last_incl[-1]
-    ts_pat, ts_n = expgolomb.ue(tail_skips.astype(jnp.uint32))
-    ts_n = jnp.where(tail_skips > 0, ts_n, 0)
-
-    patterns = jnp.concatenate([header_patterns] + segs_p + [ts_pat[None]])
-    nbits = jnp.concatenate([header_nbits] + segs_n + [ts_n[None]])
-
-    # Resolve pcm_alignment_zero_bits: ALIGN_SENTINEL slots pad the
-    # stream to the next byte boundary.  Phase of the stream before each
-    # symbol is an associative scan over affine maps on Z8 — a normal
-    # symbol adds its length, an align slot resets the phase to 0.
-    is_align = nbits < 0
-    keep = jnp.where(is_align, 0, 1).astype(jnp.int32)
-    add = jnp.where(is_align, 0, nbits % 8).astype(jnp.int32)
-
-    def comb(left, right):
-        kl, bl = left
-        kr, br = right
-        return kl * kr, (kr * bl + br) % 8
-
-    k_inc, b_inc = jax.lax.associative_scan(comb, (keep, add))
-    phase_after = b_inc  # initial phase 0 -> composed offset
-    phase_before = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), phase_after[:-1]])
-    align_bits = (8 - phase_before % 8) % 8
-    nbits = jnp.where(is_align, align_bits, nbits)
-
-    payload_bits = jnp.sum(nbits)
-    tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
-    patterns = jnp.concatenate([patterns, tb_pat[None]])
-    nbits = jnp.concatenate([nbits, tb_n[None]])
-
-    # Budget: donor residuals can be dense — size on the donor payload
-    # (32 bits per tail chunk slot).
-    tail_chunks = ds_dev["tail_patterns"].shape[-1]
-    n_rbsp = ((cfg.total_mbs * cfg.rbsp_bits_per_mb
-               + R * C * N_BLOCKS * tail_chunks * 32) // 8 + 255) // 4 * 4
-    rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
-                                                     n_rbsp)
-    rbsp_len = total_bits // 8
-    overflow = total_bits > jnp.int32(n_rbsp * 8)
-
-    n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
-    from ..config import MAX_EBSP_INSERTIONS
-    if ebsp_exact:
-        ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
-            rbsp_bytes, rbsp_len, n_nal - 8)
-    else:
-        ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
-            rbsp_bytes, rbsp_len, n_nal - 8,
-            max_insertions=MAX_EBSP_INSERTIONS)
-        overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
-    header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
-    prefix = jnp.concatenate([
-        jnp.asarray([0, 0, 0, 1], jnp.uint8),
-        jnp.asarray(header_byte, jnp.uint8).reshape(1).astype(jnp.uint8)])
-    out = jnp.zeros((n_nal,), jnp.uint8)
-    out = jax.lax.dynamic_update_slice(out, ebsp_bytes, (5,))
-    out = jax.lax.dynamic_update_slice(out, prefix, (0,))
-    return out, 5 + ebsp_len, total_bits, overflow
-
-
-def donor_mb_motion(donor_grid: list):
-    """MB-level (ref, mvx, mvy) for the donor rect, decoded in donor
-    context (models/mv_field) — the neighbor-prediction approximation the
-    device kernel uses.  Intra MBs get the INTRA sentinel (-2) so they
-    never ref-match and contribute zero MVs, matching 8.4.1.3.1."""
-    from .mv_field import decode_p_slice_mv_field
-
-    rows, cols = len(donor_grid), len(donor_grid[0])
-    field = decode_p_slice_mv_field(
-        [list(r) for r in donor_grid], cols, rows)
-    ref = np.zeros(rows * cols, np.int32)
-    mvx = np.zeros(rows * cols, np.int32)
-    mvy = np.zeros(rows * cols, np.int32)
-    for r in range(rows):
-        for c in range(cols):
-            m = r * cols + c
-            ref[m] = field.ref[r * 4, c * 4]
-            mvx[m] = field.mvx[r * 4, c * 4]
-            mvy[m] = field.mvy[r * 4, c * 4]
-    return jnp.asarray(ref), jnp.asarray(mvx), jnp.asarray(mvy)
-
-
-def validate_splice_hints(rect_mb_x: int, rect_mb_y: int,
-                          donor_grid: list, motion_regions=()) -> None:
-    """Guard for the LEGACY slotted kernel (emit_spliced_frame) only.
-
-    The dense path (prepare_donor_dense + emit_spliced_frame_dense, the
-    serving hot path) computes exact composite-context edge motion per
-    role (donor_edge_motion) and has no placement restriction — hint
-    regions may touch the rect with arbitrarily non-uniform donor edge
-    partitions (byte parity: tests/test_splice_device.py::
-    test_dense_splice_matches_host).  Only callers of the slotted
-    device-side nC-repair kernel still need this check.
-
-    The device path predicts background MVs next to the donor rect from
-    MB-level donor motion (donor_mb_motion takes each MB's top-left 4x4
-    field value).  That is exact when the donor MBs along the rect's
-    right column and bottom row move uniformly (P_16x16 / P_Skip /
-    intra / partitions with equal sub-MVs); with genuinely non-uniform
-    edge partitions, a *coded* hint region touching the 1-MB ring beside
-    those edges can get a different MV prediction than the exact host
-    path (models/splice.splice_p_frame).  Raise early instead of
-    silently composing a stream that diverges from the host oracle.
-    """
-    from .mv_field import decode_p_slice_mv_field
-
-    rows, cols = len(donor_grid), len(donor_grid[0])
-    field = decode_p_slice_mv_field([list(r) for r in donor_grid],
-                                    cols, rows)
-
-    def _uniform(r, c):
-        br, bc = r * 4, c * 4
-        tile = (field.ref[br:br + 4, bc:bc + 4],
-                field.mvx[br:br + 4, bc:bc + 4],
-                field.mvy[br:br + 4, bc:bc + 4])
-        return all((t == t.flat[0]).all() for t in tile)
-
-    ragged_right = [r for r in range(rows) if not _uniform(r, cols - 1)]
-    ragged_bottom = [c for c in range(cols) if not _uniform(rows - 1, c)]
-    if not ragged_right and not ragged_bottom:
-        return
-
-    # 1-MB ring where donor MBs act as A/B/C/D prediction neighbors of
-    # later-in-decode-order background MBs.
-    for reg in motion_regions:
-        right_col = rect_mb_x + cols            # MBs with a donor A-neighbor
-        below_row = rect_mb_y + rows            # MBs with donor B/C/D above
-        touches_right = (reg.mb_x0 <= right_col < reg.mb_x1 and
-                         reg.mb_y0 < rect_mb_y + rows and
-                         reg.mb_y1 > rect_mb_y)
-        touches_below = (reg.mb_y0 <= below_row < reg.mb_y1 and
-                         reg.mb_x0 < rect_mb_x + cols + 1 and
-                         reg.mb_x1 > rect_mb_x - 1)
-        if (touches_right and ragged_right) or \
-                (touches_below and ragged_bottom):
-            raise ValueError(
-                "device splice: a motion region touches the 1-MB ring "
-                f"next to donor edge MBs with non-uniform partitions "
-                f"(right rows {ragged_right}, bottom cols {ragged_bottom})"
-                "; the MB-level motion approximation may mispredict there."
-                " Keep coded hint regions >=1 MB away from those edges or"
-                " use the exact host path (models/splice.splice_p_frame).")
-
-
-# ---------------------------------------------------------------------------
 # Dense donor path: host-side nC + token resolution and bit pre-packing.
 #
 # The rect position (hence its frame-edge flags) is static per compiled
 # program, so the composite-geometry nC of every donor residual block is
 # fully determined on the host at prep time: outside-rect neighbors are
 # coded-with-zero-residual macroblocks (tc=0, available) except past frame
-# edges — the same rule _luma_nc_grid/_chroma_nc_grid apply on device.
-# With tokens resolved on host, a donor MB's entire bit-string is constant
+# edges (spec 9.2.1 availability, ops/cavlc.luma_nC/chroma_nC).  With
+# tokens resolved on host, a donor MB's entire bit-string is constant
 # and pre-packs into dense 32-bit chunks (~8-16 symbols/MB instead of the
-# slotted form's ~130), which shrinks the device merge tree's symbol count
-# and HBM traffic by an order of magnitude.  The slotted device-repair path
-# above is kept for completeness; this is the serving hot path.
+# superseded slotted form's ~130), which shrinks the device merge tree's
+# symbol count and HBM traffic by an order of magnitude.
 # ---------------------------------------------------------------------------
 
 # Per-MB dense chunk budget classes (jit programs shared per class).
@@ -682,7 +342,7 @@ MB_CHUNK_CLASSES = (4, 8, 12, 16, 24, 32, 48, 64, 104, 352)
 
 def _host_luma_nc(luma_tc: np.ndarray, at_left: bool, at_top: bool
                   ) -> np.ndarray:
-    """Numpy mirror of _luma_nc_grid: [R, C, 16] -> [R, C, 16]."""
+    """Composite-geometry luma nC stencil: [R, C, 16] -> [R, C, 16]."""
     R, C = luma_tc.shape[:2]
     g = luma_tc.reshape(R, C, 4, 4).transpose(0, 2, 1, 3).reshape(R * 4,
                                                                   C * 4)
@@ -700,7 +360,7 @@ def _host_luma_nc(luma_tc: np.ndarray, at_left: bool, at_top: bool
 
 def _host_chroma_nc(chroma_tc: np.ndarray, at_left: bool, at_top: bool
                     ) -> np.ndarray:
-    """Numpy mirror of _chroma_nc_grid: [R, C, 2, 4] -> [R, C, 2, 4]."""
+    """Composite-geometry chroma nC stencil: [R, C, 2, 4] -> [R, C, 2, 4]."""
     R, C = chroma_tc.shape[:2]
     out = []
     for plane in range(2):
@@ -794,6 +454,20 @@ def row_chunk_class(need: int) -> int:
         raise OverflowError(
             f"donor row needs {need} chunk slots > max class {s_row}")
     return s_row
+
+
+def flat_chunk_class(need: int) -> int:
+    """Flat-wire total-chunk class: next multiple of 64 (min 64).
+
+    The flat serving wire pads the donor's TOTAL chunk count instead of
+    R x the max row count, so fine classes (64-chunk = 256 B steps)
+    keep padding ~2% while compiled programs still share per class."""
+    return max(64, -(-int(need) // 64) * 64)
+
+
+def exc_class(need: int) -> int:
+    """Flat-wire nbits-exception budget class: next multiple of 16."""
+    return max(16, -(-int(need) // 16) * 16)
 
 
 @dataclasses.dataclass
@@ -1012,6 +686,112 @@ def rows_device_arrays(dr: DonorRows) -> dict:
     for k, v in edge.items():
         out[k] = jnp.asarray(np.asarray(v).astype(np.int16))
     return out
+
+
+def rows_flat_wire(pat: np.ndarray, nb: np.ndarray, *,
+                   s_flat: int | None = None, s_exc: int | None = None):
+    """Compact padded [N, R, s_row] donor row chunks into the flat wire.
+
+    The padded layout ships R x s_row lanes where s_row is the MAX row's
+    chunk count — ~4x the donor's actual bits on real donors (VERDICT r3
+    weak #1: the serving tunnel pays for every padded lane).  The flat
+    wire pads only the donor's TOTAL chunk count, and exploits that all
+    chunks are full 32-bit words except each row's last and the rare
+    I_PCM alignment sentinels:
+
+      flat_patterns u32[N, s_flat] — per-row chunk streams, concatenated
+      row_len       i16[N, R]      — chunks per row (0 = all-skip row)
+      row_tail      i8 [N, R]      — nbits of each row's LAST chunk
+      exc_idx/exc_val i32/i8[N, E] — sparse nbits overrides at flat
+        positions (ALIGN sentinels, partial pre-align chunks); -1 pads
+
+    so the pattern bytes approach the donor's actual coded bits and the
+    nbits sideband collapses from one byte per chunk to O(R).  The
+    device reconstructs the exact [R, s_row] layout (_rows_from_flat),
+    so emitted frames are byte-identical to the padded wire.
+
+    Returns (wire_dict of np arrays, s_flat, s_exc); callers pin both
+    classes so every donor of a geometry class shares one program."""
+    N, R, s_row = pat.shape
+    nbi = np.asarray(nb, np.int32)
+    nz = nbi != 0
+    any_nz = nz.any(-1)
+    row_len = np.where(any_nz, s_row - np.argmax(nz[:, :, ::-1], axis=-1),
+                       0).astype(np.int64)
+    total = row_len.sum(-1)
+    need = int(total.max()) if N else 0
+    if s_flat is None:
+        s_flat = flat_chunk_class(max(need, 1))
+    elif need > s_flat:
+        raise OverflowError(
+            f"donor needs {need} total chunks > flat class {s_flat}")
+
+    j = np.arange(s_row)
+    in_row = j[None, None, :] < row_len[:, :, None]
+    last = np.maximum(row_len - 1, 0)[:, :, None]
+    row_tail = (np.take_along_axis(nbi, last, axis=2)[:, :, 0]
+                * any_nz).astype(np.int8)
+    expected = np.where(in_row, 32, 0)
+    np.put_along_axis(
+        expected, last,
+        np.where(any_nz[:, :, None], row_tail[:, :, None].astype(np.int64),
+                 0), axis=2)
+    row_start = np.zeros((N, R), np.int64)
+    row_start[:, 1:] = np.cumsum(row_len, -1)[:, :-1]
+    flat_pos = row_start[:, :, None] + j[None, None, :]
+
+    flat_p = np.zeros((N, s_flat), np.uint32)
+    exc = []
+    for i in range(N):
+        v = in_row[i]
+        flat_p[i, : int(total[i])] = np.asarray(pat[i], np.uint32)[v]
+        mm = v & (nbi[i] != expected[i])
+        exc.append((flat_pos[i][mm], nbi[i][mm]))
+    e_need = max((len(a) for a, _ in exc), default=0)
+    if s_exc is None:
+        s_exc = exc_class(e_need)
+    elif e_need > s_exc:
+        raise OverflowError(
+            f"donor needs {e_need} nbits exceptions > class {s_exc}")
+    exc_idx = np.full((N, s_exc), -1, np.int32)
+    exc_val = np.zeros((N, s_exc), np.int8)
+    for i, (a, vv) in enumerate(exc):
+        exc_idx[i, : len(a)] = a
+        exc_val[i, : len(a)] = vv
+    wire = {
+        "flat_patterns": flat_p,
+        "row_len": row_len.astype(np.int16),
+        "row_tail": row_tail,
+        "exc_idx": exc_idx,
+        "exc_val": exc_val,
+    }
+    return wire, s_flat, s_exc
+
+
+def _rows_from_flat(dn: dict, R: int, s_row: int):
+    """Device inverse of rows_flat_wire: flat wire -> ([R, s_row]
+    patterns, nbits), exact.  Everything is a traced gather/scatter, so
+    the reconstruction lives inside the one compiled serving program."""
+    flat_p = dn["flat_patterns"]
+    S = flat_p.shape[-1]
+    row_len = dn["row_len"].astype(jnp.int32)
+    row_tail = dn["row_tail"].astype(jnp.int32)
+    row_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_len)[:-1]])
+    flat_nb = jnp.full((S,), 32, jnp.int32)
+    row_end = jnp.where(row_len > 0, row_start + row_len - 1, S)
+    flat_nb = flat_nb.at[row_end].set(row_tail, mode="drop")
+    exc_idx = dn["exc_idx"].astype(jnp.int32)
+    exc_idx = jnp.where(exc_idx < 0, S, exc_idx)
+    flat_nb = flat_nb.at[exc_idx].set(
+        dn["exc_val"].astype(jnp.int32), mode="drop")
+    j = jnp.arange(s_row, dtype=jnp.int32)
+    idx = row_start[:, None] + j[None, :]
+    in_row = j[None, :] < row_len[:, None]
+    idxc = jnp.minimum(idx, S - 1)
+    pat = jnp.where(in_row, flat_p[idxc], jnp.uint32(0))
+    nbits = jnp.where(in_row, flat_nb[idxc], 0)
+    return pat, nbits
 
 
 def donor_edge_motion(donor_grid: list, *, left_ring=None, top_ring=None,
@@ -1543,8 +1323,10 @@ def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
     """Shared back end of the splice emitters: I_PCM alignment phase
     scan, trailing bits, tree pack, emulation prevention, NAL framing."""
     if has_align:
-        # Resolve pcm_alignment_zero_bits via the affine phase scan on Z8
-        # (see emit_spliced_frame).
+        # Resolve pcm_alignment_zero_bits via the affine phase scan on
+        # Z8: each ALIGN slot's width is (-pos) mod 8 where pos is the
+        # running bit position, itself a function of earlier widths —
+        # an associative (keep, add) scan over (Z8, affine maps).
         is_align = nbits < 0
         keep = jnp.where(is_align, 0, 1).astype(jnp.int32)
         add = jnp.where(is_align, 0, nbits % 8).astype(jnp.int32)
@@ -1599,7 +1381,8 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                             has_align: bool = False,
                             n_rbsp: int | None = None,
                             ebsp_exact: bool = False,
-                            compact_x: bool = False):
+                            compact_x: bool = False,
+                            s_row: int | None = None):
     """Device splice over the row-contiguous donor layout (DonorRows).
 
     Donor bits arrive as ONE fused chunk stream per rect row with the
@@ -1627,7 +1410,13 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
     # rows wire ships edge-only roles — rebuild the full-rect arrays
     # BEFORE the prologue consumes them.
     dn = dict(dn)
-    dn["row_nbits"] = dn["row_nbits"].astype(jnp.int32)
+    if "flat_patterns" in dn:
+        # Flat serving wire (rows_flat_wire): reconstruct the [R, s_row]
+        # layout on device; s_row must be the pinned static class.
+        assert s_row is not None, "flat donor wire requires static s_row"
+        dn["row_patterns"], dn["row_nbits"] = _rows_from_flat(dn, R, s_row)
+    else:
+        dn["row_nbits"] = dn["row_nbits"].astype(jnp.int32)
     if "edge_a_ref" in dn:
         dn.update(edge_roles_to_full(dn, R, C))
 
@@ -1753,24 +1542,6 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                           has_align=has_align, ebsp_exact=ebsp_exact)
 
 
-def donor_device_arrays(ds: DonorSymbols) -> dict:
-    """DonorSymbols -> jnp arrays dict (one host->device transfer set)."""
-    return {
-        "pre_patterns": jnp.asarray(ds.pre_patterns),
-        "pre_nbits": jnp.asarray(ds.pre_nbits),
-        "tail_patterns": jnp.asarray(ds.tail_patterns),
-        "tail_nbits": jnp.asarray(ds.tail_nbits),
-        "tok_tc": jnp.asarray(ds.tok_tc),
-        "tok_t1": jnp.asarray(ds.tok_t1),
-        "tok_present": jnp.asarray(ds.tok_present),
-        "tok_block_id": jnp.asarray(ds.tok_block_id),
-        "luma_tc": jnp.asarray(ds.luma_tc),
-        "chroma_tc": jnp.asarray(ds.chroma_tc),
-        "coded": jnp.asarray(ds.coded),
-        "ipcm": jnp.asarray(ds.ipcm),
-    }
-
-
 def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
                                donor_num_refs: int, num_ref_idx_l0: int,
                                donor_ref_map: tuple = (0,), *,
@@ -1782,7 +1553,10 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
                                right_ring=None,
                                rings_per_donor: bool = False,
                                n_threads: int = 0,
-                               retarget_mvs: bool = False):
+                               retarget_mvs: bool = False,
+                               flat_wire: bool = False,
+                               s_flat: int | None = None,
+                               s_exc: int | None = None):
     """Serving ingest for a batch of FRESH donor payloads -> (dn, meta).
 
     One fused native call (threaded across donors) parses each payload,
@@ -1851,6 +1625,16 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
              ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
               "d_ref", "d_mvx", "d_mvy")}
     wire = {}
+    if flat_wire:
+        # Flat wire: pattern bytes ~= the donor's actual coded bits
+        # (pads the total chunk count, not R x the max row; nbits
+        # collapse to per-row tails + sparse exceptions).  The step
+        # kernel must be built with the matching static s_row.
+        fw, _, _ = rows_flat_wire(out.pop("row_patterns"),
+                                  out.pop("row_nbits"),
+                                  s_flat=s_flat, s_exc=s_exc)
+        for k, v in fw.items():
+            wire[k] = jnp.asarray(v)
     for k, v in out.items():
         if k == "row_nbits":
             wire[k] = jnp.asarray(v.astype(np.int8))

@@ -170,29 +170,6 @@ def make_batched_hint_step(cfg: ComposerConfig, *,
 
 
 @functools.lru_cache(maxsize=None)
-def make_batched_splice_step(cfg: ComposerConfig, rect_mb_x: int,
-                             rect_mb_y: int, rect_w: int, rect_h: int,
-                             num_refs: int = 2):
-    """jit(vmap) of the device dynamic-rect splice kernel.
-
-    Per session: header symbols, background fields/coded mask, donor
-    symbol arrays (models/splice_device.prepare_donor_symbols ->
-    donor_device_arrays) and the donor MB-level motion approximation.
-    Returns (nal, nal_len, rbsp_bits, overflow) batched.
-    """
-    from ..models import splice_device
-
-    def one(hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, ds_dev,
-            d_ref, d_mvx, d_mvy):
-        return splice_device.emit_spliced_frame(
-            cfg, rect_mb_x, rect_mb_y, rect_h, rect_w, num_refs,
-            hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded,
-            ds_dev, d_ref, d_mvx, d_mvy)
-
-    return jax.jit(jax.vmap(one))
-
-
-@functools.lru_cache(maxsize=None)
 def make_batched_splice_step_dense(cfg: ComposerConfig, rect_mb_x: int,
                                    rect_mb_y: int, rect_w: int, rect_h: int,
                                    num_refs: int = 2, *,
@@ -224,7 +201,8 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
                                   has_align: bool = False,
                                   n_rbsp: int | None = None,
                                   ebsp_exact: bool = False,
-                                  compact_x: bool = False):
+                                  compact_x: bool = False,
+                                  s_row: int | None = None):
     """jit(vmap) of the row-contiguous dense splice kernel (see
     splice_device.pack_donor_rows): byte-identical to the per-MB dense
     step with a fraction of the padded symbol lanes.
@@ -244,7 +222,7 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
             hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn,
             nal_ref_idc=nal_ref_idc,
             has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact,
-            compact_x=compact_x)
+            compact_x=compact_x, s_row=s_row)
 
     return jax.jit(jax.vmap(one))
 

@@ -26,172 +26,6 @@ def _make_donor(rng, w, h):
     return grid
 
 
-def test_device_splice_matches_host():
-    rng = np.random.default_rng(123)
-    cfg = ComposerConfig(256, 192)           # 16x12 MBs
-    R = C = 5
-    r0, c0 = 4, 6
-    num_refs = 2
-    frame_num = 3
-
-    donor = _make_donor(rng, C, R)
-
-    hints = FrameHints(
-        motion_regions=(
-            # Kept >=2 MBs away from the rect so the device's MB-level
-            # donor-motion approximation predicts identically to the host
-            # mv_field resolution.
-            MotionRegion(0, 0, 16, 2, ref_idx=0, mv_x=0, mv_y=20),
-            MotionRegion(0, 11, 16, 12, ref_idx=1, mv_x=0, mv_y=-36),
-        ),
-        dynamic_mb_x=c0, dynamic_mb_y=r0)
-
-    # ---- host path ----
-    grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
-
-    def hdr_writer(bw: BitWriter):
-        write_p_slice_header(bw, cfg, frame_num)
-
-    host_rbsp = splice.finalize_spliced_frame(cfg, grid, num_refs,
-                                              hdr_writer)
-
-    # ---- device path ----
-    ds = splice_device.prepare_donor_symbols(donor, num_refs)
-    ds_dev = splice_device.donor_device_arrays(ds)
-    d_ref, d_mvx, d_mvy = splice_device.donor_mb_motion(donor)
-
-    H, W = cfg.mb_height, cfg.mb_width
-    bg_ref = jnp.zeros((H, W), jnp.int32)
-    bg_mvx = jnp.zeros((H, W), jnp.int32)
-    bg_mvy = jnp.zeros((H, W), jnp.int32)
-    bg_coded = jnp.zeros((H, W), bool)
-    for reg in hints.motion_regions:
-        bg_ref = bg_ref.at[reg.mb_y0:reg.mb_y1, reg.mb_x0:reg.mb_x1].set(
-            reg.ref_idx)
-        bg_mvy = bg_mvy.at[reg.mb_y0:reg.mb_y1, reg.mb_x0:reg.mb_x1].set(
-            reg.mv_y * 4)
-        bg_coded = bg_coded.at[reg.mb_y0:reg.mb_y1,
-                               reg.mb_x0:reg.mb_x1].set(True)
-
-    hp, hn = p_slice_header_symbols(
-        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
-        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
-        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
-        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
-
-    emit = jax.jit(lambda *a: splice_device.emit_spliced_frame(
-        cfg, c0, r0, R, C, num_refs, *a))
-    nal, nal_len, bits, ovf = emit(hp, hn, bg_ref, bg_mvx, bg_mvy,
-                                   bg_coded, ds_dev, d_ref, d_mvx, d_mvy)
-    assert not bool(ovf)
-
-    dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
-    # Host rbsp -> NAL framing for comparison.
-    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
-    host_nal = write_nal_unit(host_rbsp, 0, 1)
-    assert dev_bytes == host_nal, (
-        f"lens {len(dev_bytes)} vs {len(host_nal)}; first diff "
-        f"{next((i for i, (a, b) in enumerate(zip(dev_bytes, host_nal)) if a != b), -1)}")
-
-
-def test_device_splice_with_ipcm_donors():
-    """I_PCM donor macroblocks: their alignment padding depends on the
-    final stream bit position; the device resolves it with the phase
-    scan (ALIGN_SENTINEL slots) and must match the host path exactly."""
-    rng = np.random.default_rng(77)
-    cfg = ComposerConfig(192, 160)           # 12x10 MBs
-    R = C = 4
-    r0, c0 = 3, 4
-    num_refs = 2
-    frame_num = 5
-
-    donor = fixtures.random_p_slice_grid(rng, C, R, 1)
-    # Force a healthy mix of I_PCM MBs at varied positions.
-    donor[0][1] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
-    donor[1][0] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
-    donor[2][2] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
-    for row in donor:
-        for i, mb in enumerate(row):
-            if mb is not mbt.SKIP and mb.kind == "ipcm" \
-                    and mb.mb_type != 30:
-                row[i] = fixtures.random_inter_mb(rng, 1)
-
-    hints = FrameHints(motion_regions=(), dynamic_mb_x=c0, dynamic_mb_y=r0)
-    grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
-
-    def hdr_writer(bw: BitWriter):
-        write_p_slice_header(bw, cfg, frame_num)
-
-    host_rbsp = splice.finalize_spliced_frame(cfg, grid, num_refs,
-                                              hdr_writer)
-
-    ds = splice_device.prepare_donor_symbols(donor, num_refs)
-    ds_dev = splice_device.donor_device_arrays(ds)
-    d_ref, d_mvx, d_mvy = splice_device.donor_mb_motion(donor)
-
-    H, W = cfg.mb_height, cfg.mb_width
-    z = jnp.zeros((H, W), jnp.int32)
-    hp, hn = p_slice_header_symbols(
-        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
-        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
-        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
-        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
-    emit = jax.jit(lambda *a: splice_device.emit_spliced_frame(
-        cfg, c0, r0, R, C, num_refs, *a))
-    nal, nal_len, bits, ovf = emit(hp, hn, z, z, z,
-                                   jnp.zeros((H, W), bool), ds_dev,
-                                   d_ref, d_mvx, d_mvy)
-    assert not bool(ovf)
-
-    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
-    host_nal = write_nal_unit(host_rbsp, 0, 1)
-    dev_bytes = np.asarray(nal)[: int(nal_len)].tobytes()
-    assert dev_bytes == host_nal, (
-        f"lens {len(dev_bytes)} vs {len(host_nal)}")
-
-
-def test_validate_splice_hints_guard():
-    """The margin-ring contract: coded hint regions beside non-uniform
-    donor edge MBs must be rejected; uniform edges and distant regions
-    pass."""
-    import pytest
-
-    rng = np.random.default_rng(9)
-    R = C = 3
-    r0, c0 = 2, 4
-
-    # All-P_16x16 donor: uniform motion everywhere -> anything goes.
-    donor = [[fixtures.random_inter_mb(rng, 1) for _ in range(C)]
-             for _ in range(R)]
-    for row in donor:
-        for i, mb in enumerate(row):
-            while mb.mb_type != 0:
-                mb = fixtures.random_inter_mb(rng, 1)
-            row[i] = mb
-    ring = (MotionRegion(c0 + C, r0, c0 + C + 1, r0 + R,
-                         ref_idx=0, mv_x=0, mv_y=8),)
-    splice_device.validate_splice_hints(c0, r0, donor, ring)
-
-    # Make the rightmost-column MBs P_8x8 with distinct sub-MVs (but keep
-    # the corner MB uniform so the bottom row stays clean).
-    for r in range(R - 1):
-        donor[r][C - 1] = mbt.Macroblock(
-            kind="inter", mb_type=3, sub_mb_types=(0, 0, 0, 0),
-            ref_idx=(), mvds=((4, 0), (0, 4), (-4, 0), (0, -4)), cbp=0)
-    with pytest.raises(ValueError, match="non-uniform"):
-        splice_device.validate_splice_hints(c0, r0, donor, ring)
-
-    # Same donor, region kept one MB away from the ring -> fine.
-    far = (MotionRegion(c0 + C + 1, r0, c0 + C + 2, r0 + R,
-                        ref_idx=0, mv_x=0, mv_y=8),)
-    splice_device.validate_splice_hints(c0, r0, donor, far)
-
-    # Region under the rect only matters if the *bottom* row is ragged.
-    below = (MotionRegion(c0, r0 + R, c0 + C, r0 + R + 1,
-                          ref_idx=0, mv_x=0, mv_y=8),)
-    splice_device.validate_splice_hints(c0, r0, donor, below)
-
-
 def _bg_fields_from_host_grid(cfg, grid):
     """Decode-true MB-level bg fields (the dense kernel's input contract):
     skip cells carry their derived MVs, hint cells their desired MVs."""
@@ -937,3 +771,122 @@ def test_moved_ref_map_with_skips_guarded():
         splice_device.prepare_donor_rows_serving(
             [bw.getvalue()], [0], R, C, 1, 3, donor_ref_map=(1,),
             s_row=64)
+
+
+def test_flat_wire_roundtrip_exact():
+    """rows_flat_wire -> _rows_from_flat reconstructs the padded
+    [R, s_row] layout bit-exactly, including ALIGN sentinels, partial
+    tail chunks, interior full chunks, and all-skip (empty) rows."""
+    rng = np.random.default_rng(31)
+    N, R, s_row = 7, 6, 48
+    pat = np.zeros((N, R, s_row), np.uint32)
+    nb = np.zeros((N, R, s_row), np.int32)
+    for i in range(N):
+        for r in range(R):
+            L = int(rng.integers(0, s_row + 1))
+            if L == 0:
+                continue
+            pat[i, r, :L] = rng.integers(0, 1 << 32, L, dtype=np.uint64)
+            nb[i, r, :L] = 32
+            nb[i, r, L - 1] = int(rng.integers(1, 33))
+            # Sprinkle ALIGN sentinels and pre-align partials.
+            for _ in range(int(rng.integers(0, 3))):
+                k = int(rng.integers(0, L))
+                nb[i, r, k] = int(rng.choice([-1, 7, 15]))
+    wire, s_flat, s_exc = splice_device.rows_flat_wire(pat, nb)
+    rec = jax.jit(jax.vmap(
+        lambda dn: splice_device._rows_from_flat(dn, R, s_row)))(
+        {k: jnp.asarray(v) for k, v in wire.items()})
+    got_pat, got_nb = (np.asarray(x) for x in rec)
+    # Positions past each row's length may hold (0, 0) in both.
+    np.testing.assert_array_equal(got_nb, nb)
+    np.testing.assert_array_equal(got_pat & (nb != 0), pat & (nb != 0))
+
+
+def test_flat_wire_matches_padded_one_program():
+    """The flat serving wire composes byte-identically to the padded
+    wire across mixed donor families through ONE compiled program, and
+    ships strictly fewer bytes."""
+    from h264_scroll_encoder_tpu.parallel import batch
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+
+    rng = np.random.default_rng(4048)
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    R, C = 5, 6
+    r0, c0 = 3, 7
+    num_refs = 2
+    frame_num = 3
+
+    donors = []
+    for k in range(12):
+        fam = k % 4
+        if fam == 0:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+        elif fam == 1:
+            g = fixtures.dense_donor_grid(rng, C, R)
+        elif fam == 2:
+            g = fixtures.representative_donor_grid(rng, C, R)
+        else:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+            g[0][0] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+            g[R - 1][C - 1] = mbt.SKIP
+            g[2] = [mbt.SKIP] * C
+        donors.append(g)
+
+    CLASS = 256
+    S_FLAT = splice_device.flat_chunk_class(R * CLASS)
+    S_EXC = 32
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32)
+    step = batch.make_batched_splice_step_rows(
+        cfg, c0, r0, C, R, num_refs, has_align=True, n_rbsp=budget,
+        compact_x=True, s_row=CLASS)
+
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    one = lambda x: x[None]
+
+    for donor in donors:
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, donor, 1)
+        bw.write_trailing_bits()
+        dd = splice_device.prepare_donor_dense_from_slice(
+            bw.getvalue(), 0, C, R, 1, num_refs,
+            rect_at_left_edge=False, rect_at_top_edge=False)
+        dr = splice_device.pack_donor_rows(dd, R, C, min_class=CLASS)
+        base = splice_device.rows_device_arrays(dr)
+        fw, _, _ = splice_device.rows_flat_wire(
+            np.asarray(dr.row_patterns)[None],
+            np.asarray(dr.row_nbits)[None], s_flat=S_FLAT, s_exc=S_EXC)
+        dn = {k: one(v) for k, v in base.items()
+              if k not in ("row_patterns", "row_nbits")}
+        dn.update({k: jnp.asarray(v) for k, v in fw.items()})
+
+        padded_bytes = (dr.row_patterns.nbytes + dr.row_nbits.nbytes)
+        flat_bytes = sum(np.asarray(v).nbytes for v in fw.values())
+        assert flat_bytes < padded_bytes
+
+        nal, nal_len, _, ovf = step(one(hp), one(hn), one(zero), one(zero),
+                                    one(zero), one(bg_coded), dn)
+        assert not bool(np.asarray(ovf).any())
+        dev_bytes = np.asarray(nal[0])[: int(nal_len[0])].tobytes()
+
+        hints = FrameHints(motion_regions=(), dynamic_mb_x=c0,
+                           dynamic_mb_y=r0)
+        grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
+
+        def hdr_writer(bw2):
+            write_p_slice_header(bw2, cfg, frame_num)
+
+        host_rbsp = splice.finalize_spliced_frame(cfg, grid, num_refs,
+                                                  hdr_writer)
+        host_nal = write_nal_unit(host_rbsp, 0, 1)
+        assert dev_bytes == host_nal
+
+    assert step._cache_size() == 1, (
+        f"flat-wire program recompiled: cache size {step._cache_size()}")
