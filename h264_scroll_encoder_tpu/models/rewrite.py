@@ -118,8 +118,20 @@ def rewrite_idr_frame(write_cfg: ComposerConfig, parse_cfg: ComposerConfig,
 def rewrite_as_non_idr_i_frame(write_cfg: ComposerConfig,
                                parse_cfg: ComposerConfig,
                                donor_rbsp: bytes, frame_num: int, *,
-                               mode: str = "auto") -> bytes:
-    """Donor IDR -> non-IDR I NAL with MMCO long-term marking (atlas B)."""
+                               mode: str = "auto",
+                               long_term_idx: int = 1,
+                               max_long_term_plus1: int = 2,
+                               qp_delta_adjust: int = 0) -> bytes:
+    """Donor IDR -> non-IDR I NAL with MMCO long-term marking (atlas B;
+    defaults reproduce the reference's MMCO 4/6/0, src/h264_writer.c:
+    323-329).
+
+    The MASTER_DESIGN fallback path reuses this with `long_term_idx=0`
+    (the conventional re-encode becomes the fresh atlas A) and
+    `qp_delta_adjust` compensating a donor PPS QP base that differs from
+    the already-emitted session PPS: decoded slice QP is
+    pps_base + slice_qp_delta, so adding (donor_base - session_base)
+    keeps every residual dequantizing exactly as x264 encoded it."""
     hdr = _parse_donor_header(donor_rbsp, parse_cfg)
 
     bw = BitWriter()
@@ -131,11 +143,11 @@ def rewrite_as_non_idr_i_frame(write_cfg: ComposerConfig,
         bw.write_bits(frame_num * 2, write_cfg.log2_max_pic_order_cnt_lsb)
     bw.write_bit(1)                        # adaptive_ref_pic_marking_mode_flag
     bw.write_ue(4)                         # MMCO 4
-    bw.write_ue(2)                         # max_long_term_frame_idx_plus1 = 2
+    bw.write_ue(max_long_term_plus1)       # max_long_term_frame_idx_plus1
     bw.write_ue(6)                         # MMCO 6
-    bw.write_ue(1)                         # long_term_frame_idx = 1
+    bw.write_ue(long_term_idx)             # long_term_frame_idx
     bw.write_ue(0)                         # MMCO 0 (end)
-    bw.write_se(hdr.slice_qp_delta)
+    bw.write_se(hdr.slice_qp_delta + qp_delta_adjust)
     _write_deblock_tail(bw, write_cfg, hdr)
 
     rbsp = _payload(bw, donor_rbsp, hdr, parse_cfg, mode)

@@ -794,6 +794,102 @@ def _rows_from_flat(dn: dict, R: int, s_row: int):
     return pat, nbits
 
 
+# Single-blob serving wire: every per-donor field packed into ONE uint32
+# record.  On the serving link each host->device array costs a fixed
+# dispatch overhead (~0.4 ms/key on the dev tunnel — 22 keys made the
+# transfer 11x more expensive than its bytes); one blob pays it once.
+# Word packing is explicitly little-endian-in-word on both sides, so the
+# device decode (shift/mask) is platform-independent.
+
+_EDGE_WIRE_FIELDS = (
+    ("edge_a_ref", "R"), ("edge_a_mvx", "R"), ("edge_a_mvy", "R"),
+    ("edge_bb_ref", "C"), ("edge_bb_mvx", "C"), ("edge_bb_mvy", "C"),
+    ("edge_lb_ref", "R"), ("edge_lb_mvx", "R"), ("edge_lb_mvy", "R"),
+    ("edge_d_ref", "R"), ("edge_d_mvx", "R"), ("edge_d_mvy", "R"),
+    ("edge_db_ref", "C"), ("edge_db_mvx", "C"), ("edge_db_mvy", "C"),
+)
+
+
+def flat_wire_layout(R: int, C: int, s_flat: int, s_exc: int):
+    """Static field layout of the blob wire: [(name, kind, count,
+    word_offset)], total stride in uint32 words.  Shared by the host
+    packer (pack_rows_blob) and the in-program decoder (_unblob)."""
+    fields = [
+        ("flat_patterns", "u32", s_flat),
+        ("row_len", "i16", R),
+        ("row_tail", "i8", R),
+        ("exc_idx", "i32", s_exc),
+        ("exc_val", "i8", s_exc),
+        ("first_c", "i32", R),
+        ("coded", "u8", R * C),
+    ]
+    fields += [(name, "i16", R if dim == "R" else C)
+               for name, dim in _EDGE_WIRE_FIELDS]
+    per_word = {"u32": 1, "i32": 1, "i16": 2, "i8": 4, "u8": 4}
+    laid, off = [], 0
+    for name, kind, count in fields:
+        laid.append((name, kind, count, off))
+        off += -(-count // per_word[kind])
+    return laid, off
+
+
+def pack_rows_blob(wire: dict, R: int, C: int, s_flat: int,
+                   s_exc: int) -> np.ndarray:
+    """Host: dict of per-field [N, ...] arrays -> uint32 blob [N, stride].
+
+    Values are placed little-endian within each word (x86 numpy views do
+    this natively; the device decoder shifts/masks the same way)."""
+    layout, stride = flat_wire_layout(R, C, s_flat, s_exc)
+    N = np.asarray(wire["flat_patterns"]).shape[0]
+    blob = np.zeros((N, stride), "<u4")
+    u8 = blob.view(np.uint8).reshape(N, stride * 4)
+    for name, kind, count, off in layout:
+        v = np.asarray(wire[name])
+        b = off * 4
+        if kind == "u32":
+            blob[:, off: off + count] = v.astype("<u4")
+        elif kind == "i32":
+            blob[:, off: off + count] = v.astype("<i4").view("<u4")
+        elif kind == "i16":
+            u8[:, b: b + 2 * count] = (
+                v.astype("<i2").view(np.uint8).reshape(N, 2 * count))
+        else:                                   # i8 / u8 (incl. bool)
+            u8[:, b: b + count] = (
+                v.astype(np.int8 if kind == "i8" else np.uint8)
+                .view(np.uint8).reshape(N, count))
+    return blob
+
+
+def _unblob(blob, R: int, C: int, s_flat: int, s_exc: int) -> dict:
+    """Device inverse of pack_rows_blob (traced; static layout)."""
+    layout, stride = flat_wire_layout(R, C, s_flat, s_exc)
+    assert blob.shape[-1] == stride, (blob.shape, stride)
+    blob = blob.astype(jnp.uint32)
+    out = {}
+    for name, kind, count, off in layout:
+        if kind == "u32":
+            out[name] = jax.lax.slice_in_dim(blob, off, off + count, axis=-1)
+        elif kind == "i32":
+            w = jax.lax.slice_in_dim(blob, off, off + count, axis=-1)
+            out[name] = jax.lax.bitcast_convert_type(w, jnp.int32)
+        elif kind == "i16":
+            w = jax.lax.slice_in_dim(blob, off, off - (-count // 2), axis=-1)
+            lo = (w & 0xFFFF).astype(jnp.int32)
+            hi = (w >> 16).astype(jnp.int32)
+            v = jnp.stack([lo, hi], axis=-1).reshape(-1)[:count]
+            out[name] = ((v ^ 0x8000) - 0x8000).astype(jnp.int16)
+        else:
+            w = jax.lax.slice_in_dim(blob, off, off - (-count // 4), axis=-1)
+            lanes = [((w >> (8 * k)) & 0xFF).astype(jnp.int32)
+                     for k in range(4)]
+            v = jnp.stack(lanes, axis=-1).reshape(-1)[:count]
+            if kind == "i8":
+                v = (v ^ 0x80) - 0x80
+            out[name] = v
+    out["coded"] = out["coded"].astype(bool)
+    return out
+
+
 def donor_edge_motion(donor_grid: list, *, left_ring=None, top_ring=None,
                       right_ring=None, rect_at_left_edge=False,
                       rect_at_top_edge=False, rect_at_right_edge=False):
@@ -1382,7 +1478,9 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                             n_rbsp: int | None = None,
                             ebsp_exact: bool = False,
                             compact_x: bool = False,
-                            s_row: int | None = None):
+                            s_row: int | None = None,
+                            s_flat: int | None = None,
+                            s_exc: int | None = None):
     """Device splice over the row-contiguous donor layout (DonorRows).
 
     Donor bits arrive as ONE fused chunk stream per rect row with the
@@ -1410,6 +1508,11 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
     # rows wire ships edge-only roles — rebuild the full-rect arrays
     # BEFORE the prologue consumes them.
     dn = dict(dn)
+    if "blob" in dn:
+        # Single-blob serving wire: decode all fields in-program.
+        assert None not in (s_row, s_flat, s_exc), (
+            "blob wire requires static s_row/s_flat/s_exc")
+        dn = _unblob(dn["blob"], R, C, s_flat, s_exc)
     if "flat_patterns" in dn:
         # Flat serving wire (rows_flat_wire): reconstruct the [R, s_row]
         # layout on device; s_row must be the pinned static class.
@@ -1555,6 +1658,7 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
                                n_threads: int = 0,
                                retarget_mvs: bool = False,
                                flat_wire: bool = False,
+                               blob_wire: bool = False,
                                s_flat: int | None = None,
                                s_exc: int | None = None):
     """Serving ingest for a batch of FRESH donor payloads -> (dn, meta).
@@ -1570,6 +1674,22 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
     when the native library is unavailable.
     """
     from .. import native_bridge
+
+    if blob_wire and s_flat is not None and s_exc is not None \
+            and native_bridge.native_available():
+        # Native fast path: the whole wire record is compacted in C —
+        # no padded-array materialization, no numpy pack.
+        got = native_bridge.prepare_rows_blob_batch(
+            payloads, start_bits, R, C, donor_num_refs, num_ref_idx_l0,
+            donor_ref_map, s_row, s_flat, s_exc,
+            at_left_edge=rect_at_left_edge, at_top_edge=rect_at_top_edge,
+            at_right_edge=rect_at_right_edge,
+            left_ring=left_ring, top_ring=top_ring,
+            right_ring=right_ring, rings_per_donor=rings_per_donor,
+            n_threads=n_threads, retarget_mvs=retarget_mvs)
+        if got is not None:
+            blob, donor_bits, has_align = got
+            return {"blob": jnp.asarray(blob)}, (donor_bits, has_align)
 
     out = None
     if native_bridge.native_available():
@@ -1624,25 +1744,28 @@ def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
     roles = {k: out.pop(k) for k in
              ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
               "d_ref", "d_mvx", "d_mvy")}
-    wire = {}
-    if flat_wire:
+    host = {}
+    if flat_wire or blob_wire:
         # Flat wire: pattern bytes ~= the donor's actual coded bits
         # (pads the total chunk count, not R x the max row; nbits
         # collapse to per-row tails + sparse exceptions).  The step
         # kernel must be built with the matching static s_row.
-        fw, _, _ = rows_flat_wire(out.pop("row_patterns"),
-                                  out.pop("row_nbits"),
-                                  s_flat=s_flat, s_exc=s_exc)
-        for k, v in fw.items():
-            wire[k] = jnp.asarray(v)
+        fw, s_flat, s_exc = rows_flat_wire(out.pop("row_patterns"),
+                                           out.pop("row_nbits"),
+                                           s_flat=s_flat, s_exc=s_exc)
+        host.update(fw)
     for k, v in out.items():
-        if k == "row_nbits":
-            wire[k] = jnp.asarray(v.astype(np.int8))
-        else:
-            wire[k] = jnp.asarray(v)
+        host[k] = v.astype(np.int8) if k == "row_nbits" else v
     edge = _edge_roles_wire(roles, R, C)
     _check_roles_fit_int16(edge)
     for k, v in edge.items():
-        wire[k] = jnp.asarray(np.ascontiguousarray(v).astype(np.int16))
-    wire["first_c"] = wire["first_c"].astype(jnp.int32)
-    return wire, (donor_bits, has_align)
+        host[k] = np.ascontiguousarray(v).astype(np.int16)
+    host["first_c"] = np.asarray(host["first_c"], np.int32)
+    if blob_wire:
+        # One uint32 record per donor -> ONE host->device transfer per
+        # batch step (each extra array pays a fixed dispatch cost on the
+        # serving link); decoded in-program by _unblob.
+        blob = pack_rows_blob(host, R, C, s_flat, s_exc)
+        return {"blob": jnp.asarray(blob)}, (donor_bits, has_align)
+    return ({k: jnp.asarray(v) for k, v in host.items()},
+            (donor_bits, has_align))

@@ -56,7 +56,7 @@ class _MBRec(ctypes.Structure):
 
 
 _NO_QP = -(2 ** 31)
-_ABI_VERSION = 5
+_ABI_VERSION = 6
 
 
 def _warn_degraded(stage: str, exc: Exception | None = None) -> None:
@@ -184,6 +184,25 @@ def load_library(build: bool = True):
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_long),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.cavlc_blob_stride.restype = ctypes.c_long
+    lib.cavlc_blob_stride.argtypes = [ctypes.c_int] * 4
+    lib.cavlc_prepare_rows_blob_batch.restype = ctypes.c_int
+    lib.cavlc_prepare_rows_blob_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     if lib.cavlc_mbrec_size() != ctypes.sizeof(_MBRec):
@@ -504,36 +523,12 @@ def pack_rows_native(patterns: np.ndarray, nbits: np.ndarray,
     return out_pat, out_nb, first_c, int(donor_bits.value), needed.value
 
 
-def prepare_rows_batch(payloads, start_bits, R: int, C: int,
-                       num_ref_donor: int, num_ref_composite: int,
-                       ref_map, s_row: int, *,
-                       at_left_edge: bool = False,
-                       at_top_edge: bool = False,
-                       at_right_edge: bool = False,
-                       left_ring=None, top_ring=None, right_ring=None,
-                       rings_per_donor: bool = False,
-                       n_threads: int = 0, bug_compat: bool = False,
-                       retarget_mvs: bool = False):
-    """Fused, threaded serving prep for a batch of fresh donor payloads.
-
-    One native call runs parse -> composite-nC dense chunks -> row pack
-    -> MV edge roles for every payload (std::thread fan-out across
-    donors; n_threads<=0 = hardware concurrency).  Rings are the shared
-    composite border (static-chrome serving background by default).
-
-    Returns a dict of batch-stacked numpy arrays matching the traced
-    inputs of the rows splice kernel — {row_patterns [N,R,s_row],
-    row_nbits, first_c [N,R], coded [N,M], a_ref/a_mvx/a_mvy/b_*/d_*
-    [N,M]} — plus "donor_bits" [N] and "has_align" [N] host metadata.
-    Raises on any per-donor error; OverflowError when a donor needs more
-    than s_row row slots (retry with a bigger class).
-    """
-    lib = load_library()
-    if lib is None:
-        return None
+def _marshal_rows_inputs(payloads, start_bits, R, C, ref_map,
+                         at_left_edge, at_top_edge, at_right_edge,
+                         left_ring, top_ring, right_ring,
+                         rings_per_donor):
+    """Shared input marshaling for the batched rows/blob prep entries."""
     n = len(payloads)
-    m_total = R * C
-
     concat = np.frombuffer(b"".join(payloads), np.uint8)
     offsets = np.zeros(n + 1, np.int64)
     np.cumsum([len(p) for p in payloads], out=offsets[1:])
@@ -573,6 +568,44 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
         tv, tm = _ring_arrays(top_ring, C + 2)
         lv, lm = _ring_arrays(left_ring, R)
         rv, rm = _ring_arrays(right_ring, max(R - 1, 0))
+    return (concat, offsets, sbits, rmap, tv, tm, lv, lm, rv, rm,
+            per_donor)
+
+
+def prepare_rows_batch(payloads, start_bits, R: int, C: int,
+                       num_ref_donor: int, num_ref_composite: int,
+                       ref_map, s_row: int, *,
+                       at_left_edge: bool = False,
+                       at_top_edge: bool = False,
+                       at_right_edge: bool = False,
+                       left_ring=None, top_ring=None, right_ring=None,
+                       rings_per_donor: bool = False,
+                       n_threads: int = 0, bug_compat: bool = False,
+                       retarget_mvs: bool = False):
+    """Fused, threaded serving prep for a batch of fresh donor payloads.
+
+    One native call runs parse -> composite-nC dense chunks -> row pack
+    -> MV edge roles for every payload (std::thread fan-out across
+    donors; n_threads<=0 = hardware concurrency).  Rings are the shared
+    composite border (static-chrome serving background by default).
+
+    Returns a dict of batch-stacked numpy arrays matching the traced
+    inputs of the rows splice kernel — {row_patterns [N,R,s_row],
+    row_nbits, first_c [N,R], coded [N,M], a_ref/a_mvx/a_mvy/b_*/d_*
+    [N,M]} — plus "donor_bits" [N] and "has_align" [N] host metadata.
+    Raises on any per-donor error; OverflowError when a donor needs more
+    than s_row row slots (retry with a bigger class).
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(payloads)
+    m_total = R * C
+
+    (concat, offsets, sbits, rmap, tv, tm, lv, lm, rv, rm,
+     per_donor) = _marshal_rows_inputs(
+        payloads, start_bits, R, C, ref_map, at_left_edge, at_top_edge,
+        at_right_edge, left_ring, top_ring, right_ring, rings_per_donor)
 
     out_pat = np.zeros((n, R, s_row), np.uint32)
     out_nb = np.zeros((n, R, s_row), np.int32)
@@ -641,6 +674,97 @@ def prepare_rows_batch(payloads, start_bits, R: int, C: int,
         "d_mvy": out_d[:, :, 2].copy(),
         "donor_bits": out_bits, "has_align": out_align.astype(bool),
     }
+
+
+def prepare_rows_blob_batch(payloads, start_bits, R: int, C: int,
+                            num_ref_donor: int, num_ref_composite: int,
+                            ref_map, s_row: int, s_flat: int, s_exc: int,
+                            *,
+                            at_left_edge: bool = False,
+                            at_top_edge: bool = False,
+                            at_right_edge: bool = False,
+                            left_ring=None, top_ring=None,
+                            right_ring=None,
+                            rings_per_donor: bool = False,
+                            n_threads: int = 0, bug_compat: bool = False,
+                            retarget_mvs: bool = False):
+    """prepare_rows_batch with native single-blob emission.
+
+    Each donor's entire serving wire (flat chunk stream + row metadata +
+    exceptions + first_c/coded + edge roles — splice_device.
+    flat_wire_layout) is compacted in C straight into one uint32 record,
+    skipping the padded-array materialization and the numpy compaction.
+    Returns (blob u32[N, stride], donor_bits i64[N], has_align bool[N]),
+    or None when the native library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(payloads)
+
+    (concat, offsets, sbits, rmap, tv, tm, lv, lm, rv, rm,
+     per_donor) = _marshal_rows_inputs(
+        payloads, start_bits, R, C, ref_map, at_left_edge, at_top_edge,
+        at_right_edge, left_ring, top_ring, right_ring, rings_per_donor)
+
+    stride = int(lib.cavlc_blob_stride(R, C, s_flat, s_exc))
+    out_blob = np.zeros((n, stride), np.uint32)
+    out_bits = np.zeros(n, np.int64)
+    out_align = np.zeros(n, np.int32)
+    out_needed = np.zeros(n, np.int32)
+    out_err = np.zeros(n, np.int32)
+
+    def _u8p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+    def _i64p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_long))
+
+    lib.cavlc_prepare_rows_blob_batch(
+        _u8p(concat), _i64p(offsets), _i64p(sbits),
+        n, R, C, num_ref_donor, num_ref_composite,
+        _i32p(rmap), len(rmap), int(at_left_edge), int(at_top_edge),
+        _i32p(tv), _u8p(tm), _i32p(lv), _u8p(lm), _i32p(rv), _u8p(rm),
+        s_row, s_flat, s_exc,
+        out_blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _i64p(out_bits), _i32p(out_align), _i32p(out_needed),
+        _i32p(out_err),
+        n_threads, int(bug_compat), int(retarget_mvs), int(per_donor))
+
+    bad = np.flatnonzero(out_err)
+    if bad.size:
+        codes = out_err[bad]
+        overflow = bad[codes == -101]
+        contract = bad[codes == -103]
+        roles = bad[codes == -104]
+        excs = bad[codes == -105]
+        parse = bad[(codes != -101) & (codes != -103)
+                    & (codes != -104) & (codes != -105)]
+        if parse.size:
+            raise cavlc.CAVLCError(
+                f"blob batch prep failed for donors {parse[:8].tolist()}: "
+                f"codes {out_err[parse][:8].tolist()}")
+        if contract.size:
+            raise NotImplementedError(
+                "donor P_Skips with donor_ref_map[0] != 0: skips "
+                "hardwire composite ref 0 — use retarget_mvs=True "
+                "(explicit conversion) or the host path "
+                f"(donors {contract[:8].tolist()})")
+        if roles.size:
+            raise ValueError(
+                f"donor edge-role MVs exceed the int16 wire range for "
+                f"donors {roles[:8].tolist()} — rejecting instead of "
+                "silently wrapping")
+        if excs.size:
+            raise OverflowError(
+                f"{excs.size} donors need more than {s_exc} nbits "
+                "exceptions; retry with a bigger exception class")
+        raise OverflowError(
+            f"{overflow.size} donors need up to "
+            f"{int(out_needed[overflow].max())} chunk slots "
+            f"(row class {s_row} / flat class {s_flat}); retry with a "
+            "bigger class")
+
+    return out_blob, out_bits, out_align.astype(bool)
 
 
 def retarget_recs_raw(recs, mb_width: int, mb_height: int,

@@ -202,7 +202,9 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
                                   n_rbsp: int | None = None,
                                   ebsp_exact: bool = False,
                                   compact_x: bool = False,
-                                  s_row: int | None = None):
+                                  s_row: int | None = None,
+                                  s_flat: int | None = None,
+                                  s_exc: int | None = None):
     """jit(vmap) of the row-contiguous dense splice kernel (see
     splice_device.pack_donor_rows): byte-identical to the per-MB dense
     step with a fraction of the padded symbol lanes.
@@ -222,7 +224,8 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
             hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn,
             nal_ref_idc=nal_ref_idc,
             has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact,
-            compact_x=compact_x, s_row=s_row)
+            compact_x=compact_x, s_row=s_row, s_flat=s_flat,
+            s_exc=s_exc)
 
     return jax.jit(jax.vmap(one))
 

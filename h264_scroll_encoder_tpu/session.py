@@ -250,6 +250,88 @@ class ComposerSession:
         self.frame_num += 1
         self.frames_written += 1
 
+    def write_fallback_frame(self, frame, *, qp: int = 20,
+                             x264_params: str = "",
+                             long_term_idx: int = 0) -> None:
+        """MASTER_DESIGN §10 fallback: full conventional encode of one
+        frame (docs/MASTER_DESIGN.md:213-220 — specified but never
+        implemented in the reference).
+
+        `frame` is the frame's pixels (a pixel_oracle.Picture or
+        (y, cb, cr) uint8 planes at session dimensions).  It is encoded
+        with the bound libx264 (avref), and the resulting IDR is
+        re-ingested through the non-IDR-I rewrite path as a *reference*
+        frame that MMCO-marks itself long-term `long_term_idx` — i.e. it
+        both displays the conventional encode AND becomes a fresh atlas,
+        so the session keeps composing against it.  The MMCO 4 marking
+        (max_long_term_frame_idx_plus1=2) truncates waypoint long-term
+        indices, so the waypoint chain is reset.
+
+        The donor's PPS QP base is compensated via the slice QP delta
+        (the session PPS is already on the wire and cannot change); a
+        chroma QP offset mismatch cannot be header-compensated and
+        raises with a remedy."""
+        from . import avref
+        from .pixel_oracle import Picture
+
+        if isinstance(frame, Picture):
+            frame = (frame.y, frame.cb, frame.cr)
+        y = np.asarray(frame[0])
+        if y.shape != (self.cfg.height, self.cfg.width):
+            raise ValueError(
+                f"fallback frame is {y.shape[1]}x{y.shape[0]}, session is "
+                f"{self.cfg.width}x{self.cfg.height}")
+        if "chroma-qp-offset" not in x264_params:
+            # x264's psy optimization shifts the chroma QP offset by -2
+            # AFTER param parsing; the session PPS is already on the
+            # wire, so disable psy and pin the offset to match it.
+            pin = (f"psy=0:chroma-qp-offset="
+                   f"{self.cfg.chroma_qp_index_offset}")
+            x264_params = f"{x264_params}:{pin}" if x264_params else pin
+        data = avref.encode_x264([tuple(frame)], qp=qp, keyint=1, refs=1,
+                                 extra_params=x264_params)
+        info = _parse_reference_file(data)
+        sps, pps = info["sps"], info["pps"]
+        if pps.chroma_qp_index_offset != self.cfg.chroma_qp_index_offset:
+            raise ValueError(
+                f"fallback encode chroma_qp_index_offset "
+                f"{pps.chroma_qp_index_offset} != session PPS "
+                f"{self.cfg.chroma_qp_index_offset}; pass x264_params="
+                f"'chroma-qp-offset={self.cfg.chroma_qp_index_offset}'")
+        parse_cfg = ComposerConfig(sps.width, sps.height).with_sps_params(
+            sps.log2_max_frame_num, sps.pic_order_cnt_type,
+            sps.log2_max_pic_order_cnt_lsb,
+        ).with_pps_params(pps.num_ref_idx_l0_default_active_minus1,
+                          pps.deblocking_filter_control_present_flag)
+        self.writer.append_raw(rewrite.rewrite_as_non_idr_i_frame(
+            self.cfg, parse_cfg, info["idr_rbsp"],
+            self.frame_num % (1 << self.cfg.log2_max_frame_num),
+            long_term_idx=long_term_idx,
+            qp_delta_adjust=(pps.pic_init_qp_minus26
+                             - self.cfg.pic_init_qp_minus26)))
+        self.frame_num += 1
+        self.frames_written += 1
+        self.waypoints = WaypointRegistry.empty()
+
+    def write_hint_frame_or_fallback(self, hints, fallback_frame=None,
+                                     **fallback_kw) -> bool:
+        """Hint-composed frame with the MASTER_DESIGN §10 recovery rule:
+        validate the hints first; on HintsNotServable, conventional-
+        encode `fallback_frame` (write_fallback_frame) and continue the
+        session against the fresh atlas.  Returns True when the fallback
+        path was taken; re-raises when no fallback pixels were given."""
+        from .models.splice import HintsNotServable
+
+        try:
+            hints.validate(self.cfg, 2 + self.waypoints.count)
+        except HintsNotServable:
+            if fallback_frame is None:
+                raise
+            self.write_fallback_frame(fallback_frame, **fallback_kw)
+            return True
+        self.write_hint_frame(hints)
+        return False
+
     def write_spliced_frame(self, hints, donor_grid, *,
                             donor_slice_qp: int | None = None,
                             as_reference: bool = False,

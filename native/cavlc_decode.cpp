@@ -498,6 +498,10 @@ int parse_inter(BitReader& br, MBRec* mb, int mb_type, int num_ref,
     }
   }
   if (total_mvs > 16) return kErrMbType;  // mvds[16] capacity invariant
+  // Record the source ref-field span (pred_bits_* is unused for inter
+  // records): the span-verbatim ingest fast path copies around it when
+  // donor and composite active-ref counts differ (te(v) width changes).
+  mb->pred_bits_start = (int32_t)br.pos();
   if (num_ref > 1 && mb_type != 4) {
     int n_refs = mb_type == 3 ? 4 : n_parts;
     mb->n_ref = n_refs;
@@ -505,6 +509,7 @@ int parse_inter(BitReader& br, MBRec* mb, int mb_type, int num_ref,
       mb->ref_idx[i] = (num_ref == 2) ? (1 - br.bit()) : (int32_t)br.ue();
     }
   }
+  mb->pred_bits_len = (int32_t)(br.pos() - mb->pred_bits_start);
   mb->n_mvds = total_mvs;
   for (int i = 0; i < total_mvs; ++i) {
     mb->mvds[i][0] = br.se();
@@ -722,7 +727,7 @@ extern "C" {
 // Bumped whenever the extern "C" surface changes; the Python bridge
 // checks it and rebuilds a stale library instead of calling through a
 // mismatched ABI.
-long cavlc_abi_version(void) { return 5; }
+long cavlc_abi_version(void) { return 6; }
 
 // Emit an MBRec grid (mb_width x mb_height, row-major) as slice MB data.
 // kind==0 records are P_Skip.  src supplies tail/pred/ipcm spans recorded
@@ -2144,6 +2149,15 @@ int cavlc_ingest_slice_rows(
   ChunkWriter cw(out_pat, out_nb, s_row);  // rebound per row below
   MBRec rec;
 
+  // Span-verbatim fast path precondition: with an identity ref map the
+  // emitted values equal the source values, and an interior MB
+  // (col > 0 AND row > 0) sees identical neighbor nC in donor and
+  // composite contexts — so its re-encoded bits equal its source bits,
+  // except the ref_idx te(v) fields when the active-ref counts differ.
+  bool ident_map = ref_map_len >= num_ref_donor;
+  for (int i = 0; i < num_ref_donor && ident_map; ++i)
+    ident_map = ref_map[i] == i;
+
   auto begin_row = [&](int row) {
     if (cur_row >= 0) {
       cw.flush();
@@ -2186,6 +2200,7 @@ int cavlc_ingest_slice_rows(
     int row = count / C, col = count % C;
     if (col == 0) begin_row(row);
 
+    long mb_start = br.pos();
     init_mb(&rec);
     uint32_t t = br.ue();
     rec.mb_type = (int32_t)t;
@@ -2205,9 +2220,40 @@ int cavlc_ingest_slice_rows(
       cw.ue((uint32_t)(col - last_col - 1));
     }
     last_col = col;
-    err = emit_dense_mb(cw, &rec, etrk, col, row, num_ref_composite,
-                        ref_map, ref_map_len, at_left_edge, at_top_edge,
-                        rbsp, nbytes);
+    if (ident_map && row > 0 && col > 0 && rec.kind != 4) {
+      // Span-verbatim: copy the MB's source bits (splitting around the
+      // ref fields when te(v) widths differ); tracker context comes
+      // from the parse side — identical by construction.
+      long mb_end = br.pos();
+      if (rec.kind != 1 || num_ref_donor == num_ref_composite) {
+        cw.copy_bits(rbsp, nbytes, mb_start, mb_end - mb_start);
+      } else {
+        long rs = rec.pred_bits_start, rl = rec.pred_bits_len;
+        cw.copy_bits(rbsp, nbytes, mb_start, rs - mb_start);
+        if (num_ref_composite > 1 && rec.mb_type != 4) {
+          int n_parts = rec.mb_type == 0 ? 1
+                        : (rec.mb_type <= 2 ? 2 : 4);
+          int n_refs = rec.mb_type == 3 ? 4 : n_parts;
+          for (int i = 0; i < n_refs && !err; ++i) {
+            int ref = (rec.n_ref > 0) ? rec.ref_idx[i] : 0;
+            if (ref >= num_ref_composite) { err = -102; break; }
+            if (num_ref_composite == 2) cw.put(1 - (ref & 1), 1);
+            else cw.ue((uint32_t)ref);
+          }
+        } else if (rec.n_ref > 0) {
+          // Composite list has one entry: every donor ref must be 0.
+          for (int i = 0; i < rec.n_ref && !err; ++i)
+            if (rec.ref_idx[i] != 0) err = -102;
+        }
+        if (!err)
+          cw.copy_bits(rbsp, nbytes, rs + rl, mb_end - rs - rl);
+      }
+      if (!err) etrk.push(col, pcur[col]);
+    } else {
+      err = emit_dense_mb(cw, &rec, etrk, col, row, num_ref_composite,
+                          ref_map, ref_map_len, at_left_edge,
+                          at_top_edge, rbsp, nbytes);
+    }
     if (!err)
       err = mvf_step_mb(&rec, count, 4 + col * 4, 4 + row * 4, fb.f,
                         ref_map, ref_map_len, nullptr, nullptr, true);
@@ -2253,6 +2299,237 @@ int cavlc_ingest_slice_rows(
   *out_has_align = has_align;
   if (err) return err;
   return (needed > s_row) ? -101 : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Blob serving wire: one uint32 record per donor carrying every field of
+// the flat wire (models/splice_device.flat_wire_layout) — flat chunk
+// stream + per-row len/tail + sparse nbits exceptions + first_c/coded +
+// int16 edge read-set roles.  Emitting it natively removes the numpy
+// compaction + pack from the serving hot loop, and the single record
+// means ONE host->device transfer per batch step.
+// Word packing is little-endian within each word on both sides.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kErrRoleRange = -104;   // edge role exceeds int16
+constexpr int kErrExcOverflow = -105; // nbits exceptions exceed s_exc
+
+inline long words_of(long bytes) { return (bytes + 3) >> 2; }
+
+// Mirrors splice_device.flat_wire_layout: sequential fields, each
+// starting at a word boundary.
+struct BlobLayout {
+  long flat, row_len, row_tail, exc_idx, exc_val, first_c, coded;
+  long edge[15];  // a_ref,a_mvx,a_mvy, bb_*, lb_*, d_*, db_*
+  long stride;
+};
+
+BlobLayout blob_layout(int R, int C, int s_flat, int s_exc) {
+  BlobLayout L;
+  long off = 0;
+  L.flat = off; off += s_flat;
+  L.row_len = off; off += words_of(2L * R);
+  L.row_tail = off; off += words_of(R);
+  L.exc_idx = off; off += s_exc;
+  L.exc_val = off; off += words_of(s_exc);
+  L.first_c = off; off += R;
+  L.coded = off; off += words_of((long)R * C);
+  const int edge_is_c[15] = {0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0, 1, 1, 1};
+  for (int k = 0; k < 15; ++k) {
+    L.edge[k] = off;
+    off += words_of(2L * (edge_is_c[k] ? C : R));
+  }
+  L.stride = off;
+  return L;
+}
+
+inline int put_i16(uint8_t* base, long word_off, long idx, int32_t v) {
+  if (v < -32768 || v > 32767) return kErrRoleRange;
+  int16_t x = (int16_t)v;
+  std::memcpy(base + word_off * 4 + idx * 2, &x, 2);
+  return 0;
+}
+
+// Compact one donor's padded row arrays into its blob record.
+int blobify_donor(const uint32_t* pat, const int32_t* nb,
+                  const int32_t* first_c, const uint8_t* coded,
+                  const int32_t* a, const int32_t* b, const int32_t* d,
+                  int R, int C, int s_row, int s_flat, int s_exc,
+                  uint32_t* blob, const BlobLayout& L, int* needed_flat) {
+  uint8_t* u8 = (uint8_t*)blob;
+  std::memset(blob, 0, (size_t)L.stride * 4);
+  long total = 0;
+  int n_exc = 0;
+  int err = 0;
+  for (int r = 0; r < R; ++r) {
+    const uint32_t* rp = pat + (long)r * s_row;
+    const int32_t* rn = nb + (long)r * s_row;
+    int len = s_row;
+    while (len > 0 && rn[len - 1] == 0) --len;
+    if (total + len > s_flat) {
+      // Keep scanning to report the true need, but stop writing.
+      total += len;
+      continue;
+    }
+    for (int j = 0; j < len; ++j) {
+      blob[L.flat + total + j] = rp[j];
+      int32_t expect = (j == len - 1) ? rn[len - 1] : 32;
+      if (rn[j] != expect && j != len - 1) {
+        if (n_exc < s_exc) {
+          blob[L.exc_idx + n_exc] = (uint32_t)(total + j);
+          ((int8_t*)u8)[L.exc_val * 4 + n_exc] = (int8_t)rn[j];
+        }
+        ++n_exc;
+      }
+    }
+    err |= put_i16(u8, L.row_len, r, len);
+    ((int8_t*)u8)[L.row_tail * 4 + r] = (int8_t)(len ? rn[len - 1] : 0);
+    total += len;
+  }
+  *needed_flat = (int)total;
+  if (total > s_flat) return -101;
+  if (n_exc > s_exc) return kErrExcOverflow;
+  for (int e = n_exc; e < s_exc; ++e)
+    blob[L.exc_idx + e] = (uint32_t)(int32_t)-1;
+  for (int r = 0; r < R; ++r)
+    blob[L.first_c + r] = (uint32_t)first_c[r];
+  for (long m = 0; m < (long)R * C; ++m)
+    u8[L.coded * 4 + m] = coded[m] ? 1 : 0;
+  // Edge read-set roles (order = _EDGE_WIRE_FIELDS).
+  for (int comp = 0; comp < 3; ++comp) {
+    for (int r = 0; r < R; ++r) {
+      err |= put_i16(u8, L.edge[0 + comp], r,
+                     a[((long)r * C + C - 1) * 3 + comp]);      // a: right col
+      err |= put_i16(u8, L.edge[6 + comp], r,
+                     b[((long)r * C + 0) * 3 + comp]);          // lb: left col
+      err |= put_i16(u8, L.edge[9 + comp], r,
+                     d[((long)r * C + C - 1) * 3 + comp]);      // d: right col
+    }
+    for (int c = 0; c < C; ++c) {
+      err |= put_i16(u8, L.edge[3 + comp], c,
+                     b[((long)(R - 1) * C + c) * 3 + comp]);    // bb: bottom
+      err |= put_i16(u8, L.edge[12 + comp], c,
+                     d[((long)(R - 1) * C + c) * 3 + comp]);    // db: bottom
+    }
+  }
+  return err ? kErrRoleRange : 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+long cavlc_blob_stride(int R, int C, int s_flat, int s_exc) {
+  return blob_layout(R, C, s_flat, s_exc).stride;
+}
+
+// prepare_rows_batch with native blob emission: identical ingest, but
+// each donor's outputs land in thread-local scratch and are compacted
+// straight into out_blob[i * stride].
+int cavlc_prepare_rows_blob_batch(
+    const uint8_t* payloads, const long* offsets, const long* start_bits,
+    int n, int R, int C, int num_ref_donor, int num_ref_composite,
+    const int32_t* ref_map, int ref_map_len,
+    int at_left_edge, int at_top_edge,
+    const int32_t* top_ring, const uint8_t* top_valid,
+    const int32_t* left_ring, const uint8_t* left_valid,
+    const int32_t* right_ring, const uint8_t* right_valid,
+    int s_row, int s_flat, int s_exc,
+    uint32_t* out_blob, long* out_donor_bits, int32_t* out_has_align,
+    int32_t* out_needed, int32_t* out_err,
+    int n_threads, int bug_compat, int retarget_mvs,
+    int rings_per_donor) {
+  const long M = (long)R * C;
+  const BlobLayout L = blob_layout(R, C, s_flat, s_exc);
+  if (n_threads <= 0) {
+    unsigned hw = std::thread::hardware_concurrency();
+    n_threads = hw ? (int)hw : 1;
+  }
+  if (n_threads > n) n_threads = n > 0 ? n : 1;
+
+  std::atomic<int> next{0};
+  auto work = [&]() {
+    MBRec* recs = retarget_mvs ? new MBRec[M] : nullptr;
+    std::vector<uint32_t> pat((long)R * s_row);
+    std::vector<int32_t> nb((long)R * s_row);
+    std::vector<int32_t> first_c(R);
+    std::vector<uint8_t> coded(M);
+    std::vector<int32_t> va(M * 3), vb(M * 3), vd(M * 3);
+    int i;
+    while ((i = next.fetch_add(1)) < n) {
+      const uint8_t* p = payloads + offsets[i];
+      long nbytes = offsets[i + 1] - offsets[i];
+      const int32_t* tr = top_ring;
+      const uint8_t* tv = top_valid;
+      const int32_t* lr = left_ring;
+      const uint8_t* lv = left_valid;
+      const int32_t* rr = right_ring;
+      const uint8_t* rv = right_valid;
+      if (rings_per_donor) {
+        long tn = C + 2, ln = R, rn = R > 1 ? R - 1 : 0;
+        tr += (long)i * tn * 3; tv += (long)i * tn;
+        lr += (long)i * ln * 3; lv += (long)i * ln;
+        rr += (long)i * rn * 3; rv += (long)i * rn;
+      }
+      std::memset(nb.data(), 0, sizeof(int32_t) * (size_t)R * s_row);
+      long row_bits = 0;
+      int has_align = 0, needed = 0;
+      int err;
+      if (!retarget_mvs) {
+        err = cavlc_ingest_slice_rows(
+            p, nbytes, start_bits[i], R, C, num_ref_donor,
+            num_ref_composite, ref_map, ref_map_len, at_left_edge,
+            at_top_edge, tr, tv, lr, lv, rr, rv, s_row,
+            pat.data(), nb.data(), first_c.data(), coded.data(),
+            va.data(), vb.data(), vd.data(), &row_bits, &has_align,
+            &needed, bug_compat);
+      } else {
+        long end_bit = 0;
+        err = cavlc_parse_slice(p, nbytes, start_bits[i], C, R, 1,
+                                num_ref_donor, recs, &end_bit,
+                                bug_compat);
+        if (!err)
+          err = cavlc_retarget_recs(recs, R, C, num_ref_composite,
+                                    ref_map, ref_map_len, tr, tv, lr,
+                                    lv, rr, rv);
+        if (!err)
+          err = cavlc_ingest_rows(recs, R, C, num_ref_composite, ref_map,
+                                  ref_map_len, at_left_edge, at_top_edge,
+                                  p, nbytes, tr, tv, lr, lv, rr, rv,
+                                  s_row, pat.data(), nb.data(),
+                                  first_c.data(), coded.data(),
+                                  va.data(), vb.data(), vd.data(),
+                                  &row_bits, &has_align, &needed,
+                                  bug_compat);
+      }
+      int needed_flat = 0;
+      if (!err)
+        err = blobify_donor(pat.data(), nb.data(), first_c.data(),
+                            coded.data(), va.data(), vb.data(), vd.data(),
+                            R, C, s_row, s_flat, s_exc,
+                            out_blob + (long)i * L.stride, L,
+                            &needed_flat);
+      out_donor_bits[i] = row_bits;
+      out_has_align[i] = has_align;
+      out_needed[i] = needed_flat > needed ? needed_flat : needed;
+      out_err[i] = err;
+    }
+    delete[] recs;
+  };
+
+  if (n_threads <= 1) {
+    work();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(work);
+    for (auto& th : pool) th.join();
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -35,6 +35,45 @@ from pathlib import Path
 
 import pytest
 
+# Every compiled XLA:CPU executable pins a handful of JIT code mappings
+# for the life of the process; a full-suite run accumulates ~65k and
+# crosses the kernel's vm.max_map_count (65530 default), at which point
+# mmap failure segfaults inside jaxlib (observed round 4: the suite died
+# reproducibly in whichever test compiled next once the count was
+# reached).  Two defenses: raise the limit when permitted, and clear
+# jax's executable caches between test modules to bound growth.
+try:
+    subprocess.run(["sysctl", "-w", "vm.max_map_count=1048576"],
+                   capture_output=True, check=False)
+except OSError:
+    pass
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def _map_limit() -> int:
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read())
+    except (OSError, ValueError):
+        return 65530
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_mappings():
+    yield
+    # Clear only when within ~8k mappings of the limit (the largest
+    # observed per-test growth is ~4k): when the sysctl raise succeeded
+    # this never fires and warm caches survive the whole run.
+    if _map_count() > _map_limit() - 8192:
+        jax.clear_caches()
+
 REFERENCE_DIR = Path("/root/reference")
 REF_BUILD_DIR = Path("/tmp/refbuild")
 

@@ -890,3 +890,132 @@ def test_flat_wire_matches_padded_one_program():
 
     assert step._cache_size() == 1, (
         f"flat-wire program recompiled: cache size {step._cache_size()}")
+
+
+def test_blob_wire_matches_padded_one_program():
+    """The single-blob wire (all donor fields in one uint32 record,
+    decoded in-program) composes byte-identically to the padded wire
+    through ONE compiled program."""
+    from h264_scroll_encoder_tpu.parallel import batch
+    from h264_scroll_encoder_tpu.syntax.nal import write_nal_unit
+
+    rng = np.random.default_rng(505)
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    R, C = 5, 6
+    r0, c0 = 3, 7
+    num_refs = 2
+    frame_num = 3
+
+    donors = []
+    for k in range(8):
+        if k % 3 == 0:
+            g = fixtures.dense_donor_grid(rng, C, R)
+        elif k % 3 == 1:
+            g = fixtures.representative_donor_grid(rng, C, R)
+        else:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+            g[0][0] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+            g[2] = [mbt.SKIP] * C
+        donors.append(g)
+    payloads = []
+    for donor in donors:
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, donor, 1)
+        bw.write_trailing_bits()
+        payloads.append(bw.getvalue())
+
+    CLASS = 256
+    S_FLAT = splice_device.flat_chunk_class(R * CLASS)
+    S_EXC = 32
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32)
+    step = batch.make_batched_splice_step_rows(
+        cfg, c0, r0, C, R, num_refs, has_align=True, n_rbsp=budget,
+        compact_x=True, s_row=CLASS, s_flat=S_FLAT, s_exc=S_EXC)
+
+    dn, _meta = splice_device.prepare_donor_rows_serving(
+        payloads, [0] * len(payloads), R, C, 1, num_refs, s_row=CLASS,
+        blob_wire=True, s_flat=S_FLAT, s_exc=S_EXC)
+    assert set(dn) == {"blob"}
+
+    B = len(payloads)
+    zero = jnp.zeros((B, H, W), jnp.int32)
+    bg_coded = jnp.zeros((B, H, W), bool)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(frame_num), jnp.int32(frame_num * 2),
+        is_reference=False, long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    nal, nal_len, _, ovf = step(bcast(hp), bcast(hn), zero, zero, zero,
+                                bg_coded, dn)
+    assert not bool(np.asarray(ovf).any())
+    assert step._cache_size() == 1
+
+    for i, donor in enumerate(donors):
+        dev_bytes = np.asarray(nal[i])[: int(nal_len[i])].tobytes()
+        hints = FrameHints(motion_regions=(), dynamic_mb_x=c0,
+                           dynamic_mb_y=r0)
+        grid = splice.splice_p_frame(cfg, hints, donor, num_refs)
+
+        def hdr_writer(bw2):
+            write_p_slice_header(bw2, cfg, frame_num)
+
+        host_rbsp = splice.finalize_spliced_frame(cfg, grid, num_refs,
+                                                  hdr_writer)
+        assert dev_bytes == write_nal_unit(host_rbsp, 0, 1), f"donor {i}"
+
+
+def test_native_blob_equals_python_pack():
+    """The native blob emission (cavlc_prepare_rows_blob_batch) must be
+    byte-identical to the python rows_flat_wire + pack_rows_blob of the
+    padded arrays, across donor families incl. I_PCM/align and all-skip
+    rows, in both plain and retarget modes."""
+    from h264_scroll_encoder_tpu import native_bridge
+
+    if not native_bridge.native_available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(906)
+    R, C = 5, 6
+    pays = []
+    for k in range(9):
+        if k % 3 == 0:
+            g = fixtures.dense_donor_grid(rng, C, R)
+        elif k % 3 == 1:
+            g = fixtures.representative_donor_grid(rng, C, R)
+        else:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+            g[0][1] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+            g[2] = [mbt.SKIP] * C
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, g, 1)
+        bw.write_trailing_bits()
+        pays.append(bw.getvalue())
+
+    CLASS, S_FLAT, S_EXC = 256, 1280, 32
+    for retarget, nrefs in ((False, 2), (True, 3)):
+        padded = native_bridge.prepare_rows_batch(
+            pays, [0] * len(pays), R, C, 1, nrefs, (0,), CLASS,
+            retarget_mvs=retarget)
+        fw, _, _ = splice_device.rows_flat_wire(
+            padded["row_patterns"], padded["row_nbits"],
+            s_flat=S_FLAT, s_exc=S_EXC)
+        host = dict(fw)
+        host["first_c"] = padded["first_c"].astype(np.int32)
+        host["coded"] = padded["coded"]
+        roles = {k: padded[k] for k in
+                 ("a_ref", "a_mvx", "a_mvy", "b_ref", "b_mvx", "b_mvy",
+                  "d_ref", "d_mvx", "d_mvy")}
+        for k, v in splice_device._edge_roles_wire(roles, R, C).items():
+            host[k] = np.ascontiguousarray(v).astype(np.int16)
+        py_blob = splice_device.pack_rows_blob(host, R, C, S_FLAT, S_EXC)
+
+        nat_blob, nat_bits, nat_align = native_bridge.prepare_rows_blob_batch(
+            pays, [0] * len(pays), R, C, 1, nrefs, (0,), CLASS, S_FLAT,
+            S_EXC, retarget_mvs=retarget)
+        np.testing.assert_array_equal(nat_blob, py_blob,
+                                      err_msg=f"retarget={retarget}")
+        np.testing.assert_array_equal(nat_bits, padded["donor_bits"])
+        np.testing.assert_array_equal(nat_align, padded["has_align"])
