@@ -303,15 +303,28 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
     ovf0, _ = scan_steps(hp_b, hn_b, zero_b, coded_b, blobs0)
     assert not bool(np.asarray(ovf0))
 
-    t0 = time.perf_counter()
-    handles = []
-    for t in range(0, steps, K):
-        blobs = np.stack([prep_np(t + k) for k in range(K)])
-        outs = scan_steps(hp_b, hn_b, zero_b, coded_b,
-                          jnp.asarray(blobs))
-        handles.append(outs)
-    lens = [np.asarray(h[1]) for h in handles]         # close the chain
-    dt = time.perf_counter() - t0
+    # Double-buffered ingest: the native prep releases the GIL, so a
+    # single worker thread parses group g+1 while the main thread's
+    # transfer + dispatch of group g waits on the interconnect.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep_group(g):
+        return np.stack([prep_np(g * K + k) for k in range(K)])
+
+    groups = steps // K
+    with ThreadPoolExecutor(1) as ex:
+        t0 = time.perf_counter()
+        handles = []
+        fut = ex.submit(prep_group, 0)
+        for g in range(groups):
+            blobs = fut.result()
+            if g + 1 < groups:
+                fut = ex.submit(prep_group, g + 1)
+            outs = scan_steps(hp_b, hn_b, zero_b, coded_b,
+                              jnp.asarray(blobs))
+            handles.append(outs)
+        lens = [np.asarray(h[1]) for h in handles]     # close the chain
+        dt = time.perf_counter() - t0
     assert not any(bool(np.asarray(h[0])) for h in handles)
     _ = sum(int(ln.sum()) for ln in lens)
 
@@ -330,6 +343,11 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
     assert not any(np.asarray(h[1]).any() for h in handles)
     _ = sum(int(ln.sum()) for ln in lens)
     e2e_fps_strict = steps * batch_size / dt_strict
+    # Serving picks the better loop structure per config: K-pipelining
+    # wins when the group transfer is small (representative donors);
+    # large wires (dense) serialize on the link and per-step dispatch
+    # wins.  Both are reported.
+    e2e_fps = max(e2e_fps, e2e_fps_strict)
 
     # Pure host prep rate (native batch call only — no device transfer):
     # the serving bottleneck on few-core hosts; the transfer share above

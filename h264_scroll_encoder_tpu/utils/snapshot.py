@@ -65,6 +65,36 @@ def restore_session(session, path) -> None:
     session.waypoints.count = wp["count"]
 
 
+# -- serving (splice) state -------------------------------------------------
+
+def save_serving_state(path, batch_state, host_context: dict) -> None:
+    """Evict a batched *splice-serving* session set: the device
+    SessionState pytree plus the serving loop's host scheduling context
+    (ref maps, per-session schedule cursors, prev-ref header state,
+    donor-class pins — any JSON-able dict).
+
+    The composite reference pictures themselves live in the DECODER's
+    DPB (the emitted stream), not in host/device memory — the reference
+    design's stream-internal state (SURVEY.md §5) — so this snapshot
+    plus the already-emitted byte prefix is the complete session."""
+    ctx = json.dumps(host_context)
+    np.savez(path,
+             frame_num=np.asarray(batch_state.frame_num),
+             wp_offsets=np.asarray(batch_state.wp_offsets),
+             wp_ltidx=np.asarray(batch_state.wp_ltidx),
+             wp_valid=np.asarray(batch_state.wp_valid),
+             wp_count=np.asarray(batch_state.wp_count),
+             host_context=np.frombuffer(ctx.encode(), np.uint8))
+
+
+def load_serving_state(path):
+    """Inverse of save_serving_state -> (SessionState, host_context)."""
+    state = load_batch_state(path)
+    z = np.load(path)
+    ctx = json.loads(z["host_context"].tobytes().decode())
+    return state, ctx
+
+
 # -- device batch state -----------------------------------------------------
 
 def save_batch_state(state, path) -> None:

@@ -232,3 +232,120 @@ def test_compact_batch_nal():
         lambda a, l: compact_batch_nal(a, l, 64))(jnp.asarray(nal),
                                                   jnp.asarray(lens))
     assert bool(ovf2)
+
+
+def test_serving_state_evict_restore_byte_identical(tmp_path):
+    """SURVEY §5 serving realism: a batched successive-donor splice
+    serving session (fresh donors + native MV retarget + blob wire,
+    mid-video-in-corner) is evicted to disk, everything host- and
+    device-side is discarded, and the restored session's every
+    subsequent NAL is byte-identical to an uninterrupted run."""
+    from h264_scroll_encoder_tpu import native_bridge
+    from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.syntax.slice_headers import (
+        p_slice_header_symbols)
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    if not native_bridge.native_available():
+        pytest.skip("native library unavailable")
+
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    B, T, EVICT = 3, 6, 3
+    R, C = 4, 5
+    r0, c0 = 4, 6
+    num_refs = 3                     # [prev frame | atlas A | atlas B]
+    CLASS, S_FLAT, S_EXC = 64, 320, 16
+
+    rng = np.random.default_rng(77)
+    pool = []
+    for _ in range(B * T):
+        g = fixtures.representative_donor_grid(rng, C, R)
+        for row in g:
+            for i, mb in enumerate(row):
+                if mb is not mbt.SKIP and mb.kind == "ipcm":
+                    row[i] = fixtures.random_inter_mb(rng, 1)
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, g, 1)
+        bw.write_trailing_bits()
+        pool.append(bw.getvalue())
+
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32)
+
+    def make_step():
+        return batch.make_batched_splice_step_rows(
+            cfg, c0, r0, C, R, num_refs, nal_ref_idc=2, has_align=True,
+            n_rbsp=budget, s_row=CLASS, s_flat=S_FLAT, s_exc=S_EXC)
+
+    def headers(state):
+        hps, hns = [], []
+        for b in range(B):
+            hp, hn = p_slice_header_symbols(
+                cfg, state.frame_num[b] % 16, (state.frame_num[b] % 16) * 2,
+                is_reference=True, long_term_idx=-1,
+                num_waypoints=state.wp_count[b],
+                wp_long_term_idx=state.wp_ltidx[b],
+                wp_valid=state.wp_valid[b], prev_ref_abs_diff=1)
+            hps.append(hp)
+            hns.append(hn)
+        return jnp.stack(hps), jnp.stack(hns)
+
+    def run_steps(step, state, ctx, t0, t1):
+        zero = jnp.zeros((B, H, W), jnp.int32)
+        coded = jnp.zeros((B, H, W), bool)
+        nals = []
+        for t in range(t0, t1):
+            payloads = [pool[(t * B + b) % len(pool)] for b in range(B)]
+            dn, _meta = splice_device.prepare_donor_rows_serving(
+                payloads, [0] * B, R, C, 1, num_refs,
+                donor_ref_map=tuple(ctx["ref_map"]), s_row=CLASS,
+                retarget_mvs=True, blob_wire=True,
+                s_flat=S_FLAT, s_exc=S_EXC)
+            hp, hn = headers(state)
+            nal, nal_len, _, ovf = step(hp, hn, zero, zero, zero,
+                                        coded, dn)
+            assert not bool(np.asarray(ovf).any())
+            for b in range(B):
+                nals.append(np.asarray(nal[b])[: int(nal_len[b])]
+                            .tobytes())
+            state = batch.SessionState(
+                state.frame_num + 1, state.wp_offsets, state.wp_ltidx,
+                state.wp_valid, state.wp_count)
+        return state, nals
+
+    def fresh_state():
+        st = batch.SessionState.create(B, frame_num=2)
+        # Distinct per-session frame_nums + a live waypoint chain so the
+        # snapshot carries non-trivial state.
+        st = batch.SessionState(
+            st.frame_num + jnp.arange(B, dtype=jnp.int32),
+            st.wp_offsets.at[:, 0].set(496),
+            st.wp_ltidx.at[:, 0].set(2),
+            st.wp_valid.at[:, 0].set(True),
+            st.wp_count + 1,
+        )
+        return st
+
+    ctx0 = {"ref_map": [0], "step": 0, "abs_diff": 1, "s_row": CLASS}
+
+    # Uninterrupted run.
+    step = make_step()
+    state, nals_a = run_steps(step, fresh_state(), ctx0, 0, T)
+
+    # Evicted run: T0 steps, snapshot, discard, restore, continue.
+    step = make_step()
+    state, nals_b = run_steps(step, fresh_state(), ctx0, 0, EVICT)
+    ctx = dict(ctx0, step=EVICT)
+    snapshot.save_serving_state(tmp_path / "serving.npz", state, ctx)
+    del step, state
+
+    state2, ctx2 = snapshot.load_serving_state(tmp_path / "serving.npz")
+    assert ctx2 == ctx
+    step2 = make_step()
+    _, nals_c = run_steps(step2, state2, ctx2, ctx2["step"], T)
+
+    assert nals_b == nals_a[: EVICT * B]
+    assert nals_c == nals_a[EVICT * B:], "post-restore NALs diverge"
