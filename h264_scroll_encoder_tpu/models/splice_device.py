@@ -1224,6 +1224,30 @@ def splice_rbsp_budget(cfg: ComposerConfig, m_donor: int, donor_bits: int,
     return (total + quantum - 1) // quantum * quantum
 
 
+def splice_rows_rbsp_budget(cfg: ComposerConfig, m_donor: int, rows: int,
+                            donor_bits: int, *,
+                            bg_bits_per_mb: int | None = None,
+                            static_bg: bool = False,
+                            quantum: int = 2048) -> int:
+    """Static RBSP byte budget for the ROW-CONTIGUOUS splice layout.
+
+    Unlike splice_rbsp_budget (per-MB dense layout), the rows kernel has
+    exactly ONE dynamic skip-run slot per rect row — so the slack is
+    rows*32 bits, not m_donor*32 (a 23x23 donor at 720p: 16.2 kbit less
+    slack), and the quantum is finer (the packer + emulation-prevention
+    cost scales with this static buffer: measured 82% of the batch step
+    at the 8192-byte quantum's worst-case rounding).  static_bg=True
+    sizes for the bg_static_skip program (all-skip background emits no
+    background symbols at all)."""
+    if static_bg:
+        bg_bits = 0
+    else:
+        bg_bits = (cfg.total_mbs - m_donor) * (bg_bits_per_mb
+                                               or cfg.rbsp_bits_per_mb)
+    total = (bg_bits + donor_bits + rows * 32 + 2048) // 8
+    return (total + quantum - 1) // quantum * quantum
+
+
 def _dense_prologue(cfg, r0, c0, R, C, num_refs,
                     bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn):
     """Shared composite-grid stage of the dense splice emitters: role
@@ -1443,8 +1467,12 @@ def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
-    rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
-                                                     n_rbsp)
+    # Direct-placement packer: at splice shapes (8k+ symbol lanes, 3-4k
+    # word budgets) it beats the merge tree (1.64 vs 1.82 ms per
+    # batch-256 step, v5e) — the tree wins only at the scroll config's
+    # smaller budgets, which keeps pack_bytes_tree there.
+    rbsp_bytes, total_bits = bitpack.pack_bytes_place(patterns, nbits,
+                                                      n_rbsp)
     rbsp_len = total_bits // 8
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
@@ -1480,7 +1508,8 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                             compact_x: bool = False,
                             s_row: int | None = None,
                             s_flat: int | None = None,
-                            s_exc: int | None = None):
+                            s_exc: int | None = None,
+                            bg_static_skip: bool = False):
     """Device splice over the row-contiguous donor layout (DonorRows).
 
     Donor bits arrive as ONE fused chunk stream per rect row with the
@@ -1520,6 +1549,59 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
         dn["row_patterns"], dn["row_nbits"] = _rows_from_flat(dn, R, s_row)
     else:
         dn["row_nbits"] = dn["row_nbits"].astype(jnp.int32)
+
+    if bg_static_skip:
+        # Static-chrome serving shape (MASTER_DESIGN: static UI around
+        # one dynamic rect): every background MB is P_Skip with zero
+        # motion — the caller guarantees bg_coded all-False and zero
+        # bg ref/mv fields.  No background symbols exist, so the
+        # full-frame prologue (role stencil, 3600-lane skip-run scan,
+        # background symbol grids) collapses to R-lane arithmetic over
+        # the donor coded mask; byte-identical to the generic program on
+        # such inputs (test_splice_device parity) at a fraction of the
+        # symbol lanes (23x23 @720p: 2.3k vs 8.5k) and of the RBSP
+        # budget (splice_rows_rbsp_budget(static_bg=True)).
+        n_mbs = cfg.total_mbs
+        coded = jnp.asarray(dn["coded"], bool).reshape(R, C)
+        first_c = jnp.asarray(dn["first_c"], jnp.int32)
+        cols = jnp.arange(C, dtype=jnp.int32)
+        last_c = jnp.max(jnp.where(coded, cols[None, :], -1), axis=1)
+        row_flat0 = (r0 + jnp.arange(R, dtype=jnp.int32)) * W + c0
+        first_flat = row_flat0 + jnp.maximum(first_c, 0)
+        last_flat = jnp.where(last_c >= 0, row_flat0 + last_c,
+                              jnp.int32(-1))
+        run_max = jax.lax.associative_scan(jnp.maximum, last_flat)
+        prev_flat = jnp.concatenate(
+            [jnp.full((1,), -1, jnp.int32), run_max[:-1]])
+        valid = first_c >= 0
+        run = jnp.maximum(first_flat - prev_flat - 1, 0)
+        sr_pat, sr_n = expgolomb.ue(run.astype(jnp.uint32))
+        dyn_p = jnp.where(valid, sr_pat, 0)[:, None].astype(jnp.uint32)
+        dyn_n = jnp.where(valid, sr_n, 0)[:, None].astype(jnp.int32)
+
+        tail_skips = jnp.int32(n_mbs) - 1 - run_max[-1]
+        ts_pat, ts_n = expgolomb.ue(tail_skips.astype(jnp.uint32))
+        ts_n = jnp.where(tail_skips > 0, ts_n, 0)
+
+        patterns = jnp.concatenate(
+            [header_patterns,
+             jnp.concatenate(
+                 [dyn_p, dn["row_patterns"].astype(jnp.uint32)],
+                 axis=1).reshape(-1),
+             ts_pat[None]])
+        nbits = jnp.concatenate(
+            [header_nbits,
+             jnp.concatenate([dyn_n, dn["row_nbits"]], axis=1)
+             .reshape(-1),
+             ts_n[None]])
+        if n_rbsp is None:
+            if donor_bits is None:
+                donor_bits = R * dn["row_patterns"].shape[1] * 32
+            n_rbsp = splice_rows_rbsp_budget(cfg, M, R, donor_bits,
+                                             static_bg=True)
+        return _finish_splice(patterns, nbits, n_rbsp, nal_ref_idc,
+                              has_align=has_align, ebsp_exact=ebsp_exact)
+
     if "edge_a_ref" in dn:
         dn.update(edge_roles_to_full(dn, R, C))
 

@@ -204,7 +204,8 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
                                   compact_x: bool = False,
                                   s_row: int | None = None,
                                   s_flat: int | None = None,
-                                  s_exc: int | None = None):
+                                  s_exc: int | None = None,
+                                  bg_static_skip: bool = False):
     """jit(vmap) of the row-contiguous dense splice kernel (see
     splice_device.pack_donor_rows): byte-identical to the per-MB dense
     step with a fraction of the padded symbol lanes.
@@ -213,7 +214,11 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
     roles) is a traced array inside `dn`, so ONE compiled program serves
     all donors sharing the rect geometry, the row chunk class, and the
     n_rbsp budget — the serving requirement that per-frame fresh donors
-    never recompile.  compact_x packs background MBs into 2 symbol slots
+    never recompile.  bg_static_skip compiles the static-chrome serving
+    program (all background MBs P_Skip with zero motion — the
+    MASTER_DESIGN shape): no background symbols, R-lane skip-run math,
+    byte-identical to the generic program on such inputs at a fraction
+    of the cost.  compact_x packs background MBs into 2 symbol slots
     (valid when every background mv_x is zero; the rect-adjacent ring
     keeps 3 slots for its donor-influenced mvd_x)."""
     from ..models import splice_device
@@ -225,7 +230,7 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
             nal_ref_idc=nal_ref_idc,
             has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact,
             compact_x=compact_x, s_row=s_row, s_flat=s_flat,
-            s_exc=s_exc)
+            s_exc=s_exc, bg_static_skip=bg_static_skip)
 
     return jax.jit(jax.vmap(one))
 

@@ -179,6 +179,38 @@ static void fill_tok(TokLutEnt* lut, const CoeffTokenRow* table, int n) {
   }
 }
 
+// Level-code LUT: 16-bit peek -> (consumed bits, next suffix_length).
+// read_block needs only each level's bit LENGTH and the suffix-length
+// adaptation (level values live in the verbatim tail span), so one
+// lookup replaces the clz + suffix-bits + arithmetic chain per level.
+// Indexed [first][suffix_length] where first = (i == 0 && t1 < 3) (the
+// +2 level_code bias changes the adaptation threshold crossing).
+// len == 0 marks codes longer than 16 bits (prefix 14 at s=0, prefix
+// 15, or oversized prefixes): fall back to the arithmetic path.
+struct LevLutEnt { uint8_t len, next_s; };
+static LevLutEnt g_lev_lut[2][7][1 << 16];
+
+static void fill_lev() {
+  for (int first = 0; first < 2; ++first)
+    for (int s = 0; s < 7; ++s)
+      for (int p = 0; p <= 14; ++p) {
+        if (p == 14 && s == 0) continue;           // 4-bit suffix, L=19
+        int L = p + 1 + s;
+        if (L > 16) continue;
+        for (int v = 0; v < (1 << s); ++v) {
+          int level_code = (p << s) + v + (first ? 2 : 0);
+          int abs_level = level_code / 2 + 1;      // |level| either sign
+          int s2 = s == 0 ? 1 : s;
+          if (abs_level > (3 << (s2 - 1)) && s2 < 6) ++s2;
+          uint32_t code = (1u << s) | (uint32_t)v;  // zeros,1,suffix
+          uint32_t base = code << (16 - L);
+          uint32_t span = 1u << (16 - L);
+          for (uint32_t w = 0; w < span; ++w)
+            g_lev_lut[first][s][base + w] = {(uint8_t)L, (uint8_t)s2};
+        }
+      }
+}
+
 static void fill_vlc(uint16_t* lut, const VlcRow* row) {
   for (int v = 0; v < 18; ++v) {
     int L = row[v].len;
@@ -200,6 +232,7 @@ struct LutInit {
     for (int i = 0; i < 3; ++i)
       fill_vlc(g_tzc_lut[i], kTotalZerosChromaDc[i]);
     for (int i = 0; i < 7; ++i) fill_vlc(g_rb_lut[i], kRunBefore[i]);
+    fill_lev();
   }
 };
 static LutInit g_lut_init;
@@ -247,6 +280,13 @@ int read_block(BitReader& br, int nC, int max_coeff, BlockRec* out) {
 
   int suffix_length = (tc > 10 && t1 < 3) ? 1 : 0;
   for (int i = 0; i < tc - t1; ++i) {
+    const LevLutEnt& le =
+        g_lev_lut[i == 0 && t1 < 3][suffix_length][br.peek(16)];
+    if (le.len) {
+      br.seek(br.pos() + le.len);
+      suffix_length = le.next_s;
+      continue;
+    }
     int prefix = br.zeros_then_one(16);
     if (prefix > 15) return kErrLevel;
     int level_code = prefix << suffix_length;

@@ -1019,3 +1019,109 @@ def test_native_blob_equals_python_pack():
                                       err_msg=f"retarget={retarget}")
         np.testing.assert_array_equal(nat_bits, padded["donor_bits"])
         np.testing.assert_array_equal(nat_align, padded["has_align"])
+
+
+def test_bg_static_skip_matches_generic():
+    """The static-chrome serving program (bg_static_skip=True: no
+    background symbols, R-lane skip-run math) is byte-identical to the
+    generic rows program on all-skip-background inputs, across donor
+    families (dense, representative, I_PCM/align, all-skip rows,
+    all-skip donors) and rect geometries including frame corners and a
+    full-width rect, over both the plain arrays and the blob wire."""
+    cfg = ComposerConfig(320, 240)
+    H, W = cfg.mb_height, cfg.mb_width
+    rng = np.random.default_rng(907)
+    hp, hn = p_slice_header_symbols(
+        cfg, jnp.int32(3), jnp.int32(6), is_reference=False,
+        long_term_idx=-1, num_waypoints=jnp.int32(0),
+        wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
+        wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
+    zero = jnp.zeros((H, W), jnp.int32)
+    bg_coded = jnp.zeros((H, W), bool)
+
+    def make_grid(k, C, R):
+        if k % 4 == 0:
+            return fixtures.dense_donor_grid(rng, C, R)
+        if k % 4 == 1:
+            return fixtures.representative_donor_grid(rng, C, R)
+        if k % 4 == 2:
+            g = fixtures.random_p_slice_grid(rng, C, R, 1)
+            g[0][0] = fixtures.random_ipcm_mb(rng, in_p_slice=True)
+            if R > 2:
+                g[1] = [mbt.SKIP] * C
+            return g
+        return [[mbt.SKIP] * C for _ in range(R)]   # donor all-skip
+
+    geoms = [(4, 3, 5, 4), (0, 0, 5, 4), (W - 5, 3, 5, 4),
+             (4, H - 4, 5, 4), (0, 5, W, 3), (6, 6, 1, 1)]
+    for k, (c0, r0, C, R) in enumerate(geoms):
+        grid = make_grid(k, C, R)
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, grid, 1)
+        bw.write_trailing_bits()
+        dd = splice_device.prepare_donor_dense_from_slice(
+            bw.getvalue(), 0, C, R, 1, 2)
+        dr = splice_device.pack_donor_rows(dd, R, C)
+        dn = splice_device.rows_device_arrays(dr)
+        budget = splice_device.splice_rbsp_budget(cfg, R * C,
+                                                  dr.donor_bits)
+        common = dict(has_align=dr.has_align, n_rbsp=budget)
+        a = splice_device.emit_spliced_frame_rows(
+            cfg, c0, r0, R, C, 2, hp, hn, zero, zero, zero, bg_coded,
+            dn, **common)
+        b = splice_device.emit_spliced_frame_rows(
+            cfg, c0, r0, R, C, 2, hp, hn, zero, zero, zero, bg_coded,
+            dn, bg_static_skip=True, **common)
+        la, lb = int(a[1]), int(b[1])
+        assert not bool(np.asarray(a[3])) and not bool(np.asarray(b[3]))
+        assert la == lb, (c0, r0, C, R)
+        assert (np.asarray(a[0])[:la] == np.asarray(b[0])[:lb]).all(), \
+            (c0, r0, C, R)
+
+        # The static-bg budget (no background allowance) must hold too.
+        tight = splice_device.splice_rows_rbsp_budget(
+            cfg, R * C, R, dr.donor_bits, static_bg=True)
+        c = splice_device.emit_spliced_frame_rows(
+            cfg, c0, r0, R, C, 2, hp, hn, zero, zero, zero, bg_coded,
+            dn, bg_static_skip=True, has_align=dr.has_align,
+            n_rbsp=tight)
+        lc = int(c[1])
+        assert not bool(np.asarray(c[3])), (c0, r0, C, R, tight)
+        assert lc == la
+        assert (np.asarray(c[0])[:lc] == np.asarray(a[0])[:la]).all()
+
+    # Blob-wire form through the batched factory (the serving path).
+    from h264_scroll_encoder_tpu import native_bridge
+    from h264_scroll_encoder_tpu.parallel import batch
+    if not native_bridge.native_available():
+        return
+    C, R, c0, r0 = 5, 4, 4, 3
+    pays = []
+    for k in range(6):
+        g = make_grid(k, C, R)
+        bw = BitWriter()
+        mbt.emit_p_slice_mbs(bw, g, 1)
+        bw.write_trailing_bits()
+        pays.append(bw.getvalue())
+    CLASS, S_FLAT, S_EXC = 192, 960, 64
+    budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32)
+    dn, _meta = splice_device.prepare_donor_rows_serving(
+        pays, [0] * len(pays), R, C, 1, 2, s_row=CLASS, blob_wire=True,
+        s_flat=S_FLAT, s_exc=S_EXC)
+    B = len(pays)
+    bcast = lambda x: jnp.broadcast_to(x, (B,) + x.shape)
+    argv = (bcast(hp), bcast(hn), bcast(zero), bcast(zero), bcast(zero),
+            bcast(bg_coded), dn)
+    kw = dict(num_refs=2, has_align=True, n_rbsp=budget, s_row=CLASS,
+              s_flat=S_FLAT, s_exc=S_EXC)
+    ga = batch.make_batched_splice_step_rows(cfg, c0, r0, C, R, **kw)
+    gb = batch.make_batched_splice_step_rows(cfg, c0, r0, C, R,
+                                             bg_static_skip=True, **kw)
+    na, la, _, ova = ga(*argv)
+    nb, lb, _, ovb = gb(*argv)
+    assert not bool(np.asarray(ova).any())
+    assert not bool(np.asarray(ovb).any())
+    for i in range(B):
+        ia, ib = int(la[i]), int(lb[i])
+        assert ia == ib, i
+        assert (np.asarray(na[i])[:ia] == np.asarray(nb[i])[:ib]).all(), i
