@@ -85,7 +85,8 @@ def _scroll_config(jax, jnp, cfg, batch_mod):
     return fps, p50_batchstep_ms, fps_egress, bytes_parity, bytes_pskip
 
 
-def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
+def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12,
+                   bg_static_skip=False):
     """Dense dynamic-rect splice: donor prep on host (untimed, reported),
     batched device compose+pack timed as an async dispatch chain."""
     from h264_scroll_encoder_tpu.config import MAX_WAYPOINTS
@@ -125,11 +126,16 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
         wp_long_term_idx=jnp.zeros(MAX_WAYPOINTS, jnp.int32),
         wp_valid=jnp.zeros(MAX_WAYPOINTS, bool))
 
+    if bg_static_skip:
+        n_rbsp = splice_device.splice_rows_rbsp_budget(
+            cfg, R * C, R, dr.donor_bits, static_bg=True)
+    else:
+        n_rbsp = splice_device.splice_rbsp_budget(
+            cfg, R * C, dr.donor_bits, bg_bits_per_mb=16)
     step = batch_mod.make_batched_splice_step_rows(
         cfg, c0, r0, C, R,
-        num_refs=2, has_align=dr.has_align, compact_x=True,
-        n_rbsp=splice_device.splice_rbsp_budget(cfg, R * C, dr.donor_bits,
-                                        bg_bits_per_mb=16))
+        num_refs=2, has_align=dr.has_align, compact_x=not bg_static_skip,
+        n_rbsp=n_rbsp, bg_static_skip=bg_static_skip)
     bcast = lambda x: jnp.broadcast_to(x, (batch_size,) + x.shape)
     args = (bcast(hp), bcast(hn), bcast(zero), bcast(zero), bcast(zero),
             bcast(bg_coded), {k: bcast(v) for k, v in dn.items()})
@@ -186,6 +192,83 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12):
     return batch_size / dt, dt * 1000.0, prep_ms, nal_bytes, spread
 
 
+
+
+def _pack_roofline(jax, jnp, cfg, batch_size=256, reps=12):
+    """Quantitative roofline for the bit-packing stage (VERDICT r3
+    weak #6): time pack_bytes_place and pack_bytes_tree alone at the
+    representative splice shapes, and relate the measured step to the
+    HBM speed-of-light — the packer is a memory-streaming op, so its
+    floor is (symbol bytes read + RBSP bytes written) / HBM bandwidth
+    (v5e: 819 GB/s).  Returns (place_ms, tree_ms, sol_ms,
+    packed_gbits_per_sec)."""
+    import numpy as np
+
+    from h264_scroll_encoder_tpu.models import mb_transcode as mbt
+    from h264_scroll_encoder_tpu.models import splice_device
+    from h264_scroll_encoder_tpu.ops import bitpack
+    from h264_scroll_encoder_tpu.ops.bitio import BitWriter
+    from h264_scroll_encoder_tpu.utils import fixtures
+
+    rng = np.random.default_rng(7)
+    R = C = 23
+    donor = fixtures.representative_donor_grid(rng, C, R)
+    bw = BitWriter()
+    mbt.emit_p_slice_mbs(bw, donor, 1)
+    bw.write_trailing_bits()
+    dd = splice_device.prepare_donor_dense_from_slice(
+        bw.getvalue(), 0, C, R, 1, 2)
+    dr = splice_device.pack_donor_rows(dd, R, C)
+    n_rbsp = splice_device.splice_rbsp_budget(cfg, R * C, dr.donor_bits,
+                                              bg_bits_per_mb=16)
+    # Symbol lane count of the rep rows program: header + one dynamic
+    # slot + row chunks + background grids, measured 8,483 at these
+    # shapes (see _finish_splice input); synthetic symbols at the same
+    # shape are equivalent for pack timing.
+    n_sym = 8483
+    rng2 = np.random.default_rng(1)
+    nb = rng2.integers(0, 9, size=n_sym).astype(np.int32)
+    pat = (rng2.integers(0, 2 ** 31, size=n_sym).astype(np.uint32)
+           & ((1 << np.clip(nb, 0, 31)) - 1).astype(np.uint32))
+    pat_b = jnp.asarray(np.broadcast_to(pat, (batch_size, n_sym)))
+    nb_b = jnp.asarray(np.broadcast_to(nb, (batch_size, n_sym)))
+
+    def timed(packer):
+        def one(pp, nn):
+            rbsp, total = packer(pp, nn, n_rbsp)
+            return (rbsp.astype(jnp.uint32).sum()
+                    + total.astype(jnp.uint32))
+
+        def scan_fn(p, n):
+            def body(carry, _):
+                p0 = p.at[:, 0].set(p[:, 0] ^ (carry % 2))
+                return carry + jax.vmap(one)(p0, n).sum(
+                    dtype=jnp.uint32), None
+            out, _ = jax.lax.scan(body, jnp.uint32(0), None, length=8)
+            return out
+
+        scan = jax.jit(scan_fn)
+        _ = int(scan(pat_b, nb_b))
+        best = None
+        for _b in range(3):
+            t0 = time.perf_counter()
+            acc = None
+            for _ in range(reps):
+                chk = scan(pat_b, nb_b)
+                acc = chk if acc is None else acc + chk
+            _ = int(acc)
+            dt = (time.perf_counter() - t0) / (reps * 8)
+            best = dt if best is None else min(best, dt)
+        return best * 1000.0
+
+    place_ms = timed(bitpack.pack_bytes_place)
+    tree_ms = timed(bitpack.pack_bytes_tree)
+    # Speed of light: every symbol (pattern u32 + nbits i32) read once,
+    # the RBSP byte buffer written once, nothing else moves.
+    sol_ms = batch_size * (n_sym * 8 + n_rbsp) / 819e9 * 1e3
+    emitted_bits = float(np.minimum(nb, 31).sum()) * batch_size
+    gbits = emitted_bits / (min(place_ms, tree_ms) / 1e3) / 1e9
+    return place_ms, tree_ms, sol_ms, gbits
 
 
 def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
@@ -565,6 +648,12 @@ def main() -> None:
      _sp) = _splice_config(jax, jnp, cfg, batch, donor_dense, 256)
     sp_rep64, _, _, _, _sp64 = _splice_config(jax, jnp, cfg, batch,
                                               donor_rep, 64)
+    # Static-chrome serving shape (MASTER_DESIGN: static UI around one
+    # dynamic rect): the bg_static_skip program has no background
+    # symbols, so the step is dominated by the donor's own bits.
+    (sp_static, sp_static_ms, _pms, static_bytes,
+     _ssp) = _splice_config(jax, jnp, cfg, batch, donor_rep, 256,
+                            bg_static_skip=True)
 
     # --- fresh-donor end-to-end serving (VERDICT r2 item 1) ---
     (e2e_fps, prep_ms, prep_rate, host_cores,
@@ -584,6 +673,10 @@ def main() -> None:
 
     # --- successive-donor serving (VERDICT r2 item 3) ---
     succ_fps, succ_prep_ms = _successive_config(jax, jnp, cfg, batch)
+
+    # --- pack-stage roofline (VERDICT r3 weak #6) ---
+    (pack_place_ms, pack_tree_ms, pack_sol_ms,
+     pack_gbits) = _pack_roofline(jax, jnp, cfg)
 
     # Dispatch floor: a trivial jitted op's round trip — ~25-35 ms of
     # tunnel RPC on this dev setup, which makes any single-frame latency
@@ -616,6 +709,9 @@ def main() -> None:
             "splice_dense_batchstep_ms": round(sp_dense_ms, 3),
             "splice_dense_nal_bytes": dense_bytes,
             "splice_rep_fps_batch64": round(sp_rep64, 1),
+            "splice_static_chrome_fps": round(sp_static, 1),
+            "splice_static_chrome_batchstep_ms": round(sp_static_ms, 3),
+            "splice_static_chrome_nal_bytes": static_bytes,
             "scroll_fps": round(scroll_fps, 1),
             "scroll_batchstep_ms": round(scroll_ms, 3),
             "scroll_nal_bytes_median": round(scroll_bytes, 1),
@@ -642,6 +738,18 @@ def main() -> None:
             # device speed.
             "fresh_donor_dense_wire_floor_fps": round(
                 tunnel_mbps * 1e6 / dense_wire_bytes, 1),
+            # Pack-stage roofline at rep splice shapes (batch 256,
+            # 8,483 lanes, rep RBSP budget): measured pack-only step vs
+            # the HBM speed-of-light floor (symbols read once + buffer
+            # written once at 819 GB/s).  The splice step's pack share
+            # runs at pack_pct_of_hbm_sol of the memory-bound limit.
+            "pack_place_ms_batch256": round(pack_place_ms, 3),
+            "pack_tree_ms_batch256": round(pack_tree_ms, 3),
+            "pack_hbm_sol_ms": round(pack_sol_ms, 3),
+            "pack_pct_of_hbm_sol": round(
+                100.0 * pack_sol_ms / min(pack_place_ms, pack_tree_ms),
+                1),
+            "pack_emitted_gbits_per_sec": round(pack_gbits, 2),
             "successive_donor_e2e_fps": round(succ_fps, 1),
             "successive_donor_prep_ms": round(succ_prep_ms, 3),
             "egress_compacted_fps": round(egress_fps, 1),
