@@ -442,8 +442,19 @@ def finish_slice(patterns, nbits, n_rbsp: int, nal_ref_idc,
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
-    rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
-                                                     n_rbsp)
+    # On TPU the Pallas direct-placement packer keeps all of its
+    # ~2*log2(n) move passes VMEM-resident and beats the XLA merge tree
+    # at every production shape (scroll 2-slot: 0.79 vs 1.02 ms; splice:
+    # 0.81 vs 1.79 ms per batch-256 pack, v5e, bit-exact).  Off-TPU
+    # (tests) the XLA tree avoids Pallas interpret-mode cost.
+    if jax.default_backend() == "tpu":
+        from ..ops import bitpack_flat
+        words, total_bits = bitpack_flat.pack_words_place_pallas(
+            patterns, nbits, (n_rbsp + 3) // 4)
+        rbsp_bytes = bitpack.words_to_bytes(words)[:n_rbsp]
+    else:
+        rbsp_bytes, total_bits = bitpack.pack_bytes_tree(patterns, nbits,
+                                                         n_rbsp)
     rbsp_len = total_bits // 8  # trailing bits guarantee alignment
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 

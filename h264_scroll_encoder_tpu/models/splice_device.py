@@ -818,14 +818,15 @@ def flat_wire_layout(R: int, C: int, s_flat: int, s_exc: int):
         ("flat_patterns", "u32", s_flat),
         ("row_len", "i16", R),
         ("row_tail", "i8", R),
-        ("exc_idx", "i32", s_exc),
+        ("exc_idx", "i16", s_exc),
         ("exc_val", "i8", s_exc),
-        ("first_c", "i32", R),
-        ("coded", "u8", R * C),
+        ("first_c", "i16", R),
+        ("coded", "u1", R * C),
     ]
     fields += [(name, "i16", R if dim == "R" else C)
                for name, dim in _EDGE_WIRE_FIELDS]
-    per_word = {"u32": 1, "i32": 1, "i16": 2, "i8": 4, "u8": 4}
+    per_word = {"u32": 1, "i32": 1, "i16": 2, "i8": 4, "u8": 4,
+                "u1": 32}
     laid, off = [], 0
     for name, kind, count in fields:
         laid.append((name, kind, count, off))
@@ -851,8 +852,15 @@ def pack_rows_blob(wire: dict, R: int, C: int, s_flat: int,
         elif kind == "i32":
             blob[:, off: off + count] = v.astype("<i4").view("<u4")
         elif kind == "i16":
+            if v.size and (v.min() < -32768 or v.max() > 32767):
+                raise ValueError(f"{name} exceeds the int16 wire range")
             u8[:, b: b + 2 * count] = (
                 v.astype("<i2").view(np.uint8).reshape(N, 2 * count))
+        elif kind == "u1":
+            # Bit m -> word m//32, bit position m%32 (little-endian).
+            bits = np.packbits(v.astype(bool).reshape(N, count),
+                               axis=-1, bitorder="little")
+            u8[:, b: b + bits.shape[1]] = bits
         else:                                   # i8 / u8 (incl. bool)
             u8[:, b: b + count] = (
                 v.astype(np.int8 if kind == "i8" else np.uint8)
@@ -878,6 +886,11 @@ def _unblob(blob, R: int, C: int, s_flat: int, s_exc: int) -> dict:
             hi = (w >> 16).astype(jnp.int32)
             v = jnp.stack([lo, hi], axis=-1).reshape(-1)[:count]
             out[name] = ((v ^ 0x8000) - 0x8000).astype(jnp.int16)
+        elif kind == "u1":
+            w = jax.lax.slice_in_dim(blob, off, off - (-count // 32),
+                                     axis=-1)
+            lanes = [((w >> k) & 1).astype(jnp.uint8) for k in range(32)]
+            out[name] = jnp.stack(lanes, axis=-1).reshape(-1)[:count]
         else:
             w = jax.lax.slice_in_dim(blob, off, off - (-count // 4), axis=-1)
             lanes = [((w >> (8 * k)) & 0xFF).astype(jnp.int32)
@@ -1469,10 +1482,19 @@ def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
 
     # Direct-placement packer: at splice shapes (8k+ symbol lanes, 3-4k
     # word budgets) it beats the merge tree (1.64 vs 1.82 ms per
-    # batch-256 step, v5e) — the tree wins only at the scroll config's
-    # smaller budgets, which keeps pack_bytes_tree there.
-    rbsp_bytes, total_bits = bitpack.pack_bytes_place(patterns, nbits,
-                                                      n_rbsp)
+    # batch-256 step, v5e).  On TPU the Pallas formulation runs all
+    # ~2*log2(n) move passes VMEM-resident (the XLA version is
+    # HBM-bound on its per-pass intermediates): 0.76 vs 1.64 ms per
+    # batch-256 pack at the representative splice shapes, bit-exact.
+    # Off-TPU (tests) the XLA path avoids interpret-mode cost.
+    if jax.default_backend() == "tpu":
+        from ..ops import bitpack_flat
+        words, total_bits = bitpack_flat.pack_words_place_pallas(
+            patterns, nbits, (n_rbsp + 3) // 4)
+        rbsp_bytes = bitpack.words_to_bytes(words)[:n_rbsp]
+    else:
+        rbsp_bytes, total_bits = bitpack.pack_bytes_place(patterns,
+                                                          nbits, n_rbsp)
     rbsp_len = total_bits // 8
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 

@@ -56,7 +56,7 @@ class _MBRec(ctypes.Structure):
 
 
 _NO_QP = -(2 ** 31)
-_ABI_VERSION = 6
+_ABI_VERSION = 7
 
 
 def _warn_degraded(stage: str, exc: Exception | None = None) -> None:

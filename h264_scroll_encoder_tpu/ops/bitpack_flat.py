@@ -121,6 +121,83 @@ def _flat_merge_rounds(words, lens_bc, p2: int, cap_words: int):
     return words
 
 
+def _flat_exclusive_cumsum(nb):
+    """Exclusive prefix sum of int32[R, C] in FLAT row-major order,
+    built from log-step lane rolls (within-row scan) + a log-step
+    row-axis scan of the row totals — no reshapes, no lax.scan."""
+    rows, cols = nb.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, nb.shape, 1)
+    inc = nb
+    s = 1
+    while s < cols:
+        inc = inc + jnp.where(lane >= s, jnp.roll(inc, s, axis=1), 0)
+        s <<= 1
+    # Row totals, broadcast over the row: every lane gets inc[:, -1].
+    row_tot = jnp.max(inc, axis=1, keepdims=True)  # scan is monotone
+    row_tot = jnp.broadcast_to(row_tot, nb.shape)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, nb.shape, 0)
+    rinc = row_tot
+    s = 1
+    while s < rows:
+        rinc = rinc + jnp.where(row_i >= s, jnp.roll(rinc, s, axis=0), 0)
+        s <<= 1
+    return inc - nb + (rinc - row_tot)
+
+
+def _flat_or_move(vals, rem, max_dist: int):
+    """bitpack._monotone_or_move over a flat row-major [R, C] view:
+    out[i - rem[i]] |= vals[i], log-step masked flat rolls."""
+    out = vals
+    for b in range(max(1, max_dist).bit_length()):
+        step = 1 << b
+        v_r = _flat_roll(out, -step)
+        r_r = _flat_roll(rem, -step)
+        take = (r_r & step) != 0
+        vacate = (rem & step) != 0
+        out = (jnp.where(take, v_r, jnp.uint32(0))
+               | jnp.where(vacate, jnp.uint32(0), out))
+        rem = jnp.where(take, r_r - step, jnp.where(vacate, 0, rem))
+    return out
+
+
+def _place_rounds(pat, nb, p: int):
+    """Direct-placement pack over flat row-major [R, C] arrays (see
+    bitpack.pack_words_place for the algorithm and the OR-combine
+    safety argument).  Runs entirely on the [R, C] working set — inside
+    a Pallas program every intermediate stays in VMEM, so the ~2*log2(p)
+    move passes cost no HBM traffic."""
+    rows, cols = pat.shape
+    full = nb >= 32
+    mask = jnp.where(full, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1)
+                      << jnp.clip(nb, 0, 31).astype(jnp.uint32)) - 1)
+    pat = pat & mask
+
+    off = _flat_exclusive_cumsum(nb)
+    bit_in_word = off & 31
+    w0 = off >> 5
+
+    n0 = jnp.minimum(nb, 32 - bit_in_word)
+    n1 = nb - n0
+    sh0 = jnp.clip(32 - bit_in_word - n0, 0, 31).astype(jnp.uint32)
+    c0 = (pat >> jnp.clip(n1, 0, 31).astype(jnp.uint32)) << sh0
+    c0 = jnp.where(nb > 0, c0, jnp.uint32(0))
+    m1 = (jnp.uint32(1) << jnp.clip(n1, 0, 31).astype(jnp.uint32)) - 1
+    sh1 = (jnp.uint32(32) - jnp.clip(n1, 0, 31).astype(jnp.uint32)) \
+        & jnp.uint32(31)
+    c1 = jnp.where(n1 > 0, (pat & m1) << sh1, jnp.uint32(0))
+
+    idx = (jax.lax.broadcasted_iota(jnp.int32, pat.shape, 0) * cols
+           + jax.lax.broadcasted_iota(jnp.int32, pat.shape, 1))
+    d = jnp.where(nb > 0, idx - w0, 0)
+
+    m0 = _flat_or_move(c0, d, p - 1)
+    c1r = jnp.where(idx > 0, _flat_roll(c1, 1), jnp.uint32(0))
+    d1 = jnp.where(idx > 0, _flat_roll(d, 1), 0)
+    m1w = _flat_or_move(c1r, d1, p - 1)
+    return m0 | m1w
+
+
 def pack_words_flat(patterns, nbits, num_words: int):
     """Flat-formulation packer: bit-exact equivalent of
     bitpack.pack_words_tree for in-budget streams."""
@@ -148,6 +225,26 @@ def pack_words_flat(patterns, nbits, num_words: int):
                                p2, num_words).reshape(-1)
     out = jnp.zeros((num_words,), jnp.uint32)
     take = min(num_words, p2)
+    out = out.at[:take].set(words[:take])
+    return out, total
+
+
+def pack_words_place_flat(patterns, nbits, num_words: int):
+    """Pure-jnp flat direct-placement packer (differential reference for
+    the Pallas wrapper below); bit-exact vs bitpack.pack_words for
+    in-budget streams."""
+    patterns = jnp.asarray(patterns, jnp.uint32).reshape(-1)
+    nbits = jnp.asarray(nbits, jnp.int32).reshape(-1)
+    n = patterns.shape[0]
+    total = jnp.sum(nbits)
+
+    padded = -(-(n + 1) // 128) * 128
+    patterns = jnp.pad(patterns, (0, padded - n))
+    nbits = jnp.pad(nbits, (0, padded - n))
+    words = _place_rounds(patterns.reshape(-1, 128),
+                          nbits.reshape(-1, 128), padded).reshape(-1)
+    out = jnp.zeros((num_words,), jnp.uint32)
+    take = min(num_words, padded)
     out = out.at[:take].set(words[:take])
     return out, total
 
@@ -197,4 +294,42 @@ def pack_words_pallas(patterns, nbits, num_words: int):
     flat = out.reshape(-1)
     if num_words > p2:
         flat = jnp.pad(flat, (0, num_words - p2))
+    return flat[:num_words], total
+
+
+def _place_kernel(pat_ref, nb_ref, out_ref, *, p: int):
+    out_ref[:] = _place_rounds(pat_ref[:], nb_ref[:], p)
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def pack_words_place_pallas(patterns, nbits, num_words: int):
+    """Direct-placement packer with every intermediate VMEM-resident.
+
+    The XLA pack_words_place is HBM-bound: its ~2*log2(n) masked-roll
+    passes each materialize the full [n] working set (measured ~20x the
+    read-once/write-once floor at splice shapes).  Here one Pallas
+    program holds the ~8.5k-lane working set (~40 KB) in VMEM for all
+    passes, so HBM traffic collapses to patterns+nbits in / words out.
+    Off-TPU the wrapper runs in interpret mode (tests); vmap lifts it
+    to one grid program per batch item."""
+    from jax.experimental import pallas as pl
+
+    patterns = jnp.asarray(patterns, jnp.uint32).reshape(-1)
+    nbits = jnp.asarray(nbits, jnp.int32).reshape(-1)
+    n = patterns.shape[0]
+    total = jnp.sum(nbits)
+
+    padded = -(-(n + 1) // 128) * 128
+    patterns = jnp.pad(patterns, (0, padded - n))
+    nbits_p = jnp.pad(nbits, (0, padded - n))
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_place_kernel, p=padded),
+        out_shape=jax.ShapeDtypeStruct((padded // 128, 128), jnp.uint32),
+        interpret=interpret,
+    )(patterns.reshape(-1, 128), nbits_p.reshape(-1, 128))
+    flat = out.reshape(-1)
+    if num_words > padded:
+        flat = jnp.pad(flat, (0, num_words - padded))
     return flat[:num_words], total

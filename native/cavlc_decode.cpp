@@ -767,7 +767,7 @@ extern "C" {
 // Bumped whenever the extern "C" surface changes; the Python bridge
 // checks it and rebuilds a stale library instead of calling through a
 // mismatched ABI.
-long cavlc_abi_version(void) { return 6; }
+long cavlc_abi_version(void) { return 7; }
 
 // Emit an MBRec grid (mb_width x mb_height, row-major) as slice MB data.
 // kind==0 records are P_Skip.  src supplies tail/pred/ipcm spans recorded
@@ -2374,10 +2374,10 @@ BlobLayout blob_layout(int R, int C, int s_flat, int s_exc) {
   L.flat = off; off += s_flat;
   L.row_len = off; off += words_of(2L * R);
   L.row_tail = off; off += words_of(R);
-  L.exc_idx = off; off += s_exc;
+  L.exc_idx = off; off += words_of(2L * s_exc);
   L.exc_val = off; off += words_of(s_exc);
-  L.first_c = off; off += R;
-  L.coded = off; off += words_of((long)R * C);
+  L.first_c = off; off += words_of(2L * R);
+  L.coded = off; off += ((long)R * C + 31) >> 5;   // 1 bit per MB
   const int edge_is_c[15] = {0, 0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0, 1, 1, 1};
   for (int k = 0; k < 15; ++k) {
     L.edge[k] = off;
@@ -2420,7 +2420,7 @@ int blobify_donor(const uint32_t* pat, const int32_t* nb,
       int32_t expect = (j == len - 1) ? rn[len - 1] : 32;
       if (rn[j] != expect && j != len - 1) {
         if (n_exc < s_exc) {
-          blob[L.exc_idx + n_exc] = (uint32_t)(total + j);
+          err |= put_i16(u8, L.exc_idx, n_exc, (int32_t)(total + j));
           ((int8_t*)u8)[L.exc_val * 4 + n_exc] = (int8_t)rn[j];
         }
         ++n_exc;
@@ -2434,11 +2434,11 @@ int blobify_donor(const uint32_t* pat, const int32_t* nb,
   if (total > s_flat) return -101;
   if (n_exc > s_exc) return kErrExcOverflow;
   for (int e = n_exc; e < s_exc; ++e)
-    blob[L.exc_idx + e] = (uint32_t)(int32_t)-1;
+    put_i16(u8, L.exc_idx, e, -1);
   for (int r = 0; r < R; ++r)
-    blob[L.first_c + r] = (uint32_t)first_c[r];
+    err |= put_i16(u8, L.first_c, r, first_c[r]);
   for (long m = 0; m < (long)R * C; ++m)
-    u8[L.coded * 4 + m] = coded[m] ? 1 : 0;
+    if (coded[m]) blob[L.coded + (m >> 5)] |= 1u << (m & 31);
   // Edge read-set roles (order = _EDGE_WIRE_FIELDS).
   for (int comp = 0; comp < 3; ++comp) {
     for (int r = 0; r < R; ++r) {

@@ -39,6 +39,40 @@ def test_pallas_interpret_matches():
         assert np.array_equal(np.asarray(a), np.asarray(b2))
 
 
+def test_place_flat_matches_scatter_reference():
+    """Flat direct-placement formulation (the body of the Pallas place
+    kernel) vs the scatter reference, across shapes incl. the
+    representative splice lane count."""
+    rng = np.random.default_rng(31)
+    for n, nw in ((1024, 300), (64, 80), (200, 64), (4096, 1300),
+                  (8483, 1490)):
+        f = jax.jit(lambda p, b, nw=nw: bitpack_flat.pack_words_place_flat(
+            p, b, nw))
+        for pat, nb in _cases(rng, n, nw, 4):
+            a, ta = bitpack.pack_words(pat, nb, nw)
+            b2, tb = f(pat, nb)
+            assert int(ta) == int(tb)
+            assert np.array_equal(np.asarray(a), np.asarray(b2)), (n, nw)
+
+
+def test_place_pallas_interpret_matches():
+    """Off-TPU the place wrapper runs in interpret mode; on TPU this is
+    the real Mosaic kernel (bit-exact on v5e at splice shapes, where it
+    beats the XLA place packer 0.76 vs 1.64 ms per batch-256 pack)."""
+    rng = np.random.default_rng(37)
+    for pat, nb in _cases(rng, 512, 200, 2):
+        a, ta = bitpack.pack_words(pat, nb, 200)
+        b2, tb = bitpack_flat.pack_words_place_pallas(pat, nb, 200)
+        assert int(ta) == int(tb)
+        assert np.array_equal(np.asarray(a), np.asarray(b2))
+    # Budget larger than the padded symbol array (zero-fill tail).
+    pat, nb = next(_cases(rng, 100, 300, 1))
+    a, ta = bitpack.pack_words(pat, nb, 300)
+    b2, tb = bitpack_flat.pack_words_place_pallas(pat, nb, 300)
+    assert int(ta) == int(tb)
+    assert np.array_equal(np.asarray(a), np.asarray(b2))
+
+
 def test_flat_roll_equals_flat_reference():
     rng = np.random.default_rng(5)
     import jax.numpy as jnp
