@@ -1532,7 +1532,36 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                             s_flat: int | None = None,
                             s_exc: int | None = None,
                             bg_static_skip: bool = False):
-    """Device splice over the row-contiguous donor layout (DonorRows).
+    """Device splice over the row-contiguous donor layout: symbol layout
+    (rows_splice_symbols) followed by the shared pack -> emulation
+    prevention -> NAL back end (_finish_splice).  See
+    rows_splice_symbols for the layout/serving semantics."""
+    patterns, nbits, n_rbsp = rows_splice_symbols(
+        cfg, rect_mb_x, rect_mb_y, R, C, num_refs, header_patterns,
+        header_nbits, bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn,
+        donor_bits=donor_bits, n_rbsp=n_rbsp, compact_x=compact_x,
+        s_row=s_row, s_flat=s_flat, s_exc=s_exc,
+        bg_static_skip=bg_static_skip)
+    return _finish_splice(patterns, nbits, n_rbsp, nal_ref_idc,
+                          has_align=has_align, ebsp_exact=ebsp_exact)
+
+
+def rows_splice_symbols(cfg: ComposerConfig, rect_mb_x: int,
+                        rect_mb_y: int, R: int, C: int, num_refs: int,
+                        header_patterns, header_nbits,
+                        bg_ref, bg_mv_x, bg_mv_y, bg_coded,
+                        dn: dict, *,
+                        donor_bits: int | None = None,
+                        n_rbsp: int | None = None,
+                        compact_x: bool = False,
+                        s_row: int | None = None,
+                        s_flat: int | None = None,
+                        s_exc: int | None = None,
+                        bg_static_skip: bool = False):
+    """Symbol-layout stage of the rows splice: returns the frame's
+    (patterns, nbits, n_rbsp) ready for _finish_splice — split out so
+    the stage's cost is measurable in isolation (scripts profile the
+    prologue/layout share vs pack+EBSP on-chip).
 
     Donor bits arrive as ONE fused chunk stream per rect row with the
     row-interior skip runs already encoded (pack_donor_rows); the device
@@ -1621,8 +1650,7 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                 donor_bits = R * dn["row_patterns"].shape[1] * 32
             n_rbsp = splice_rows_rbsp_budget(cfg, M, R, donor_bits,
                                              static_bg=True)
-        return _finish_splice(patterns, nbits, n_rbsp, nal_ref_idc,
-                              has_align=has_align, ebsp_exact=ebsp_exact)
+        return patterns, nbits, n_rbsp
 
     if "edge_a_ref" in dn:
         dn.update(edge_roles_to_full(dn, R, C))
@@ -1745,8 +1773,7 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
             # Chunk-class capacity fallback (static per program).
             donor_bits = R * dn["row_patterns"].shape[1] * 32
         n_rbsp = splice_rbsp_budget(cfg, M, donor_bits)
-    return _finish_splice(patterns, nbits, n_rbsp, nal_ref_idc,
-                          has_align=has_align, ebsp_exact=ebsp_exact)
+    return patterns, nbits, n_rbsp
 
 
 def prepare_donor_rows_serving(payloads, start_bits, R: int, C: int,
