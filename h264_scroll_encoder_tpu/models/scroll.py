@@ -458,20 +458,24 @@ def finish_slice(patterns, nbits, n_rbsp: int, nal_ref_idc,
     rbsp_len = total_bits // 8  # trailing bits guarantee alignment
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
-    n_nal = (5 + n_rbsp * 3 // 2 + 8 + 3) // 4 * 4
+    header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01  # NAL_TYPE_SLICE
     if ebsp_exact:
         # Exact unbounded emulation prevention: the slow-path fallback a
         # caller retries with after the bounded fast path flags overflow
-        # (output capacity already covers the 1.5x worst case).
+        # (output capacity covers the 1.5x worst case).
+        n_nal = (5 + n_rbsp * 3 // 2 + 8 + 3) // 4 * 4
         ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
             rbsp_bytes, rbsp_len, n_nal - 8)
     else:
+        # Bounded path: the insertion cap means the NAL buffer only
+        # needs rbsp + cap bytes, not the 1.5x worst case — ~33% less
+        # data in every expansion pass and downstream byte op.
+        n_nal = (5 + n_rbsp + MAX_EBSP_INSERTIONS + 8 + 3) // 4 * 4
         ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
             rbsp_bytes, rbsp_len, n_nal - 8,
             max_insertions=MAX_EBSP_INSERTIONS)
         overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
 
-    header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01  # NAL_TYPE_SLICE
     prefix = jnp.concatenate([
         jnp.asarray([0, 0, 0, 1], jnp.uint8),
         jnp.asarray(header_byte, jnp.uint8).reshape(1).astype(jnp.uint8),

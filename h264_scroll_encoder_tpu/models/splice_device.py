@@ -1498,17 +1498,24 @@ def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
     rbsp_len = total_bits // 8
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
-    n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
     from ..config import MAX_EBSP_INSERTIONS
+    header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
     if ebsp_exact:
+        # Exact path: capacity for the unbounded 1.5x EBSP worst case.
+        n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
         ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
             rbsp_bytes, rbsp_len, n_nal - 8)
     else:
+        # Bounded path: insertions are capped at MAX_EBSP_INSERTIONS,
+        # so the NAL buffer only needs rbsp + cap (not the 1.5x worst
+        # case) — the expansion's per-pass working set shrinks ~33%
+        # and so does every downstream byte op / egress fetch over the
+        # buffer.  Frames past the cap flag overflow and retry exact.
+        n_nal = (5 + n_rbsp + MAX_EBSP_INSERTIONS + 11) // 4 * 4
         ebsp_bytes, ebsp_len = ebsp.rbsp_to_ebsp_tree(
             rbsp_bytes, rbsp_len, n_nal - 8,
             max_insertions=MAX_EBSP_INSERTIONS)
         overflow |= (ebsp_len - rbsp_len) > MAX_EBSP_INSERTIONS
-    header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
     prefix = jnp.concatenate([
         jnp.asarray([0, 0, 0, 1], jnp.uint8),
         jnp.asarray(header_byte, jnp.uint8).reshape(1).astype(jnp.uint8)])
