@@ -165,3 +165,103 @@ for n_rbsp, tag in [(5960, "serving-rep"), (16384, "profiler-rep")]:
         dtype=jnp.uint32), arr)
     print(f"{tag} (n_nal={n_nal}): 3-array {t_old:.3f} ms  "
           f"fused-u16 {t_new:.3f} ms")
+
+
+def rbsp_to_nal_fused(rbsp, n, header_byte, n_nal: int,
+                      max_insertions: int):
+    """Fully fused: bounded EBSP + Annex-B framing in ONE expansion.
+
+    The 5 prefix lanes ([0,0,0,1,header]) enter the fused-lane array as
+    live shift-0 elements ahead of the payload, so the prefix placement
+    and the zeros(n_nal) materialization disappear; payload byte j's
+    output position is (j+5) + shifts_j with the SAME max shift bound
+    (no extra passes).
+    """
+    b = jnp.asarray(rbsp, jnp.uint8)
+    size = b.shape[0]
+    idx = jnp.arange(size, dtype=jnp.int32)
+    valid = idx < n
+    t, saturated = _zero_run_windowed(b, valid)
+    sat = jnp.any(saturated).astype(jnp.int32) * (max_insertions + 1)
+    ins = valid & (b <= 3) & (t >= 2) & (t % 2 == 0)
+    shifts, total = _shifts_u8_two_level(ins)
+    total_ins = total + sat
+
+    hdr = jnp.asarray(header_byte, jnp.uint16)
+    prefix = jnp.asarray([0x100, 0x100, 0x100, 0x101], jnp.uint16)
+    prefix = jnp.concatenate([prefix, (hdr | 0x100).reshape(1)])
+    r0 = jnp.where(valid, shifts.astype(jnp.uint16) + 1, 0)
+    lanes = b.astype(jnp.uint16) | (r0 << 8)
+    pad = n_nal - 5 - size
+    x = jnp.concatenate([prefix, lanes, jnp.zeros((pad,), jnp.uint16)])
+    bound = min(max_insertions + 1, n_nal)
+    for bb in reversed(range(max(1, bound).bit_length())):
+        step = 1 << bb
+        if step >= n_nal:
+            continue
+        rolled = jnp.roll(x, step)
+        take = (rolled >> 8) > step
+        vacate = (x >> 8) > step
+        x = jnp.where(take, rolled - jnp.uint16(step << 8),
+                      jnp.where(vacate, x & jnp.uint16(0xFF), x))
+    live = (x >> 8) > 0
+    nal = jnp.where(live, (x & jnp.uint16(0xFF)).astype(jnp.uint8),
+                    jnp.uint8(3))
+    nal_len = 5 + n + total_ins
+    out_idx = jnp.arange(n_nal, dtype=jnp.int32)
+    nal = jnp.where(out_idx < nal_len, nal, jnp.uint8(0))
+    return nal, nal_len, total_ins
+
+
+def check_fused_framing():
+    rng = np.random.default_rng(13)
+    max_in = 4096
+    n_nal = (5 + max_in + MAX_EBSP_INSERTIONS + 11) // 4 * 4
+
+    def ref_one(b, n):
+        eb, el = ebsp.rbsp_to_ebsp_tree(b, n, n_nal - 8,
+                                        max_insertions=MAX_EBSP_INSERTIONS)
+        out = jnp.zeros((n_nal,), jnp.uint8)
+        out = jax.lax.dynamic_update_slice(out, eb, (5,))
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.asarray([0, 0, 0, 1, 0x41], jnp.uint8), (0,))
+        nal_len = 5 + el
+        out_idx = jnp.arange(n_nal, dtype=jnp.int32)
+        return jnp.where(out_idx < nal_len, out, jnp.uint8(0)), nal_len
+
+    f_ref = jax.jit(ref_one)
+    f_new = jax.jit(lambda b, n: rbsp_to_nal_fused(
+        b, n, 0x41, n_nal, MAX_EBSP_INSERTIONS)[:2])
+    for _ in range(24):
+        n = int(rng.integers(1, max_in))
+        buf = rng.integers(0, 256, max_in, dtype=np.uint8)
+        for _ in range(8):
+            p = int(rng.integers(0, max(1, n - 4)))
+            buf[p:p + int(rng.integers(2, 5))] = 0
+            buf[min(n - 1, p + 4)] = int(rng.integers(0, 4))
+        nr, lr = f_ref(jnp.asarray(buf), n)
+        nn, ln = f_new(jnp.asarray(buf), n)
+        assert int(lr) == int(ln)
+        if int(lr) - 5 - n <= MAX_EBSP_INSERTIONS:
+            np.testing.assert_array_equal(np.asarray(nr), np.asarray(nn))
+    print("fused-framing exactness: 24 cases OK")
+
+
+check_fused_framing()
+
+for n_rbsp, tag in [(5960, "serving-rep"), (16384, "profiler-rep")]:
+    n_nal = (5 + n_rbsp + MAX_EBSP_INSERTIONS + 11) // 4 * 4
+    rng = np.random.default_rng(5)
+    payload = rng.integers(0, 256, (BATCH, n_rbsp), dtype=np.uint8)
+    payload[:, -n_rbsp // 3:] = 0
+    arr = jnp.asarray(payload)
+    rbsp_len = jnp.full((BATCH,), n_rbsp * 2 // 3, jnp.int32)
+
+    def fused_one(b, n):
+        nal, nal_len, _ = rbsp_to_nal_fused(b, n, 0x41, n_nal,
+                                            MAX_EBSP_INSERTIONS)
+        return nal.astype(jnp.uint32).sum() + nal_len.astype(jnp.uint32)
+
+    t_f = timed(lambda a: jax.vmap(fused_one)(a, rbsp_len).sum(
+        dtype=jnp.uint32), arr)
+    print(f"{tag} (n_nal={n_nal}): fused-framing {t_f:.3f} ms")
