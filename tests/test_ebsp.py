@@ -174,3 +174,67 @@ def test_bounded_expansion_matches_and_flags():
         assert int(la) == int(lc)
         assert np.array_equal(np.asarray(a), np.asarray(c))
     assert checked >= 10, "fuzz produced too few in-contract cases"
+
+
+def test_bounded_expansion_at_production_cap():
+    """Same contract as test_bounded_expansion_matches_and_flags but at
+    the PRODUCTION insertion cap (config.MAX_EBSP_INSERTIONS, 16 since
+    the rbsp+cap NAL sizing change) — fuzz salted to land cases on both
+    sides of the boundary."""
+    from h264_scroll_encoder_tpu.config import MAX_EBSP_INSERTIONS as CAP
+
+    rng = np.random.default_rng(47)
+    size, mo = 1024, 1024 + CAP + 16
+    fa = jax.jit(lambda b, n: ebsp.rbsp_to_ebsp_tree(b, n, mo))
+    fb = jax.jit(lambda b, n: ebsp.rbsp_to_ebsp_tree(
+        b, n, mo, max_insertions=CAP))
+    in_contract = out_of_contract = 0
+    for trial in range(40):
+        b = rng.integers(0, 256, size).astype(np.uint8)
+        # salt ~0-2*CAP insertion sites ("00 00 0x" triples)
+        for _ in range(int(rng.integers(0, 2 * CAP + 4))):
+            p = int(rng.integers(0, size - 3))
+            b[p:p + 2] = 0
+            b[p + 2] = int(rng.integers(0, 4))
+        n = int(rng.integers(256, size))
+        a, la = fa(jnp.asarray(b), n)
+        c, lc = fb(jnp.asarray(b), n)
+        ins = int(la) - n
+        assert ins == len(serial_rbsp_to_ebsp(bytes(b[:n]))) - n
+        if ins > CAP:
+            out_of_contract += 1
+            assert int(lc) - n > CAP  # emitters flag overflow on this
+            continue
+        in_contract += 1
+        assert int(la) == int(lc)
+        assert np.array_equal(np.asarray(a), np.asarray(c))
+    assert in_contract >= 5 and out_of_contract >= 5, \
+        (in_contract, out_of_contract)
+
+
+def test_finish_slice_flags_overflow_past_insertion_cap():
+    """A payload that organically needs more emulation-prevention
+    insertions than MAX_EBSP_INSERTIONS must come back from the bounded
+    fast path with overflow=True, and the exact path (the session's
+    retry) must emit the serial-automaton NAL bytes."""
+    from h264_scroll_encoder_tpu.config import MAX_EBSP_INSERTIONS as CAP
+    from h264_scroll_encoder_tpu.models import scroll
+
+    n_sym = 3 * CAP  # 3*CAP insertions, comfortably past the cap
+    patterns = jnp.full((n_sym,), 1, jnp.uint32)   # each "00 00 01"
+    nbits = jnp.full((n_sym,), 24, jnp.int32)
+    n_rbsp = 256
+    nal_b, len_b, bits_b, ov_b = jax.jit(
+        lambda p, nb: scroll.finish_slice(p, nb, n_rbsp, 3))(patterns,
+                                                             nbits)
+    assert bool(ov_b), "bounded path must flag the over-cap stream"
+
+    nal_e, len_e, bits_e, ov_e = jax.jit(
+        lambda p, nb: scroll.finish_slice(p, nb, n_rbsp, 3,
+                                          ebsp_exact=True))(patterns,
+                                                            nbits)
+    assert not bool(ov_e)
+    rbsp = b"\x00\x00\x01" * n_sym + b"\x80"  # + aligned trailing bits
+    want = b"\x00\x00\x00\x01\x61" + serial_rbsp_to_ebsp(rbsp)
+    got = bytes(np.asarray(nal_e[:int(len_e)]))
+    assert got == want
