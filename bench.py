@@ -150,8 +150,15 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12,
         n_rbsp = splice_device.splice_rows_rbsp_budget(
             cfg, R * C, R, dr.donor_bits, static_bg=True)
     else:
-        n_rbsp = splice_device.splice_rbsp_budget(
-            cfg, R * C, dr.donor_bits, bg_bits_per_mb=16)
+        # Rows-layout budget for the rows kernel (the dense helper's
+        # m_donor*32 slack + 8 KB quantum previously left this buffer
+        # 2.8x the emitted frame, and pack/EBSP cost scales with it).
+        # bg_bits_per_mb=4: the all-skip background of this serving
+        # shape emits one ~25-bit skip-run symbol per rect row, so
+        # 4 bits/MB (~12 kbit here) is >15x the actual background
+        # cost; overflow stays detected, never truncated.
+        n_rbsp = splice_device.splice_rows_rbsp_budget(
+            cfg, R * C, R, dr.donor_bits, bg_bits_per_mb=4)
     step = batch_mod.make_batched_splice_step_rows(
         cfg, c0, r0, C, R,
         num_refs=2, has_align=dr.has_align, compact_x=not bg_static_skip,
