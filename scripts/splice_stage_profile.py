@@ -99,8 +99,9 @@ def main():
         n_rbsp = splice_device.splice_rows_rbsp_budget(
             cfg, R * C, R, dr.donor_bits, static_bg=True)
     else:
-        n_rbsp = splice_device.splice_rbsp_budget(
-            cfg, R * C, dr.donor_bits, bg_bits_per_mb=16)
+        # Match the bench's serving budget (rows layout, all-skip bg).
+        n_rbsp = splice_device.splice_rows_rbsp_budget(
+            cfg, R * C, R, dr.donor_bits, bg_bits_per_mb=4)
     compact_x = not static_bg
 
     H, W = cfg.mb_height, cfg.mb_width
@@ -175,8 +176,8 @@ def main():
         np.tile(np.random.default_rng(3).integers(
             0, 256, n_rbsp, dtype=np.uint8), (BATCH, 1)))
     rlen0 = jnp.full((BATCH,), n_rbsp, jnp.int32)
-    n_nal = (5 + n_rbsp * 3 // 2 + 11) // 4 * 4
     from h264_scroll_encoder_tpu.config import MAX_EBSP_INSERTIONS
+    n_nal = (5 + n_rbsp + MAX_EBSP_INSERTIONS + 11) // 4 * 4  # shipped sizing
 
     def ebsp_fn(a, bit):
         rb, rl = a
