@@ -249,8 +249,9 @@ def _pack_roofline(jax, jnp, cfg, batch_size=256, reps=12):
     dd = splice_device.prepare_donor_dense_from_slice(
         bw.getvalue(), 0, C, R, 1, 2)
     dr = splice_device.pack_donor_rows(dd, R, C)
-    n_rbsp = splice_device.splice_rbsp_budget(cfg, R * C, dr.donor_bits,
-                                              bg_bits_per_mb=16)
+    n_rbsp = splice_device.splice_rows_rbsp_budget(cfg, R * C, R,
+                                                   dr.donor_bits,
+                                                   bg_bits_per_mb=4)
     # Symbol lane count of the rep rows program: header + one dynamic
     # slot + row chunks + background grids, measured 8,483 at these
     # shapes (see _finish_splice input); synthetic symbols at the same
@@ -293,12 +294,27 @@ def _pack_roofline(jax, jnp, cfg, batch_size=256, reps=12):
 
     place_ms = timed(bitpack.pack_bytes_place)
     tree_ms = timed(bitpack.pack_bytes_tree)
+    # The production TPU path: the Pallas place packer (VMEM-resident
+    # move passes), _finish_splice's packer on-chip.
+    if jax.default_backend() == "tpu":
+        from h264_scroll_encoder_tpu.ops import bitpack_flat
+
+        def pallas_place(pp, nn, n_bytes):
+            words, total = bitpack_flat.pack_words_place_pallas(
+                pp, nn, (n_bytes + 3) // 4)
+            return bitpack.words_to_bytes(words)[:n_bytes], total
+
+        pallas_ms = timed(pallas_place)
+    else:
+        pallas_ms = float("nan")
     # Speed of light: every symbol (pattern u32 + nbits i32) read once,
     # the RBSP byte buffer written once, nothing else moves.
     sol_ms = batch_size * (n_sym * 8 + n_rbsp) / 819e9 * 1e3
     emitted_bits = float(np.minimum(nb, 31).sum()) * batch_size
-    gbits = emitted_bits / (min(place_ms, tree_ms) / 1e3) / 1e9
-    return place_ms, tree_ms, sol_ms, gbits
+    best_ms = min(x for x in (place_ms, tree_ms, pallas_ms)
+                  if x == x)  # nan-safe off-TPU
+    gbits = emitted_bits / (best_ms / 1e3) / 1e9
+    return place_ms, tree_ms, pallas_ms, sol_ms, gbits
 
 
 def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
@@ -762,7 +778,7 @@ def main() -> None:
     succ_fps, succ_prep_ms = _successive_config(jax, jnp, cfg, batch)
 
     # --- pack-stage roofline (VERDICT r3 weak #6) ---
-    (pack_place_ms, pack_tree_ms, pack_sol_ms,
+    (pack_place_ms, pack_tree_ms, pack_pallas_ms, pack_sol_ms,
      pack_gbits) = _pack_roofline(jax, jnp, cfg)
 
     # Dispatch floor: a trivial jitted op's round trip — ~25-35 ms of
@@ -834,10 +850,12 @@ def main() -> None:
             # runs at pack_pct_of_hbm_sol of the memory-bound limit.
             "pack_place_ms_batch256": round(pack_place_ms, 3),
             "pack_tree_ms_batch256": round(pack_tree_ms, 3),
+            "pack_pallas_place_ms_batch256": round(pack_pallas_ms, 3),
             "pack_hbm_sol_ms": round(pack_sol_ms, 3),
             "pack_pct_of_hbm_sol": round(
-                100.0 * pack_sol_ms / min(pack_place_ms, pack_tree_ms),
-                1),
+                100.0 * pack_sol_ms / min(
+                    x for x in (pack_place_ms, pack_tree_ms,
+                                pack_pallas_ms) if x == x), 1),
             "pack_emitted_gbits_per_sec": round(pack_gbits, 2),
             "successive_donor_e2e_fps": round(succ_fps, 1),
             "successive_donor_prep_ms": round(succ_prep_ms, 3),
