@@ -472,18 +472,25 @@ def pack_words_place(patterns, nbits, num_words: int):
 
     # Pad so the c1 pre-roll (lane i -> i+1) never wraps a live element
     # (no power-of-two requirement — moves are positional, not pairing).
+    #
+    # ONE or-move for both contributions: whenever symbol i spills
+    # (c1[i] != 0), its end offset lies strictly inside word w0[i]+1,
+    # so off[i+1] = off[i] + nbits[i] puts the NEXT lane in exactly
+    # that word — c1 rolled right by one lane shares its host lane's
+    # target word AND distance, so c0 | roll(c1) moves in a single
+    # pass chain (halves the move passes vs two separate or-moves).
+    # Pad lanes extend the true distance ramp (w0 = total >> 5) so the
+    # last symbol's spill, rolled into the first pad lane, still
+    # routes correctly; pad values are 0 and OR as no-ops.
     padded = -(-(n + 1) // 128) * 128
-    idx = jnp.arange(n, dtype=jnp.int32)
-    d = jnp.pad(idx - w0, (0, padded - n))
+    lane = jnp.arange(padded, dtype=jnp.int32)
+    w0_pad = jnp.concatenate([
+        w0, jnp.broadcast_to(total >> 5, (padded - n,))])
+    d = lane - w0_pad
     c0 = jnp.pad(c0, (0, padded - n))
     c1 = jnp.pad(c1, (0, padded - n))
-
-    m0 = _monotone_or_move(c0, d, n - 1)
-    lane = jnp.arange(padded, dtype=jnp.int32)
     c1r = jnp.where(lane > 0, jnp.roll(c1, 1), jnp.uint32(0))
-    d1 = jnp.where(lane > 0, jnp.roll(d, 1), 0)
-    m1w = _monotone_or_move(c1r, d1, n - 1)
-    words = m0 | m1w
+    words = _monotone_or_move(c0 | c1r, d, n)
 
     out = jnp.zeros((num_words,), jnp.uint32)
     take = min(num_words, padded)

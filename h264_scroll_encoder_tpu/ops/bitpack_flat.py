@@ -189,13 +189,17 @@ def _place_rounds(pat, nb, p: int):
 
     idx = (jax.lax.broadcasted_iota(jnp.int32, pat.shape, 0) * cols
            + jax.lax.broadcasted_iota(jnp.int32, pat.shape, 1))
-    d = jnp.where(nb > 0, idx - w0, 0)
+    # ONE or-move for both contributions (see bitpack.pack_words_place):
+    # a spilling symbol's next lane sits in exactly the spill's target
+    # word (off[i+1] = off[i] + nb[i] strictly inside w0[i]+1), so
+    # c0 | roll(c1) shares distances and the second move chain
+    # disappears.  d stays the TRUE ramp on every lane — pad lanes'
+    # w0 is already total>>5 from the cumsum over nb=0 — so the last
+    # real spill, rolled into the first pad lane, routes correctly.
+    d = idx - w0
 
-    m0 = _flat_or_move(c0, d, p - 1)
     c1r = jnp.where(idx > 0, _flat_roll(c1, 1), jnp.uint32(0))
-    d1 = jnp.where(idx > 0, _flat_roll(d, 1), 0)
-    m1w = _flat_or_move(c1r, d1, p - 1)
-    return m0 | m1w
+    return _flat_or_move(c0 | c1r, d, p - 1)
 
 
 def pack_words_flat(patterns, nbits, num_words: int):
