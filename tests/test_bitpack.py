@@ -227,3 +227,31 @@ def test_pack_words_place_matches_scatter():
         got, t2 = bitpack.pack_words_place(pats, nbits, nw)
         assert int(t1) == int(t2)
         assert np.array_equal(np.asarray(ref), np.asarray(got)), trial
+
+
+def test_pack_words_place_merged_move_edges():
+    """Deterministic edges of the single-or-move formulation (c0 and
+    rolled c1 share each host lane's distance): a word-spilling symbol
+    followed by zero-width lanes, and a stream whose LAST symbol spills
+    (its carry routes through the first pad lane via the extended
+    distance ramp)."""
+    cases = [
+        # spill then zero-width run: 20+20 bits (second spills word 0->1),
+        # then three empty lanes, then more payload.
+        ([0xFFFFF, 0xABCDE, 0, 0, 0, 0x1F], [20, 20, 0, 0, 0, 5]),
+        # last symbol spills: 30 + 7 bits ends mid-word-1.
+        ([0x3FFFFFFF, 0x55], [30, 7]),
+        # lone spilling symbol after an aligned word.
+        ([0xFFFFFFFF, 0x7FFF], [32, 15]),
+        # every lane zero-width except a final spiller.
+        ([0, 0, 0, 0x1FFFFF], [0, 0, 0, 21]),
+    ]
+    for pats, nbits in cases:
+        pats = np.asarray(pats, np.uint32)
+        nbits = np.asarray(nbits, np.int32)
+        nw = int(nbits.sum()) // 32 + 3
+        ref, t1 = bitpack.pack_words(pats, nbits, nw)
+        got, t2 = bitpack.pack_words_place(pats, nbits, nw)
+        assert int(t1) == int(t2)
+        assert np.array_equal(np.asarray(ref), np.asarray(got)), (pats,
+                                                                  nbits)
