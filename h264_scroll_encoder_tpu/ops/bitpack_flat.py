@@ -489,11 +489,18 @@ def _place_pallas_cv(num_words: int):
         if not in_batched[1]:
             nbits = jnp.broadcast_to(
                 nbits[None], (axis_size,) + nbits.shape)
-        if patterns.ndim != 2:
-            raise NotImplementedError(
-                "pack_words_place_pallas supports one vmap level; "
-                "flatten extra batch dims before packing")
-        out = pack_words_place_pallas_batch(patterns, nbits, num_words)
+        if patterns.ndim > 2:
+            # Nested vmap (e.g. sessions x bands): flatten the extra
+            # batch dims into one, dispatch the tiled kernel, restore.
+            lead = patterns.shape[:-1]
+            flat_p = patterns.reshape(-1, patterns.shape[-1])
+            flat_n = nbits.reshape(-1, nbits.shape[-1])
+            words, total = pack_words_place_pallas_batch(
+                flat_p, flat_n, num_words)
+            out = (words.reshape(lead + (num_words,)),
+                   total.reshape(lead))
+        else:
+            out = pack_words_place_pallas_batch(patterns, nbits, num_words)
         return out, (True, True)
 
     return f

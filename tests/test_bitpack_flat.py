@@ -82,3 +82,21 @@ def test_flat_roll_equals_flat_reference():
         got = np.asarray(bitpack_flat._flat_roll(a, s)).reshape(-1)
         want = np.roll(np.asarray(a).reshape(-1), s)
         assert np.array_equal(got, want), s
+
+
+def test_place_pallas_nested_vmap_flattens():
+    """Nested vmap (e.g. sessions x bands) flattens the extra batch dims
+    into one tiled dispatch instead of raising (ADVICE r4)."""
+    import jax
+
+    rng = np.random.default_rng(91)
+    B1, B2, n, nw = 2, 3, 257, 40
+    pat = rng.integers(0, 2 ** 16, (B1, B2, n)).astype(np.uint32)
+    nb = rng.integers(0, 17, (B1, B2, n)).astype(np.int32)
+    got_w, got_t = jax.jit(jax.vmap(jax.vmap(
+        lambda p, b: bitpack_flat.pack_words_place_pallas(p, b, nw))))(
+        pat, nb)
+    want_w, want_t = jax.jit(jax.vmap(jax.vmap(
+        lambda p, b: bitpack.pack_words_place(p, b, nw))))(pat, nb)
+    assert np.array_equal(np.asarray(got_w), np.asarray(want_w))
+    assert np.array_equal(np.asarray(got_t), np.asarray(want_t))
