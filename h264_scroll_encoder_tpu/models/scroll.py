@@ -442,6 +442,16 @@ def finish_slice(patterns, nbits, n_rbsp: int, nal_ref_idc,
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
+    # Fused back end (TPU, bounded path): pack + emulation prevention +
+    # NAL framing in one Pallas program per 4-session tile
+    # (ops/emit_fused; bit-exact vs the staged path).
+    if jax.default_backend() == "tpu" and not ebsp_exact:
+        from ..ops import emit_fused
+        return emit_fused.finish_nal_fused(
+            patterns, nbits, n_rbsp, nal_ref_idc,
+            max_insertions=MAX_EBSP_INSERTIONS)
+
+    # Staged path: exact-EBSP retries (any backend) and off-TPU tests.
     # On TPU the Pallas direct-placement packer keeps all of its
     # ~2*log2(n) move passes VMEM-resident and beats the XLA merge tree
     # at every production shape (scroll 2-slot: 0.79 vs 1.02 ms; splice:

@@ -1480,13 +1480,25 @@ def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
 
+    from ..config import MAX_EBSP_INSERTIONS
+
+    # Fused back end (TPU, bounded path): pack + emulation prevention +
+    # NAL framing in ONE Pallas program per 4-session tile — the pack's
+    # ~2*log2(n) move passes, the SWAR EBSP, and the Annex-B framing
+    # all run VMEM-resident with a single launch (ops/emit_fused).
+    # Bit-exact vs the staged path; measured 0.67 vs 0.73 ms per
+    # batch-256 back end at rep splice shapes plus one fewer stage
+    # boundary in the composed step.
+    if jax.default_backend() == "tpu" and not ebsp_exact:
+        from ..ops import emit_fused
+        return emit_fused.finish_nal_fused(
+            patterns, nbits, n_rbsp, nal_ref_idc,
+            max_insertions=MAX_EBSP_INSERTIONS)
+
+    # Staged path: exact-EBSP retries (any backend) and off-TPU tests.
     # Direct-placement packer: at splice shapes (8k+ symbol lanes, 3-4k
     # word budgets) it beats the merge tree (1.64 vs 1.82 ms per
-    # batch-256 step, v5e).  On TPU the Pallas formulation runs all
-    # ~2*log2(n) move passes VMEM-resident (the XLA version is
-    # HBM-bound on its per-pass intermediates): 0.76 vs 1.64 ms per
-    # batch-256 pack at the representative splice shapes, bit-exact.
-    # Off-TPU (tests) the XLA path avoids interpret-mode cost.
+    # batch-256 step, v5e).
     if jax.default_backend() == "tpu":
         from ..ops import bitpack_flat
         words, total_bits = bitpack_flat.pack_words_place_pallas(
@@ -1498,7 +1510,6 @@ def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
     rbsp_len = total_bits // 8
     overflow = total_bits > jnp.int32(n_rbsp * 8)
 
-    from ..config import MAX_EBSP_INSERTIONS
     header_byte = ((nal_ref_idc & 0x03) << 5) | 0x01
     if ebsp_exact:
         # Exact path: capacity for the unbounded 1.5x EBSP worst case.
