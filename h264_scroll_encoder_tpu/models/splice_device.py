@@ -1549,7 +1549,8 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
                             s_row: int | None = None,
                             s_flat: int | None = None,
                             s_exc: int | None = None,
-                            bg_static_skip: bool = False):
+                            bg_static_skip: bool = False,
+                            bg_budget: int | None = None):
     """Device splice over the row-contiguous donor layout: symbol layout
     (rows_splice_symbols) followed by the shared pack -> emulation
     prevention -> NAL back end (_finish_splice).  See
@@ -1559,9 +1560,52 @@ def emit_spliced_frame_rows(cfg: ComposerConfig, rect_mb_x: int,
         header_nbits, bg_ref, bg_mv_x, bg_mv_y, bg_coded, dn,
         donor_bits=donor_bits, n_rbsp=n_rbsp, compact_x=compact_x,
         s_row=s_row, s_flat=s_flat, s_exc=s_exc,
-        bg_static_skip=bg_static_skip)
+        bg_static_skip=bg_static_skip, bg_budget=bg_budget)
     return _finish_splice(patterns, nbits, n_rbsp, nal_ref_idc,
                           has_align=has_align, ebsp_exact=ebsp_exact)
+
+
+def _compact_bg_rows(pat, nb, budget: int):
+    """Per-row stable compaction of nonzero-width background symbol
+    lanes into a static `budget` of lanes (gather-free: the same
+    low->high exact-bit monotone move as bitpack._monotone_compact,
+    vectorized over rows with axis-1 rolls).
+
+    Dropping zero-width lanes never changes the packed bitstream, so
+    the result packs byte-identically whenever every row's nonzero
+    count fits the budget; over-budget rows LOSE symbols and the
+    returned flag must force the caller's overflow path (the generic
+    uncompacted program is the retry).  Wrapped rolls are harmless:
+    a lane's remaining shift never exceeds its original index, so a
+    wrapped-in lane can never satisfy the take test.
+
+    pat/nb: [rows, width] -> (pat[rows, bud], nb[rows, bud],
+    overflowed bool scalar) with bud = min(budget, width)."""
+    rows, width = pat.shape
+    bud = min(budget, width)
+    if width <= bud or rows == 0:
+        return pat, nb, jnp.asarray(False)
+    live = nb != 0
+    over = jnp.any(jnp.sum(live.astype(jnp.int32), axis=1) > bud)
+    shifts = (jnp.cumsum((~live).astype(jnp.int32), axis=1)
+              * live.astype(jnp.int32))
+    # Liveness rides nb (a lane is live iff its width is nonzero, and
+    # the moves preserve that invariant), saving one moved array.
+    vp, vn, rem = pat, nb, shifts
+    for b in range(max(1, width).bit_length()):
+        step = 1 << b
+        if step >= width:
+            continue
+        p_r = jnp.roll(vp, -step, axis=1)
+        n_r = jnp.roll(vn, -step, axis=1)
+        r_r = jnp.roll(rem, -step, axis=1)
+        take = (n_r != 0) & ((r_r & step) != 0)
+        vacate = (vn != 0) & ((rem & step) != 0)
+        vp = jnp.where(take, p_r, vp)
+        vn = jnp.where(take, n_r, jnp.where(vacate, 0, vn))
+        rem = jnp.where(take, r_r - step, jnp.where(vacate, 0, rem))
+    vp = jnp.where(vn != 0, vp, 0)[:, :bud]
+    return vp, vn[:, :bud], over
 
 
 def rows_splice_symbols(cfg: ComposerConfig, rect_mb_x: int,
@@ -1575,7 +1619,8 @@ def rows_splice_symbols(cfg: ComposerConfig, rect_mb_x: int,
                         s_row: int | None = None,
                         s_flat: int | None = None,
                         s_exc: int | None = None,
-                        bg_static_skip: bool = False):
+                        bg_static_skip: bool = False,
+                        bg_budget: int | None = None):
     """Symbol-layout stage of the rows splice: returns the frame's
     (patterns, nbits, n_rbsp) ready for _finish_splice — split out so
     the stage's cost is measurable in isolation (scripts profile the
@@ -1734,29 +1779,66 @@ def rows_splice_symbols(cfg: ComposerConfig, rect_mb_x: int,
         bg2_n = jnp.stack([a2_n * bg_i, pro["c_n"] * bg_i],
                           axis=1).reshape(H, W, 2)
 
+        # Bounded coded-background budget: serving shapes skip almost
+        # every background MB, but the generic layout still carries 2
+        # static lanes per background MB (zero-width when skipped)
+        # through every pack/cumsum pass.  With bg_budget=L each
+        # background row segment is compacted (order-preserving,
+        # zero-width lanes dropped -> bitstream unchanged) to at most L
+        # lanes; rows with more than L nonzero lanes flag the frame for
+        # the generic-path retry via a trailing-symbol sentinel that
+        # trips _finish_splice's RBSP-overflow check.  23x23 rect @720p:
+        # 8,483 -> 3,585 symbol lanes at L=16.
+        #
+        # MEASURED NEGATIVE at rep 720p serving shapes (v5e, batch 256):
+        # the compaction's ~8 masked-roll passes are HBM-bound XLA ops
+        # over the [45, 2W] grids and cost ~0.25 ms — about what the
+        # 2.3x-smaller Pallas pack saves (step 0.94 -> 0.96-0.98 ms at
+        # L=8/16; a uint8-counter variant was worse still, 1.14, from
+        # small-grid relayouts).  Kept because it is byte-exact, tested,
+        # and the trade flips wherever background grids dominate donor
+        # lanes harder than pack cost (bigger frames, tiny donors) —
+        # callers must measure.  The serving answer for static
+        # backgrounds remains bg_static_skip (no bg lanes at all).
+        bg_overs = []
+
+        def cb2(p2, n2):
+            if bg_budget is None:
+                return p2, n2
+            cp, cn_, ov = _compact_bg_rows(p2, n2, bg_budget)
+            bg_overs.append(ov)
+            return cp, cn_
+
         have_left = c0 >= 1
         have_right = c0 + C < W
         have_bottom = r0 + R < H
 
-        segs_p = [header_patterns, bg2_p[:r0].reshape(-1)]
-        segs_n = [header_nbits, bg2_n[:r0].reshape(-1)]
+        top_p, top_n = cb2(bg2_p[:r0].reshape(r0, 2 * W),
+                           bg2_n[:r0].reshape(r0, 2 * W))
+        segs_p = [header_patterns, top_p.reshape(-1)]
+        segs_n = [header_nbits, top_n.reshape(-1)]
         # Rect row r0 (no left-wide column: its above-right is background).
         row = r0
-        segs_p += [bg2_p[row, :c0].reshape(-1), dyn_p[0],
-                   dn["row_patterns"][0]]
-        segs_n += [bg2_n[row, :c0].reshape(-1), dyn_n[0],
-                   dn["row_nbits"][0]]
+        r0l_p, r0l_n = cb2(bg2_p[row, :c0].reshape(1, 2 * c0),
+                           bg2_n[row, :c0].reshape(1, 2 * c0))
+        segs_p += [r0l_p.reshape(-1), dyn_p[0], dn["row_patterns"][0]]
+        segs_n += [r0l_n.reshape(-1), dyn_n[0], dn["row_nbits"][0]]
         if have_right:
             segs_p += [bg_p[row, c0 + C]]
             segs_n += [bg_n[row, c0 + C]]
-        segs_p += [bg2_p[row, c0 + C + 1:].reshape(-1)]
-        segs_n += [bg2_n[row, c0 + C + 1:].reshape(-1)]
+        rcw0 = max(W - c0 - C - 1, 0)
+        r0r_p, r0r_n = cb2(bg2_p[row, c0 + C + 1:].reshape(1, 2 * rcw0),
+                           bg2_n[row, c0 + C + 1:].reshape(1, 2 * rcw0))
+        segs_p += [r0r_p.reshape(-1)]
+        segs_n += [r0r_n.reshape(-1)]
         # Rect rows r0+1 .. r0+R-1 (batched; left-wide column appears).
         if R > 1:
             rs = slice(r0 + 1, r0 + R)
             lc = c0 - 1 if have_left else 0
-            parts_p = [bg2_p[rs, :lc].reshape(R - 1, lc * 2)]
-            parts_n = [bg2_n[rs, :lc].reshape(R - 1, lc * 2)]
+            ml_p, ml_n = cb2(bg2_p[rs, :lc].reshape(R - 1, lc * 2),
+                             bg2_n[rs, :lc].reshape(R - 1, lc * 2))
+            parts_p = [ml_p]
+            parts_n = [ml_n]
             if have_left:
                 parts_p += [bg_p[rs, c0 - 1]]
                 parts_n += [bg_n[rs, c0 - 1]]
@@ -1766,8 +1848,10 @@ def rows_splice_symbols(cfg: ComposerConfig, rect_mb_x: int,
                 parts_p += [bg_p[rs, c0 + C]]
                 parts_n += [bg_n[rs, c0 + C]]
             rcw = max(W - c0 - C - 1, 0)
-            parts_p += [bg2_p[rs, c0 + C + 1:].reshape(R - 1, rcw * 2)]
-            parts_n += [bg2_n[rs, c0 + C + 1:].reshape(R - 1, rcw * 2)]
+            mr_p, mr_n = cb2(bg2_p[rs, c0 + C + 1:].reshape(R - 1, rcw * 2),
+                             bg2_n[rs, c0 + C + 1:].reshape(R - 1, rcw * 2))
+            parts_p += [mr_p]
+            parts_n += [mr_n]
             segs_p += [jnp.concatenate(parts_p, axis=1).reshape(-1)]
             segs_n += [jnp.concatenate(parts_n, axis=1).reshape(-1)]
         # Row under the rect: wide across the rect's footprint.
@@ -1775,14 +1859,27 @@ def rows_splice_symbols(cfg: ComposerConfig, rect_mb_x: int,
             row = r0 + R
             lw = c0 - 1 if have_left else 0
             rw = min(c0 + C, W - 1)
-            segs_p += [bg2_p[row, :lw].reshape(-1),
+            bl_p, bl_n = cb2(bg2_p[row, :lw].reshape(1, 2 * lw),
+                             bg2_n[row, :lw].reshape(1, 2 * lw))
+            brw = max(W - rw - 1, 0)
+            br_p, br_n = cb2(bg2_p[row, rw + 1:].reshape(1, 2 * brw),
+                             bg2_n[row, rw + 1:].reshape(1, 2 * brw))
+            segs_p += [bl_p.reshape(-1),
                        bg_p[row, lw:rw + 1].reshape(-1),
-                       bg2_p[row, rw + 1:].reshape(-1)]
-            segs_n += [bg2_n[row, :lw].reshape(-1),
+                       br_p.reshape(-1)]
+            segs_n += [bl_n.reshape(-1),
                        bg_n[row, lw:rw + 1].reshape(-1),
-                       bg2_n[row, rw + 1:].reshape(-1)]
-        segs_p += [bg2_p[r0 + R + 1:].reshape(-1), ts_pat[None]]
-        segs_n += [bg2_n[r0 + R + 1:].reshape(-1), ts_n[None]]
+                       br_n.reshape(-1)]
+        nbot = max(H - r0 - R - 1, 0)
+        bot_p, bot_n = cb2(bg2_p[r0 + R + 1:].reshape(nbot, 2 * W),
+                           bg2_n[r0 + R + 1:].reshape(nbot, 2 * W))
+        if bg_overs:
+            bg_over = bg_overs[0]
+            for ov in bg_overs[1:]:
+                bg_over = bg_over | ov
+            ts_n = ts_n + jnp.where(bg_over, jnp.int32(1 << 22), 0)
+        segs_p += [bot_p.reshape(-1), ts_pat[None]]
+        segs_n += [bot_n.reshape(-1), ts_n[None]]
         patterns = jnp.concatenate(segs_p)
         nbits = jnp.concatenate(segs_n)
 

@@ -205,7 +205,8 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
                                   s_row: int | None = None,
                                   s_flat: int | None = None,
                                   s_exc: int | None = None,
-                                  bg_static_skip: bool = False):
+                                  bg_static_skip: bool = False,
+                                  bg_budget: int | None = None):
     """jit(vmap) of the row-contiguous dense splice kernel (see
     splice_device.pack_donor_rows): byte-identical to the per-MB dense
     step with a fraction of the padded symbol lanes.
@@ -220,7 +221,11 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
     byte-identical to the generic program on such inputs at a fraction
     of the cost.  compact_x packs background MBs into 2 symbol slots
     (valid when every background mv_x is zero; the rect-adjacent ring
-    keeps 3 slots for its donor-influenced mvd_x)."""
+    keeps 3 slots for its donor-influenced mvd_x).  bg_budget=L
+    compacts each background row segment to at most L nonzero lanes
+    (order-preserving -> byte-identical; rows beyond L flag the frame
+    for a generic-path retry) — the serving fast path when background
+    MBs are mostly P_Skip."""
     from ..models import splice_device
 
     def one(hp, hn, bg_ref, bg_mvx, bg_mvy, bg_coded, dn):
@@ -230,7 +235,8 @@ def make_batched_splice_step_rows(cfg: ComposerConfig, rect_mb_x: int,
             nal_ref_idc=nal_ref_idc,
             has_align=has_align, n_rbsp=n_rbsp, ebsp_exact=ebsp_exact,
             compact_x=compact_x, s_row=s_row, s_flat=s_flat,
-            s_exc=s_exc, bg_static_skip=bg_static_skip)
+            s_exc=s_exc, bg_static_skip=bg_static_skip,
+            bg_budget=bg_budget)
 
     return jax.jit(jax.vmap(one))
 
