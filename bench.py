@@ -398,11 +398,13 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
     # transfer bytes track the donors' actual coded bits.
     need = 0
     probe_pat, probe_nb = [], []
+    need_align = False
     for payload in pool:
         dd = splice_device.prepare_donor_dense_from_slice(
             payload, 0, C, R, 1, 2)
         dr = splice_device.pack_donor_rows(dd, R, C)
         need = max(need, dr.row_patterns.shape[1])
+        need_align = need_align or dr.has_align
         probe_pat.append(dr.row_patterns)
         probe_nb.append(dr.row_nbits)
     CLASS = splice_device.row_chunk_class(need)
@@ -413,9 +415,14 @@ def _fresh_donor_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=16,
 
     budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32,
                                               bg_bits_per_mb=16)
+    # The program variant follows the donor class: serving selects
+    # has_align from the ingest metadata (prepare_donor_rows_serving's
+    # meta.has_align), so I_PCM-free donor classes skip the alignment
+    # phase scan entirely.
     step = batch_mod.make_batched_splice_step_rows(
-        cfg, c0, r0, C, R, num_refs=2, has_align=True, n_rbsp=budget,
-        compact_x=True, s_row=CLASS, s_flat=S_FLAT, s_exc=S_EXC)
+        cfg, c0, r0, C, R, num_refs=2, has_align=need_align,
+        n_rbsp=budget, compact_x=True, s_row=CLASS, s_flat=S_FLAT,
+        s_exc=S_EXC)
 
     H, W = cfg.mb_height, cfg.mb_width
     zero = jnp.zeros((H, W), jnp.int32)
@@ -625,10 +632,11 @@ def _successive_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=8,
         mbt.emit_p_slice_mbs(bw, g, 1)
         bw.write_trailing_bits()
         pool.append(bw.getvalue())
-    probe, _m = splice_device.prepare_donor_rows_serving(
+    probe, meta = splice_device.prepare_donor_rows_serving(
         pool, [0] * len(pool), R, C, 1, 3, s_row=512, retarget_mvs=True)
     need = int(np.max(np.sum(np.asarray(probe["row_nbits"]) != 0,
                              axis=-1)))
+    need_align = bool(np.asarray(meta[1]).any())
     CLASS = splice_device.row_chunk_class(need)
     _, S_FLAT, S_EXC = splice_device.rows_flat_wire(
         np.asarray(probe["row_patterns"])[:, :, :CLASS],
@@ -636,10 +644,12 @@ def _successive_config(jax, jnp, cfg, batch_mod, batch_size=64, steps=8,
 
     budget = splice_device.splice_rbsp_budget(cfg, R * C, R * CLASS * 32,
                                               bg_bits_per_mb=16)
+    # Program variant from ingest metadata (meta.has_align), as serving
+    # would select it: I_PCM-free donor classes skip the align scan.
     step = batch_mod.make_batched_splice_step_rows(
-        cfg, c0, r0, C, R, num_refs=3, nal_ref_idc=2, has_align=True,
-        n_rbsp=budget, compact_x=True, s_row=CLASS, s_flat=S_FLAT,
-        s_exc=S_EXC)
+        cfg, c0, r0, C, R, num_refs=3, nal_ref_idc=2,
+        has_align=need_align, n_rbsp=budget, compact_x=True, s_row=CLASS,
+        s_flat=S_FLAT, s_exc=S_EXC)
 
     H, W = cfg.mb_height, cfg.mb_width
     zero = jnp.zeros((H, W), jnp.int32)

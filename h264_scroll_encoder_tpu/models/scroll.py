@@ -437,19 +437,21 @@ def finish_slice(patterns, nbits, n_rbsp: int, nal_ref_idc,
                  *, ebsp_exact: bool = False):
     """Shared slice tail: trailing bits -> pack -> emulation prevention ->
     Annex-B framing.  Returns (nal u8, nal_len, rbsp_bits, overflow)."""
-    payload_bits = jnp.sum(nbits)
-    tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
-    patterns = jnp.concatenate([patterns, tb_pat[None]])
-    nbits = jnp.concatenate([nbits, tb_n[None]])
-
-    # Fused back end (TPU, bounded path): pack + emulation prevention +
-    # NAL framing in one Pallas program per 4-session tile
-    # (ops/emit_fused; bit-exact vs the staged path).
+    # Fused back end (TPU, bounded path): trailing bits + pack +
+    # emulation prevention + NAL framing in one Pallas program per
+    # 4-session tile (ops/emit_fused; bit-exact vs the staged path).
+    # The trailing-bits symbol materializes in-kernel, so the two
+    # full-array XLA concats below never run on the hot path.
     if jax.default_backend() == "tpu" and not ebsp_exact:
         from ..ops import emit_fused
         return emit_fused.finish_nal_fused(
             patterns, nbits, n_rbsp, nal_ref_idc,
-            max_insertions=MAX_EBSP_INSERTIONS)
+            max_insertions=MAX_EBSP_INSERTIONS, append_trailing=True)
+
+    payload_bits = jnp.sum(nbits)
+    tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
+    patterns = jnp.concatenate([patterns, tb_pat[None]])
+    nbits = jnp.concatenate([nbits, tb_n[None]])
 
     # Staged path: exact-EBSP retries (any backend) and off-TPU tests.
     # On TPU the Pallas direct-placement packer keeps all of its

@@ -1455,6 +1455,21 @@ def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
                    has_align: bool, ebsp_exact: bool):
     """Shared back end of the splice emitters: I_PCM alignment phase
     scan, trailing bits, tree pack, emulation prevention, NAL framing."""
+    from ..config import MAX_EBSP_INSERTIONS
+
+    # Fused back end (TPU, bounded path): alignment phase scan,
+    # trailing bits, pack, emulation prevention and NAL framing in ONE
+    # Pallas program per 4-session tile (ops/emit_fused) — the XLA
+    # associative align scan (13 HBM round trips over the full symbol
+    # array) and the two trailing-bits concats move into VMEM.
+    # Bit-exact vs the staged path below.
+    if jax.default_backend() == "tpu" and not ebsp_exact:
+        from ..ops import emit_fused
+        return emit_fused.finish_nal_fused(
+            patterns, nbits, n_rbsp, nal_ref_idc,
+            max_insertions=MAX_EBSP_INSERTIONS, has_align=has_align,
+            append_trailing=True)
+
     if has_align:
         # Resolve pcm_alignment_zero_bits via the affine phase scan on
         # Z8: each ALIGN slot's width is (-pos) mod 8 where pos is the
@@ -1479,21 +1494,6 @@ def _finish_splice(patterns, nbits, n_rbsp: int, nal_ref_idc: int, *,
     tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
     patterns = jnp.concatenate([patterns, tb_pat[None]])
     nbits = jnp.concatenate([nbits, tb_n[None]])
-
-    from ..config import MAX_EBSP_INSERTIONS
-
-    # Fused back end (TPU, bounded path): pack + emulation prevention +
-    # NAL framing in ONE Pallas program per 4-session tile — the pack's
-    # ~2*log2(n) move passes, the SWAR EBSP, and the Annex-B framing
-    # all run VMEM-resident with a single launch (ops/emit_fused).
-    # Bit-exact vs the staged path; measured 0.67 vs 0.73 ms per
-    # batch-256 back end at rep splice shapes plus one fewer stage
-    # boundary in the composed step.
-    if jax.default_backend() == "tpu" and not ebsp_exact:
-        from ..ops import emit_fused
-        return emit_fused.finish_nal_fused(
-            patterns, nbits, n_rbsp, nal_ref_idc,
-            max_insertions=MAX_EBSP_INSERTIONS)
 
     # Staged path: exact-EBSP retries (any backend) and off-TPU tests.
     # Direct-placement packer: at splice shapes (8k+ symbol lanes, 3-4k

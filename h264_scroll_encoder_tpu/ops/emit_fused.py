@@ -212,10 +212,49 @@ def _ebsp_frame_words(w, rbsp_len, cap: int):
 
 
 def _emit_kernel(pat_ref, nb_ref, out_ref, meta_ref, *, p: int,
-                 r_out: int, cap: int):
+                 r_out: int, cap: int, align: bool = False,
+                 tb_lane: int | None = None):
+    """One fused emit tile.  `align`: nbits may carry negative
+    sentinels marking I_PCM alignment slots — resolved in-kernel by the
+    same affine phase scan _finish_splice ran in XLA (13 HBM-round-trip
+    passes there; VMEM-resident here).  `tb_lane`: static lane index at
+    which to materialize the rbsp_trailing_bits symbol (the caller
+    passes raw payload symbols and skips its two full-array concats)."""
     pat = pat_ref[:]
     nb = nb_ref[:]
     T = pat.shape[0]
+
+    if align or tb_lane is not None:
+        C = pat.shape[2]
+        idx_f = (jax.lax.broadcasted_iota(jnp.int32, pat.shape, 1) * C
+                 + jax.lax.broadcasted_iota(jnp.int32, pat.shape, 2))
+    if align:
+        # pcm_alignment_zero_bits: slot width is (-pos) mod 8 at the
+        # slot's running bit position — the affine (keep, add) phase
+        # recurrence phase[i] = (add[i] + keep[i]*phase[i-1]) mod 8
+        # as a log-step linear-recurrence scan over flat lane order.
+        is_align = nb < 0
+        A = jnp.where(is_align, 0, 1)
+        B = jnp.where(is_align, 0, nb & 7)
+        s = 1
+        while s < p:
+            in_range = idx_f >= s
+            A_l = jnp.where(in_range, _flat_roll3(A, s), 1)
+            B_l = jnp.where(in_range, _flat_roll3(B, s), 0)
+            B = (B + A * B_l) & 7
+            A = A * A_l
+            s <<= 1
+        phase_before = jnp.where(idx_f < 1, 0, _flat_roll3(B, 1))
+        nb = jnp.where(is_align, (8 - phase_before) & 7, nb)
+    if tb_lane is not None:
+        payload_bits = jnp.sum(jnp.sum(nb, axis=2, keepdims=True),
+                               axis=1, keepdims=True)
+        tb_n = 1 + ((8 - ((payload_bits + 1) & 7)) & 7)
+        tb_pat = (jnp.uint32(1)
+                  << (tb_n - 1).astype(jnp.uint32))
+        is_tb = idx_f == tb_lane
+        nb = jnp.where(is_tb, tb_n, nb)
+        pat = jnp.where(is_tb, tb_pat, pat)
 
     words = _place_rounds3(pat, nb, p)
     total_bits = jnp.sum(jnp.sum(nb, axis=2, keepdims=True),
@@ -238,9 +277,13 @@ def _emit_kernel(pat_ref, nb_ref, out_ref, meta_ref, *, p: int,
 
 
 def emit_nal_fused_batch(patterns, nbits, n_nal: int, cap: int,
-                         tile: int | None = None):
+                         tile: int | None = None, align: bool = False,
+                         append_tb: bool = False):
     """[B, n] batched fused emit; `tile` sessions per program instance
-    (same tiling sweet spot as the pack: 4).  Returns
+    (same tiling sweet spot as the pack: 4).  `align` resolves negative
+    nbits sentinels (I_PCM alignment) in-kernel; `append_tb`
+    materializes the trailing-bits symbol at lane n in-kernel (callers
+    then pass raw payload symbols, no XLA concat).  Returns
     (nal_words uint32[B, n_nal_pad//4], total_bits int32[B],
     ins_eff int32[B])."""
     from jax.experimental import pallas as pl
@@ -252,7 +295,10 @@ def emit_nal_fused_batch(patterns, nbits, n_nal: int, cap: int,
     patterns = jnp.asarray(patterns, jnp.uint32)
     nbits = jnp.asarray(nbits, jnp.int32)
 
-    padded = -(-(n + 1) // 128) * 128
+    # One spare lane for the last symbol's word spill, plus the
+    # trailing-bits lane itself when the kernel appends it.
+    spare = 2 if append_tb else 1
+    padded = -(-(n + spare) // 128) * 128
     pat = jnp.pad(patterns, ((0, 0), (0, padded - n)))
     nb = jnp.pad(nbits, ((0, 0), (0, padded - n)))
     R_s = padded // 128
@@ -262,7 +308,9 @@ def emit_nal_fused_batch(patterns, nbits, n_nal: int, cap: int,
     r_out = -(-n_nal // 512)
     interpret = jax.default_backend() != "tpu"
     out, meta = pl.pallas_call(
-        functools.partial(_emit_kernel, p=padded, r_out=r_out, cap=cap),
+        functools.partial(_emit_kernel, p=padded, r_out=r_out, cap=cap,
+                          align=align,
+                          tb_lane=n if append_tb else None),
         grid=(B // tile,),
         in_specs=[pl.BlockSpec((tile, R_s, 128), lambda i: (i, 0, 0)),
                   pl.BlockSpec((tile, R_s, 128), lambda i: (i, 0, 0))],
@@ -276,13 +324,15 @@ def emit_nal_fused_batch(patterns, nbits, n_nal: int, cap: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _emit_fused_cv(n_nal: int, cap: int):
+def _emit_fused_cv(n_nal: int, cap: int, align: bool, append_tb: bool):
     from jax.custom_batching import custom_vmap
+
+    kw = dict(align=align, append_tb=append_tb)
 
     @custom_vmap
     def f(patterns, nbits):
         words, tb, ie = emit_nal_fused_batch(
-            patterns[None], nbits[None], n_nal, cap)
+            patterns[None], nbits[None], n_nal, cap, **kw)
         return words[0], tb[0], ie[0]
 
     @f.def_vmap
@@ -296,27 +346,31 @@ def _emit_fused_cv(n_nal: int, cap: int):
             lead = patterns.shape[:-1]
             w, tb, ie = emit_nal_fused_batch(
                 patterns.reshape(-1, patterns.shape[-1]),
-                nbits.reshape(-1, nbits.shape[-1]), n_nal, cap)
+                nbits.reshape(-1, nbits.shape[-1]), n_nal, cap, **kw)
             out = (w.reshape(lead + (w.shape[-1],)), tb.reshape(lead),
                    ie.reshape(lead))
         else:
-            out = emit_nal_fused_batch(patterns, nbits, n_nal, cap)
+            out = emit_nal_fused_batch(patterns, nbits, n_nal, cap, **kw)
         return out, (True, True, True)
 
     return f
 
 
 def finish_nal_fused(patterns, nbits, n_rbsp: int, nal_ref_idc, *,
-                     max_insertions: int):
+                     max_insertions: int, has_align: bool = False,
+                     append_trailing: bool = False):
     """Drop-in fused replacement for the bounded back end of
     models/scroll.finish_slice and models/splice_device._finish_splice:
-    takes the same (patterns, nbits) the unfused pack receives (header
-    + payload + trailing-bits symbol, alignment already resolved) and
+    takes the same (patterns, nbits) the unfused pack receives and
     returns the same (nal u8[n_nal], nal_len, total_bits, overflow)
-    tuple, byte-identical for in-contract frames."""
+    tuple, byte-identical for in-contract frames.  With
+    `append_trailing` the caller passes RAW payload symbols — the
+    I_PCM alignment phase scan (`has_align`, negative-nbits sentinels)
+    and the rbsp_trailing_bits symbol run inside the kernel, saving
+    the XLA-side associative scan and two full-array concats."""
     n_nal = (5 + n_rbsp + max_insertions + 11) // 4 * 4
     words, total_bits, ins_eff = _emit_fused_cv(
-        n_nal, max_insertions)(patterns, nbits)
+        n_nal, max_insertions, has_align, append_trailing)(patterns, nbits)
 
     rbsp_len = total_bits // 8
     overflow = (total_bits > jnp.int32(n_rbsp * 8)) \

@@ -12,9 +12,13 @@ The CPU test suite covers the XLA branches; this probe is the on-silicon
 check of the Mosaic kernel that `python -m pytest` (forced-CPU) cannot
 reach.  Companion check: run the test-mode CLI on the TPU backend and
 `cmp` against the C reference binary (see .claude/skills/verify)."""
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from h264_scroll_encoder_tpu.utils import jaxcache
 jaxcache.enable()

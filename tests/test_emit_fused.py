@@ -96,6 +96,98 @@ def test_fused_overflow_contract():
     assert bool(a[3]) and bool(b[3])
 
 
+def _resolve_align_and_tb(patterns, nbits):
+    """The XLA-side preamble the fused kernel replaces: I_PCM align
+    phase scan (negative-nbits sentinels) + trailing-bits append —
+    mirrors models/splice_device._finish_splice's staged path."""
+    is_align = nbits < 0
+    keep = jnp.where(is_align, 0, 1).astype(jnp.int32)
+    add = jnp.where(is_align, 0, nbits % 8).astype(jnp.int32)
+
+    def comb(left, right):
+        kl, bl = left
+        kr, br = right
+        return kl * kr, (kr * bl + br) % 8
+
+    _, phase_after = jax.lax.associative_scan(comb, (keep, add))
+    phase_before = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), phase_after[:-1]])
+    align_bits = (8 - phase_before % 8) % 8
+    nbits = jnp.where(is_align, align_bits, nbits)
+    payload_bits = jnp.sum(nbits)
+    tb_pat, tb_n = bitpack.trailing_bits_symbol(payload_bits)
+    patterns = jnp.concatenate([patterns, tb_pat[None]])
+    nbits = jnp.concatenate([nbits, tb_n[None]])
+    return patterns, nbits
+
+
+def test_fused_in_kernel_align_and_trailing():
+    """Raw symbols with I_PCM align sentinels through the fused kernel
+    (has_align + append_trailing) must byte-equal the staged back end
+    fed the XLA-resolved, trailing-appended arrays."""
+    rng = np.random.default_rng(11)
+    fused = jax.jit(lambda p, n: emit_fused.finish_nal_fused(
+        p, n, N_RBSP, 3, max_insertions=MAX_EBSP_INSERTIONS,
+        has_align=True, append_trailing=True))
+    staged = jax.jit(
+        lambda p, n: _staged(*_resolve_align_and_tb(p, n)[:2], 3))
+    checked = 0
+    for trial in range(12):
+        n_sym = N_SYM
+        nb = rng.integers(1, 17, n_sym).astype(np.int32)
+        pat = (rng.integers(0, 2 ** 31, n_sym).astype(np.uint32)
+               & ((1 << np.clip(nb, 0, 31)) - 1).astype(np.uint32))
+        # Zero-width tail + sprinkled align sentinels (pattern must be
+        # zero at align slots, like the I_PCM emitters produce).
+        cut = int(rng.integers(n_sym // 2, n_sym))
+        nb[cut:] = 0
+        pat[cut:] = 0
+        n_aligns = int(rng.integers(0, 5))
+        for _ in range(n_aligns):
+            i = int(rng.integers(1, cut))
+            nb[i] = -1
+            pat[i] = 0
+        a = staged(jnp.asarray(pat), jnp.asarray(nb))
+        b = fused(jnp.asarray(pat), jnp.asarray(nb))
+        assert bool(a[3]) == bool(b[3]), trial
+        if bool(a[3]):
+            continue
+        assert int(a[1]) == int(b[1]), trial
+        assert int(a[2]) == int(b[2]), trial
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0])), trial
+        checked += 1
+    assert checked >= 8
+
+
+def test_fused_append_trailing_vmap():
+    """Batched raw-symbol emit (append_trailing) equals per-session
+    staged emits with the trailing symbol appended in XLA."""
+    rng = np.random.default_rng(5)
+    B = 4
+    pats, nbs = [], []
+    for b in range(B):
+        nb = rng.integers(1, 9, N_SYM).astype(np.int32)
+        pat = (rng.integers(0, 2 ** 31, N_SYM).astype(np.uint32)
+               & ((1 << np.clip(nb, 0, 31)) - 1).astype(np.uint32))
+        nb[N_SYM - 40 - b:] = 0
+        pat[N_SYM - 40 - b:] = 0
+        pats.append(pat)
+        nbs.append(nb)
+    pats = jnp.asarray(np.stack(pats))
+    nbs = jnp.asarray(np.stack(nbs))
+    got = jax.jit(jax.vmap(lambda p, n: emit_fused.finish_nal_fused(
+        p, n, N_RBSP, 0, max_insertions=MAX_EBSP_INSERTIONS,
+        append_trailing=True)))(pats, nbs)
+    staged = jax.jit(
+        lambda p, n: _staged(*_resolve_align_and_tb(p, n)[:2], 0))
+    for b in range(B):
+        want = staged(pats[b], nbs[b])
+        assert not bool(want[3])
+        assert int(got[1][b]) == int(want[1])
+        assert int(got[2][b]) == int(want[2])
+        assert np.array_equal(np.asarray(got[0][b]), np.asarray(want[0]))
+
+
 def test_fused_vmap_batch():
     """The custom-vmap rule tiles sessions per program instance; the
     batched outputs must equal per-session staged emits."""
