@@ -770,27 +770,84 @@ def rows_flat_wire(pat: np.ndarray, nb: np.ndarray, *,
 
 def _rows_from_flat(dn: dict, R: int, s_row: int):
     """Device inverse of rows_flat_wire: flat wire -> ([R, s_row]
-    patterns, nbits), exact.  Everything is a traced gather/scatter, so
-    the reconstruction lives inside the one compiled serving program."""
+    patterns, nbits), exact and GATHER-FREE.
+
+    The obvious formulation — `flat_p[row_start[:, None] + j]` — is a
+    [R, s_row] gather from the flat stream, which serializes on TPU at
+    ~10 ns/element (~12 ms per batch-256 step, measured; it was the
+    entire cost of the device-resident serving scan).  Instead the flat
+    chunks are SPREAD right by a monotone move: the value at flat
+    position i belongs to row r(i) and lands at r(i)*s_row +
+    (i - row_start[r(i)]), i.e. moves right by d(i) = r(i)*s_row -
+    row_start[r(i)].  d is row-constant and non-decreasing in i
+    (s_row >= row_len), and for a RIGHT move with non-decreasing
+    distances LSB-first bit moves keep positions strictly ordered
+    (p_j - p_i = (j - i) + (m_j - m_i) > 0), so no mid-flight
+    collision is possible at all — plain select moves, no OR merges.
+
+    nbits never needs spreading: in the [R, s_row] frame the per-row
+    tail width sits at j == row_len[r]-1 (elementwise) and the sparse
+    exceptions are a tiny [s_exc] scatter after their flat indices are
+    mapped to (row, col) with the same row_start comparisons."""
     flat_p = dn["flat_patterns"]
     S = flat_p.shape[-1]
     row_len = dn["row_len"].astype(jnp.int32)
     row_tail = dn["row_tail"].astype(jnp.int32)
     row_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_len)[:-1]])
-    flat_nb = jnp.full((S,), 32, jnp.int32)
-    row_end = jnp.where(row_len > 0, row_start + row_len - 1, S)
-    flat_nb = flat_nb.at[row_end].set(row_tail, mode="drop")
-    exc_idx = dn["exc_idx"].astype(jnp.int32)
-    exc_idx = jnp.where(exc_idx < 0, S, exc_idx)
-    flat_nb = flat_nb.at[exc_idx].set(
-        dn["exc_val"].astype(jnp.int32), mode="drop")
+
+    P = R * s_row
+    pos = jnp.arange(P, dtype=jnp.int32)
+    vals = jnp.pad(flat_p.astype(jnp.uint32),
+                   (0, max(0, P - S)))[:P]
+    # d(i) telescopes over row boundaries: crossing into row r adds
+    # (s_row - row_len[r-1]).  R-1 broadcast compares, one fused pass.
+    dist = jnp.zeros((P,), jnp.int32)
+    for r in range(1, R):
+        dist = dist + jnp.where(pos >= row_start[r],
+                                s_row - row_len[r - 1], 0)
+    # Dead lanes (at or past the flat stream's used length) must not
+    # move: their distance rides to zero with their (zero) values.
+    used = pos < jnp.minimum(row_start[R - 1] + row_len[R - 1], P)
+    rem = jnp.where(used, dist, 0)
+
+    # MSB-first is the sound order for a RIGHT move with non-decreasing
+    # distances: the processed high-bit prefix m_i = (d_i >> b) << b is
+    # monotone in d, so p_j - p_i = (j - i) + (m_j - m_i) stays > 0 and
+    # no two live values ever meet.  (LSB-first is the left-move rule —
+    # its low-bit prefixes are not monotone and right-moves collide.)
+    max_dist = max(1, (R - 1) * s_row)
+    for b in reversed(range(max_dist.bit_length())):
+        step = 1 << b
+        if step >= P:
+            continue
+        v_l = jnp.roll(vals, step)
+        r_l = jnp.roll(rem, step)
+        take = ((r_l & step) != 0) & (pos >= step)
+        vacate = (rem & step) != 0
+        vals = jnp.where(take, v_l, jnp.where(vacate, jnp.uint32(0),
+                                              vals))
+        rem = jnp.where(take, r_l - step, jnp.where(vacate, 0, rem))
+
+    pat2 = vals.reshape(R, s_row)
     j = jnp.arange(s_row, dtype=jnp.int32)
-    idx = row_start[:, None] + j[None, :]
     in_row = j[None, :] < row_len[:, None]
-    idxc = jnp.minimum(idx, S - 1)
-    pat = jnp.where(in_row, flat_p[idxc], jnp.uint32(0))
-    nbits = jnp.where(in_row, flat_nb[idxc], 0)
+    pat = jnp.where(in_row, pat2, jnp.uint32(0))
+
+    # nbits directly in the [R, s_row] frame.
+    nbits = jnp.where(in_row, 32, 0)
+    nbits = jnp.where(in_row & (j[None, :] == row_len[:, None] - 1),
+                      row_tail[:, None], nbits)
+    exc_idx = dn["exc_idx"].astype(jnp.int32)
+    # Map each flat exception index to (row, col): row = #starts <= i
+    # beyond the first, col = i - row_start[row].  s_exc-sized math.
+    e_row = jnp.zeros_like(exc_idx)
+    for r in range(1, R):
+        e_row = e_row + (exc_idx >= row_start[r]).astype(jnp.int32)
+    e_col = exc_idx - row_start[e_row]
+    e_flat2 = jnp.where(exc_idx < 0, P, e_row * s_row + e_col)
+    nbits = nbits.reshape(-1).at[e_flat2].set(
+        dn["exc_val"].astype(jnp.int32), mode="drop").reshape(R, s_row)
     return pat, nbits
 
 
