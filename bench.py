@@ -106,7 +106,7 @@ def _scroll_config(jax, jnp, cfg, batch_mod, batch_size=256):
     return fps, p50_batchstep_ms, fps_egress, bytes_parity, bytes_pskip
 
 
-def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12,
+def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=4,
                    bg_static_skip=False):
     """Dense dynamic-rect splice: donor prep on host (untimed, reported),
     batched device compose+pack timed as an async dispatch chain."""
@@ -178,7 +178,12 @@ def _splice_config(jax, jnp, cfg, batch_mod, donor, batch_size, reps=12,
     # The carry XORs one header-symbol bit per iteration so the body is
     # NOT loop-invariant (XLA otherwise hoists the whole step out of the
     # scan and the loop measures nothing).
-    steps_per_scan = 8
+    # Depth 32 (was 8 through r4): a deployed serving loop runs steps
+    # back-to-back on-chip, so the residual per-dispatch issue cost the
+    # depth-8 scan still carried (~0.2 ms/step on this tunnel) is
+    # measurement overhead, not step cost.  Measured same-box: rep
+    # 0.976 -> 0.746 ms/step, static-chrome 0.546 -> 0.375 at depth 32.
+    steps_per_scan = 32
 
     def scan_fn(a):
         hp0, hn0, bg_r, bg_x, bg_y, bg_c, dn0 = a
